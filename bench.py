@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec", "queries":
+{name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + materialize counts); a
+warmup pass first touches every input file so the JVM/page-cache cold-start
+is not attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_revenue",
+    "tpch_q5_regional_revenue",
+    "window_top3_orders_per_customer",
+    "weblog_sessionization",
+    "weblog_hourly_partitions",
+    "weblog_daily_uniques",
+    "dedup_exact_stats",
+    "text_stats_by_lang",
+    "embedding_knn_q0",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from web_analytics_on_aws_spark import plans
+    from web_analytics_on_aws_spark.session import get_spark
+
+    plans.load_all()
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: materialize one count per table so file listing + JVM JIT +
+    # page cache are shared context, as on a long-lived cluster.
+    from web_analytics_on_aws_spark.sources.tables import TABLE_NAMES, load_table
+
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).count()
+
+    timings: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in plans.QUERIES]
+    for name in names:
+        t0 = time.perf_counter()
+        df = plans.QUERIES[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

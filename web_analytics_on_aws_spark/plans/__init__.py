@@ -1,0 +1,48 @@
+"""Named query plans.
+
+Each module registers queries with the ``@query`` decorator: a Spark
+implementation ``(spark, sf_dir) -> DataFrame`` and (where SQL-expressible)
+an equivalent ANSI-SQL oracle string for DuckDB. The driver's correctness
+gate runs both sides at sf0.01 and compares row counts, schemas, and
+order-insensitive value hashes — so every computed column is aliased
+identically on both sides.
+
+This is the engine's replacement for the reference's Athena named queries
+(/root/reference/web-analytics-parquet/cdk_stacks/athena_named_query.py) plus
+the general interactive-SQL surface (SURVEY §3.3) and the LLM-data-pipeline
+extension operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a named query; ``oracle`` is the DuckDB-equivalent SQL
+    (omit for genuinely non-SQL-expressible operators → the driver records
+    a weaker rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every plan module so registrations run."""
+    from web_analytics_on_aws_spark.plans import (  # noqa: F401
+        pipeline,
+        tpch,
+        weblog,
+    )

@@ -1,0 +1,5 @@
+from web_analytics_on_aws_spark.sources.tables import (  # noqa: F401
+    TABLE_NAMES,
+    load_table,
+    register_views,
+)

@@ -1,0 +1,53 @@
+"""Loaders for the driver-provided parquet tables (TESTDATA.md).
+
+Parquet scan ≅ the reference's `web_log_parquet` external table
+(/root/reference/web-analytics-parquet/cdk_stacks/athena_named_query.py:70-92,
+SURVEY §2.1 S11). Loading is declarative — `spark.read.parquet` — so Catalyst
+gets predicate pushdown + column pruning for free.
+
+One normalization: the driver stores ``events.ts`` as parquet
+TIMESTAMP(NANOS), which Spark reads only as a raw long (session config
+``spark.sql.legacy.parquet.nanosAsLong=true``, set in session.py). We convert
+nanos → microseconds by integer division (truncation — the same thing DuckDB
+does when narrowing ns → its µs TIMESTAMP), keeping Spark and the DuckDB
+oracle bit-identical on timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalizing nano-timestamps to TimestampType."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if name == "events" and field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
+            # Integer DIV, not `/`: ns-epoch longs (~1.7e18) exceed double's
+            # 53-bit mantissa, so float division drifts by ±1µs.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so `spark.sql` works over them —
+    the Spark-session-catalog equivalent of the reference's Glue catalog
+    (SURVEY §3.3)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
