@@ -1,0 +1,96 @@
+"""Structured Streaming ingest — the engine-side replacement for the
+API GW → Kinesis → Firehose → Lambda chain (SURVEY §3.1, §2.7 T1-T3).
+
+Mapping (SURVEY §2.1):
+
+- S1/S2 HTTP ingest → producers append JSON-lines files to a **landing
+  directory** (or a Kafka topic in production; the file source keeps this
+  repo self-contained). The landing dir *is* the durable buffer (S5).
+- S6 shard scan → ``readStream`` file source; ``maxFilesPerTrigger`` ≅ the
+  consumer's ``get_records(Limit=...)`` fetch size.
+- T1 micro-batch trigger → ``trigger(processingTime='60 seconds')`` (the
+  iceberg variant's 60 s flush, firehose_to_iceberg.py:102-105); tests use
+  ``availableNow`` for determinism.
+- T2/T3 per-batch transform & routing → ``foreachBatch`` running the
+  validation operator and the split writer; Spark task retries + the
+  checkpoint give the redelivery semantics Firehose gets from
+  ``NumberOfRetries`` (firehose.py:131-133).
+- A2 metrics → ``observe`` on the validated stream.
+
+Exactly-once story: the file-source checkpoint records which input files
+each batch consumed; ``write_split`` overwrites per (batch, partition), so a
+re-run of a failed batch converges (idempotent) — reproducing Firehose's
+at-least-once delivery + downstream dedup posture.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from web_analytics_on_aws_spark.operators.ingest import write_split
+from web_analytics_on_aws_spark.operators.validate import validate
+
+
+def read_landing_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream raw JSON lines from the landing zone as a single `value`
+    column — framing only, no parsing (P4 is a no-op for a line source)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(landing_dir)
+
+
+def start_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    raw_path: str,
+    error_path: str,
+    checkpoint_dir: str,
+    dialect: str = "parquet",
+    trigger_seconds: int | None = 60,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Start the validated ingest stream (landing → raw/error zones)."""
+    lines = read_landing_stream(spark, landing_dir, max_files_per_trigger)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        validated = validate(batch_df, value_col="value", dialect=dialect)
+        write_split(validated, raw_path, error_path)
+
+    writer = lines.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def run_ingest_once(
+    spark: SparkSession,
+    landing_dir: str,
+    raw_path: str,
+    error_path: str,
+    checkpoint_dir: str,
+    dialect: str = "parquet",
+) -> None:
+    """Drain everything currently in the landing zone and stop — the
+    deterministic test/replay entry point (Trigger.AvailableNow)."""
+    q = start_ingest(
+        spark,
+        landing_dir,
+        raw_path,
+        error_path,
+        checkpoint_dir,
+        dialect=dialect,
+        available_now=True,
+    )
+    q.awaitTermination()
