@@ -1,0 +1,164 @@
+"""Pytest oracles for the approximate operators (MinHash-LSH, SimHash,
+sign-LSH ANN) and the multimodal plumbing — planted-duplicate corpora with
+brute-force Python ground truth."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from web_analytics_on_aws_spark.operators import dedup, multimodal, similarity
+from web_analytics_on_aws_spark.sources.tables import load_table
+
+VOCAB = [f"w{i}" for i in range(50)]
+
+
+def _mk_corpus():
+    """60 base docs + 10 near-dup pairs (small token mutations) + 2 exact dups."""
+    rng = random.Random(7)
+    docs = []
+    for i in range(60):
+        docs.append((i, " ".join(rng.choice(VOCAB) for _ in range(80))))
+    pairs = []
+    for j in range(10):
+        base_id, text = docs[j]
+        toks = text.split()
+        for pos in rng.sample(range(len(toks)), 3):  # mutate 3 of 80 tokens
+            toks[pos] = rng.choice(VOCAB)
+        dup_id = 100 + j
+        docs.append((dup_id, " ".join(toks)))
+        pairs.append((base_id, dup_id))
+    docs.append((200, docs[0][1]))  # exact dup of doc 0
+    return docs, pairs
+
+
+def _py_shingles(text: str, k: int = 3) -> set[str]:
+    t = text.split()
+    return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+
+def _py_jaccard(a: str, b: str) -> float:
+    sa, sb = _py_shingles(a), _py_shingles(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs, pairs = _mk_corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return df, docs, pairs
+
+
+def test_exact_dedup_removes_planted_exact_dup(spark, corpus):
+    df, docs, _ = corpus
+    out = dedup.exact_dedup(df)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 200 not in ids  # duplicate content, higher id → dropped
+    assert 0 in ids
+    assert len(ids) == len(docs) - 1
+
+
+def test_ngram_jaccard_matches_python_bruteforce(spark, corpus):
+    df, docs, planted = corpus
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    text = dict(docs)
+    expected = {}
+    ids = sorted(text)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = _py_jaccard(text[a], text[b])
+            if j >= 0.5:
+                expected[(a, b)] = j
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-6
+    # every planted near-dup pair was caught
+    assert set(planted) <= set(got)
+
+
+def test_minhash_lsh_recall_on_planted_pairs(spark, corpus):
+    df, docs, planted = corpus
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    text = dict(docs)
+    strong = [p for p in planted if _py_jaccard(text[p[0]], text[p[1]]) >= 0.7]
+    assert strong, "fixture should plant strong near-dups"
+    found = [p for p in strong if p in got]
+    # banded LSH @ (32,4) catches J>=0.7 pairs with prob ~1 - (1-0.7^4)^32 ≈ 1
+    assert len(found) == len(strong), f"missed {set(strong) - got}"
+    # estimated jaccard within 0.25 of truth for found planted pairs
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(df, threshold=0.3).collect()
+    }
+    for p in strong:
+        assert abs(est[p] - _py_jaccard(text[p[0]], text[p[1]])) < 0.25
+
+
+def test_simhash_pairs_find_planted_dups(spark, corpus):
+    df, docs, planted = corpus
+    out = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(df, max_hamming=16).collect()
+    }
+    # exact dup at hamming 0
+    assert out.get((0, 200)) == 0
+    # near-dups (3/80 tokens changed) land at small hamming distances
+    found = [p for p in planted if p in out]
+    assert len(found) >= 7
+    # unrelated docs don't appear at tiny distances en masse
+    tight = dedup.simhash_pairs(df, max_hamming=3).collect()
+    tight_pairs = {(r["doc_a"], r["doc_b"]) for r in tight}
+    assert tight_pairs <= (set(planted) | {(0, 200)} | set(out))
+
+
+def test_lsh_ann_subset_and_overlap_with_brute(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(emb.vec_id < 5).selectExpr("vec_id AS query_id", "embedding AS qv")
+    brute = similarity.brute_force_topk(emb, queries, k=5)
+    lsh = similarity.lsh_bucket_topk(emb, queries, k=5, planes=4)
+    b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    l = {(r["query_id"], r["vec_id"]) for r in lsh.collect()}
+    assert len(l) <= len(b)
+    # LSH scores are exact cosine on its candidates: any (q, v) in both sets
+    # carries the same sim
+    bs = {(r["query_id"], r["vec_id"]): r["sim"] for r in brute.collect()}
+    ls = {(r["query_id"], r["vec_id"]): r["sim"] for r in lsh.collect()}
+    for key in b & l:
+        assert bs[key] == ls[key]
+
+
+def test_decode_media_fake_deterministic_and_stub_raises(spark, corpus):
+    df, _, _ = corpus
+    with_blob = multimodal.attach_blob(df.limit(5))
+    a = sorted(multimodal.decode_media(with_blob, fake=True).collect())
+    b = sorted(multimodal.decode_media(with_blob, fake=True).collect())
+    assert a == b
+    assert all(16 <= r["width"] < 80 and len(r["features"]) == 8 for r in a)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        multimodal.decode_media(with_blob, fake=False).collect()
+
+
+def test_frame_sample_offsets(spark, corpus):
+    df, docs, _ = corpus
+    frames = multimodal.frame_sample(multimodal.attach_blob(df.limit(3)), n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 12
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    text = dict(docs)
+    for doc_id, rs in by_doc.items():
+        n = len(text[doc_id].encode())
+        assert sorted(r["offset"] for r in rs) == [i * n // 4 for i in range(4)]
+        whole = b"".join(
+            bytes(r["frame_bytes"]) for r in sorted(rs, key=lambda r: r["frame_idx"])
+        )
+        assert len(whole) == (n // 4) * 4

@@ -1,0 +1,287 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Extension surface (BASELINE.json north star): exact, MinHash+LSH, SimHash,
+and n-gram-Jaccard dedup over a document corpus, each DataFrame-in/
+DataFrame-out with no driver-side collects.
+
+Scale design (100 TB):
+
+- **exact**: hash-groupBy — the shuffle carries 16-byte digests only.
+- **n-gram Jaccard**: inverted-index self-join on shingles (shuffle keyed by
+  shingle hash), NOT an all-pairs cross join; pair candidates are generated
+  only where at least one shingle collides, then exact Jaccard filters.
+  Worst-case hot shingles are capped (frequency cutoff) — a stop-shingle
+  filter, the standard skew guard for this join.
+- **MinHash+LSH**: per-doc signature (n hashes) → banded bucket keys →
+  groupBy band bucket — candidate pairs only within buckets; cost is
+  O(docs × bands), independent of pair count.
+- **SimHash**: 64-bit fingerprint via sign-summed token hashes; banded
+  16-bit keys prefilter, Hamming distance verifies.
+
+Everything is built-in HOFs (transform/aggregate/zip_with) + joins: JVM-side,
+no Python per row.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from web_analytics_on_aws_spark.functions import token_split
+
+# ---------------------------------------------------------------------------
+# shingling
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", k: int = 3, out: str = "shingles"
+) -> DataFrame:
+    """Distinct k-word shingles per document (JVM HOF, no UDF)."""
+    toks = token_split(F.col(text_col))
+    joined = F.concat_ws(
+        " ", *[F.element_at(F.col("__toks"), F.col("i") + j) for j in range(k)]
+    )
+    return (
+        df.withColumn("__toks", toks)
+        .withColumn(
+            out,
+            F.when(F.size("__toks") < k, F.array().cast("array<string>")).otherwise(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
+                        lambda i: F.concat_ws(
+                            " ",
+                            *[F.element_at(F.col("__toks"), i + j) for j in range(k)],
+                        ),
+                    )
+                )
+            ),
+        )
+        .drop("__toks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact content hash."""
+    h = F.md5(F.col(text_col))
+    keep = df.groupBy(h.alias("__h")).agg(F.min(id_col).alias(id_col)).drop("__h")
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index join)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard ≥ threshold.
+
+    Plan: shingle → explode (inverted index) → self-join on shingle →
+    count common shingles per pair → exact Jaccard via set sizes.
+    ``max_shingle_freq`` drops shingles appearing in more than that many docs
+    (stop-shingle skew guard); exactness is preserved only when unset.
+    """
+    sh = with_shingles(df, text_col, k).select(
+        F.col(id_col).alias("id"), "shingles", F.size("shingles").alias("n_sh")
+    )
+    inv = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    if max_shingle_freq is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > max_shingle_freq)
+            .select("shingle")
+        )
+        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    a = inv.select(
+        F.col("shingle"),
+        F.col("id").alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = inv.select(
+        F.col("shingle"),
+        F.col("id").alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signature(shingles_col: str, num_hashes: int = 128) -> F.Column:
+    """n-permutation MinHash signature: sig[j] = min over shingles of
+    murmur3(shingle, seed=j). Pure SQL HOFs — O(|shingles| × n) JVM hashes."""
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), "
+        f"j -> array_min(transform({shingles_col}, s -> hash(s, j))))"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate duplicate pairs via banded MinHash-LSH, scored by estimated
+    Jaccard (signature agreement rate) ≥ threshold.
+
+    b=32 bands × r=4 rows → S-curve midpoint (1/b)^(1/r) ≈ 0.42: pairs with
+    true Jaccard ≥ 0.5 are caught with prob ≥ 97%.
+    """
+    rows = num_hashes // bands
+    sh = with_shingles(df, text_col, k).filter(F.size("shingles") > 0)
+    sig = sh.select(
+        F.col(id_col).alias("id"),
+        minhash_signature("shingles", num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> named_struct('band', b, 'key', hash(slice(sig, b*{rows}+1, {rows}))))"
+            )
+        ).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("doc_a"),
+            F.col("r.id").alias("doc_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash64(tokens_col: str) -> F.Column:
+    """64-bit SimHash of a token array: per-bit sign of the sum of ±1 votes
+    from each token's xxhash64 bits."""
+    # counts[b] = sum over tokens of (bit b of xxh(token) ? 1 : -1)
+    counts = F.expr(
+        f"""aggregate(
+              {tokens_col},
+              array_repeat(0, 64),
+              (acc, t) -> zip_with(
+                  acc,
+                  transform(sequence(0, 63),
+                            b -> IF(((xxhash64(t) >> b) & 1) = 1, 1, -1)),
+                  (a, v) -> a + v)
+            )"""
+    )
+    # fingerprint = Σ (counts[b] > 0) << b
+    return F.expr(
+        """aggregate(
+             transform(sequence(0, 63),
+                       b -> IF(element_at(__sh_counts, b + 1) > 0, shiftleft(1L, b), 0L)),
+             0L, (acc, v) -> acc + v)"""
+    ), counts
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out: str = "simhash"
+) -> DataFrame:
+    fp_expr, counts = simhash64("__sh_toks")
+    return (
+        df.withColumn("__sh_toks", F.array_distinct(token_split(F.col(text_col))))
+        .withColumn("__sh_counts", counts)
+        .withColumn(out, fp_expr)
+        .drop("__sh_toks", "__sh_counts")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    LSH trick: split the 64-bit fingerprint into 4 × 16-bit bands; any pair
+    within Hamming ≤ 3 shares ≥1 exact band (pigeonhole). For larger radii
+    the band prefilter is a recall-bounded candidate generator — standard
+    practice (Manku et al., WWW'07 model) — then exact popcount verifies.
+    """
+    fp = with_simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "b -> named_struct('band', b, 'key', (simhash >> (b * 16)) & 65535))"
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("doc_a"),
+            F.col("r.id").alias("doc_b"),
+            F.col("l.simhash").alias("h_a"),
+            F.col("r.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.expr("bit_count(h_a ^ h_b)")
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

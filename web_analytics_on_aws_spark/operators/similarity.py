@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension surface (BASELINE.json north star): approximate-nearest-neighbor
+search designed for 100 TB corpora.
+
+- ``brute_force_topk`` — the exactness baseline: broadcast the (small) query
+  set against the corpus scan, score with JVM HOF arithmetic, rank per
+  query. One corpus pass regardless of query count; no corpus shuffle.
+- ``lsh_bucket_topk`` — the scale path: random-hyperplane (sign) LSH.
+  Hyperplane j's coefficient for dimension d is a deterministic pseudo-random
+  ±1 derived from murmur3(d, j) — reproducible across runs/executors with no
+  stored model. Corpus is bucketed once (cost O(n × planes)); each query
+  probes only its bucket (and optionally multi-probe neighbors), turning
+  top-k from O(n) per query into O(n / 2^planes) expected.
+- ``cosine_pairs`` — embedding near-duplicate detection: all pairs with
+  cosine ≥ threshold (exact, for oracle parity; the LSH variant prunes the
+  same computation at scale).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from web_analytics_on_aws_spark.functions import as_double_vec, cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``queries`` must be small (broadcast): (query_id, qv: array<float|double>).
+    Output: (query_id, vec_id, sim, rank), rank 1..k, ties broken by vec_id.
+    """
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_similarity(as_double_vec(vec_col), as_double_vec("qv")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _bucket_expr(vec_col: str, planes: int) -> F.Column:
+    """Sign-LSH bucket id: bit j = (Σ_d v[d] · sign(hash(d, j))) > 0.
+
+    sign(hash(d, j)) is a deterministic ±1 per (dimension, plane) — a
+    materialization-free random hyperplane shared by every executor.
+    """
+    return F.expr(
+        f"""aggregate(
+              transform(sequence(0, {planes - 1}),
+                j -> IF(aggregate(
+                         zip_with({vec_col},
+                                  sequence(0, size({vec_col}) - 1),
+                                  (v, d) -> v * IF((hash(d, j) & 1) = 1, 1.0D, -1.0D)),
+                         0.0D, (acc, x) -> acc + x) > 0D,
+                       shiftleft(1L, j), 0L)),
+              0L, (acc, v) -> acc + v)"""
+    )
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str = "embedding", planes: int = 8, out: str = "bucket"
+) -> DataFrame:
+    return df.withColumn(out, _bucket_expr(vec_col, planes))
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH bucket.
+
+    Recall/cost dial = ``planes`` (8 planes → 256 buckets → ~n/256 candidates
+    per query). At 100 TB, bucket the corpus once and store it bucketed
+    (partitionBy(bucket)) so each query touches one partition.
+    """
+    c = with_lsh_bucket(corpus, vec_col, planes, "bucket")
+    q = with_lsh_bucket(queries, "qv", planes, "bucket")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_similarity(as_double_vec(vec_col), as_double_vec("qv")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (embedding near-dup detection).
+
+    O(n²) scoring — correct-by-construction oracle twin. For production
+    scale, pre-bucket with ``with_lsh_bucket`` and join on bucket first: the
+    LSH variant computes the *same* pair scores on a pruned candidate set.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), as_double_vec(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), as_double_vec(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

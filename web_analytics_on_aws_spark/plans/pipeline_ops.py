@@ -1,0 +1,223 @@
+"""Query registrations for the algorithmic pipeline operators
+(operators/dedup.py, operators/similarity.py, operators/text.py,
+operators/multimodal.py).
+
+Oracle-checked where ANSI-SQL can express the exact computation; the
+LSH/MinHash/SimHash candidates and the Pandas-UDF media decode register as
+rows-only-checked queries (their correctness is pinned by planted-duplicate
+pytest oracles instead — tests/test_dedup_similarity.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from web_analytics_on_aws_spark.operators import dedup, multimodal, similarity, text
+from web_analytics_on_aws_spark.plans import query
+from web_analytics_on_aws_spark.sources.tables import load_table
+
+# Shared SQL fragments for the DuckDB oracles ------------------------------
+
+_TOKS = "string_split_regex(trim(text), ' +')"
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS c,
+             len(a.sh) AS la, len(b.sh) AS lb
+      FROM t a, t b WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(CAST(c AS DOUBLE) / (la + lb - c), 6) AS jaccard
+    FROM p WHERE CAST(c AS DOUBLE) / (la + lb - c) >= 0.5
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs via inverted-index join
+    (no cross join — candidates only where shingles collide)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+
+
+@query("dedup_minhash_lsh")
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128)+LSH(32×4) candidate pairs with estimated Jaccard ≥ 0.5.
+    Approximate by design → rows-only driver check; recall vs the exact
+    n-gram pairs is asserted in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@query("dedup_simhash_pairs")
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup candidates (banded prefilter + exact Hamming ≤ 3,
+    the Manku-style web-dedup radius). Rows-only driver check; pinned by
+    planted-duplicate pytest oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs ≥ 0.4)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, threshold=0.4)
+
+
+def _ann_queries(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+
+@query(
+    "ann_brute_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id IN ({', '.join(map(str, ANN_QUERY_IDS))})),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 5 query vectors — one corpus pass, broadcast
+    queries, per-query rank window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, _ann_queries(emb), k=5)
+
+
+@query("ann_lsh_topk")
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-5 (the 100 TB path: each query
+    scores ~n/2^planes candidates). Rows-only check; recall vs brute force
+    asserted in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_topk(emb, _ann_queries(emb), k=5, planes=4)
+
+
+def _pred_lang_sql() -> str:
+    counts = {
+        lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(m) for m in ms)})))"
+        for lang, ms in text.LANG_MARKERS
+    }
+    exprs = ", ".join(f"{c} AS c_{lang}" for lang, c in counts.items())
+    langs = [lang for lang, _ in text.LANG_MARKERS]
+    best = f"greatest({', '.join('c_' + lang for lang in langs)})"
+    case = " ".join(f"WHEN c_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH c AS (
+      SELECT lang, {exprs}
+      FROM (SELECT lang, {_TOKS} AS toks FROM documents)
+    ), scored AS (
+      SELECT lang, {best} AS best, * FROM c
+    )
+    SELECT lang, CASE WHEN best <= 0 THEN 'und' {case} ELSE 'und' END AS pred_lang,
+           COUNT(*) AS cnt
+    FROM scored GROUP BY 1, 2
+    """
+
+
+@query("text_lang_confusion", oracle=_pred_lang_sql())
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic evaluated as a (true lang, predicted) confusion
+    matrix over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("pred_lang", text.lang_id("text"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    SELECT doc_id,
+           ROUND((
+             least(len(string_split_regex(trim(text), ' +')) / 100.0, 1.0)
+             + CASE WHEN CAST(length(text) AS DOUBLE)
+                         / greatest(len(string_split_regex(trim(text), ' +')), 1)
+                         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END
+             + CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1)
+           ) / 3.0, 6) AS quality
+    FROM documents
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score (length adequacy + word-length sanity +
+    alphabetic purity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column + typed metadata (the storage shape for media
+    payloads): byte length + content digest, all JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_blob = multimodal.attach_blob(docs)
+    return with_blob.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.content_md5").alias("content_md5"),
+    )
+
+
+@query("multimodal_fake_decode")
+def fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas media decode (deterministic fake — real
+    decode stubbed, see operators/multimodal.py). Rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_media(multimodal.attach_blob(docs), fake=True)
+
+
+@query(
+    "multimodal_frame_offsets",
+    oracle="""
+    SELECT doc_id, f.i AS frame_idx,
+           (f.i * octet_length(encode(text))) // 4 AS offset
+    FROM documents, (SELECT unnest(range(0, 4)) AS i) f
+    """,
+)
+def frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling offset plumbing (video/audio segmentation shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.frame_sample(multimodal.attach_blob(docs), n_frames=4)
+    return frames.select("doc_id", "frame_idx", "offset")
