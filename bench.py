@@ -48,15 +48,19 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: materialize one count per table so file listing + JVM JIT +
-    # page cache are shared context, as on a long-lived cluster.
+    # Warmup: one count per table (file listing + page cache) plus one full
+    # pass over the headline queries (JIT, codegen, broadcast machinery) —
+    # the steady-state of a long-lived cluster, which is what we measure.
     from web_analytics_on_aws_spark.sources.tables import TABLE_NAMES, load_table
 
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).count()
 
-    timings: dict[str, float] = {}
     names = [n for n in HEADLINE if n in plans.QUERIES]
+    for name in names:
+        plans.QUERIES[name](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         df = plans.QUERIES[name](spark, sf_dir)

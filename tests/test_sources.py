@@ -1,0 +1,104 @@
+"""Sources parity: synthetic generator (S13), HTTP ingest shim (S1-S4),
+catalog listing ops (S3), operation tagging (T4) — end-to-end through the
+streaming ingest where applicable."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import urllib.request
+
+from web_analytics_on_aws_spark.operators.upsert import tag_operation
+from web_analytics_on_aws_spark.operators.validate import validate, validity_metrics
+from web_analytics_on_aws_spark.sources.generator import fake_events, write_landing_batch
+from web_analytics_on_aws_spark.sources.http_shim import IngestShim
+from web_analytics_on_aws_spark.streaming.ingest_stream import run_ingest_once
+
+
+def test_generator_deterministic_and_valid(spark):
+    a = [r["value"] for r in fake_events(spark, 50, seed=47).collect()]
+    b = [r["value"] for r in fake_events(spark, 50, seed=47).collect()]
+    assert a == b  # deterministic given (n, seed)
+    c = [r["value"] for r in fake_events(spark, 50, seed=48).collect()]
+    assert a != c
+
+    recs = [json.loads(v) for v in a]
+    assert all(set(r) == {
+        "userId", "sessionId", "referrer", "userAgent", "ip", "hostname",
+        "os", "timestamp", "uri",
+    } for r in recs)
+    m = validity_metrics(validate(fake_events(spark, 50), dialect="parquet")).first()
+    assert (m["total"], m["valid"], m["invalid"]) == (50, 50, 0)
+
+
+def test_generator_iceberg_dialect_and_invalids(spark):
+    df = fake_events(spark, 30, dialect="iceberg", invalid_every=10)
+    recs = [json.loads(r["value"]) for r in df.collect()]
+    assert all("event" in r and "user_id" in r for r in recs)
+    m = validity_metrics(validate(df, dialect="iceberg")).first()
+    assert (m["total"], m["valid"], m["invalid"]) == (30, 27, 3)
+
+
+def test_http_shim_roundtrip_to_streaming_ingest(spark, tmp_path):
+    """The full reference ingest lifecycle (SURVEY §3.1) in one box:
+    HTTP PUT records → landing dir → streaming validate/split → raw zone."""
+    tmp = str(tmp_path)
+    shim = IngestShim(f"{tmp}/streams").start()
+    try:
+        base = shim.url
+        rec = {
+            "userId": "u1", "sessionId": "s" * 24, "referrer": None,
+            "userAgent": "UA", "ip": "10.0.0.1", "hostname": "h.example",
+            "os": "Linux", "timestamp": "2026-03-02T10:00:00Z", "uri": "/p/1",
+        }
+        # S1 single record
+        req = urllib.request.Request(
+            f"{base}/streams/weblogs/record",
+            data=json.dumps({"data": json.dumps(rec), "partition-key": "u1"}).encode(),
+            method="PUT",
+        )
+        assert json.load(urllib.request.urlopen(req))["ShardId"] == "shardId-0"
+        # S2 batch
+        batch = {
+            "records": [
+                {"data": json.dumps({**rec, "userId": f"u{i}"}), "partition-key": f"u{i}"}
+                for i in range(2, 7)
+            ]
+        }
+        req = urllib.request.Request(
+            f"{base}/streams/weblogs/records", data=json.dumps(batch).encode(), method="PUT"
+        )
+        assert json.load(urllib.request.urlopen(req))["FailedRecordCount"] == 0
+        # S3 catalog ops
+        streams = json.load(urllib.request.urlopen(f"{base}/streams"))
+        assert streams == {"StreamNames": ["weblogs"]}
+        desc = json.load(urllib.request.urlopen(f"{base}/streams/weblogs"))
+        assert desc["StreamDescription"]["StreamStatus"] == "ACTIVE"
+
+        # landing → validated raw zone (S6/T1-T3)
+        run_ingest_once(
+            spark, f"{tmp}/streams/weblogs", f"{tmp}/raw", f"{tmp}/error",
+            f"{tmp}/ckpt", dialect="parquet",
+        )
+        assert spark.read.text(f"{tmp}/raw").count() == 6
+    finally:
+        shim.stop()
+
+
+def test_write_landing_batch_and_ingest(spark, tmp_path):
+    tmp = str(tmp_path)
+    write_landing_batch(
+        spark, f"{tmp}/landing", 25,
+        base_hour=dt.datetime(2026, 1, 1, 12), invalid_every=5,
+    )
+    run_ingest_once(
+        spark, f"{tmp}/landing", f"{tmp}/raw", f"{tmp}/error", f"{tmp}/ckpt",
+    )
+    assert spark.read.text(f"{tmp}/raw").count() == 20
+    assert spark.read.text(f"{tmp}/error").count() == 5
+
+
+def test_tag_operation_mode_switch(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    assert tag_operation(df, ["user_id", "timestamp"]).first()["operation"] == "update"
+    assert tag_operation(df, None).first()["operation"] == "insert"

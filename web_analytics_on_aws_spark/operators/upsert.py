@@ -34,6 +34,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 DEFAULT_UNIQUE_KEYS = ["user_id", "timestamp"]
 
 
+def tag_operation(batch: DataFrame, unique_keys: list[str] | None) -> DataFrame:
+    """T4 — the insert-vs-upsert mode switch: with unique keys configured
+    every record is tagged ``operation='update'``, else ``'insert'``
+    (firehose_to_iceberg_transformer.py:25-27,114-115). The tag selects the
+    downstream write path: merge_parquet / MERGE INTO vs plain append."""
+    op = "update" if unique_keys else "insert"
+    return batch.withColumn("operation", F.lit(op))
+
+
 def dedup_batch(
     batch: DataFrame,
     keys: list[str] = DEFAULT_UNIQUE_KEYS,

@@ -46,4 +46,5 @@ def load_all() -> None:
         pipeline_ops,
         tpch,
         weblog,
+        windows,
     )

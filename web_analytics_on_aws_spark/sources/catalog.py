@@ -92,6 +92,18 @@ def show_partitions(spark: SparkSession, db: str, table: str) -> DataFrame:
     return spark.sql(f"SHOW PARTITIONS {db}.{table}")
 
 
+def list_tables(spark: SparkSession, db: str) -> DataFrame:
+    """S3 — `GET /streams` ≅ ListStreams → catalog table listing
+    (apigw.py:62-99)."""
+    return spark.sql(f"SHOW TABLES IN {db}")
+
+
+def describe_table(spark: SparkSession, db: str, table: str) -> DataFrame:
+    """S3 — `GET /streams/{name}` ≅ DescribeStream → DESCRIBE TABLE
+    (apigw.py:101-139)."""
+    return spark.sql(f"DESCRIBE TABLE {db}.{table}")
+
+
 def count_star(spark: SparkSession, db: str, table: str) -> int:
     """A1 — the canonical smoke query (athena_named_query.py:53,100)."""
     return spark.sql(f"SELECT COUNT(*) AS cnt FROM {db}.{table}").first()["cnt"]
