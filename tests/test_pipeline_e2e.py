@@ -187,3 +187,37 @@ def test_upsert_last_write_wins(spark, tmp_path):
     out = {r["user_id"]: r["uri"] for r in spark.read.parquet(table).collect()}
     assert out == {"u1": "/new-b", "u2": "/keep", "u3": "/ins"}
     assert spark.read.parquet(table).count() == 3
+
+
+def test_upsert_event_partitioned_iceberg_layout(spark, tmp_path):
+    """S12/T4: the iceberg-flavor table is PARTITIONED BY (event)
+    (web-analytics-iceberg/README.md:181); upserts land in per-event
+    directories and only touched partitions change."""
+    import os
+
+    tmp = str(tmp_path)
+    table = f"{tmp}/web_log_iceberg"
+    schema = "user_id string, timestamp string, event string, uri string, seq long"
+    b1 = spark.createDataFrame(
+        [
+            ("u1", "2026-03-02T10:00:00Z", "view", "/a", 1),
+            ("u2", "2026-03-02T10:00:00Z", "cart", "/b", 2),
+        ],
+        schema,
+    )
+    merge_parquet(
+        spark, b1, table, keys=["user_id", "timestamp"],
+        partition_by=["event"], order_col="seq",
+    )
+    assert sorted(d for d in os.listdir(table) if d.startswith("event=")) == [
+        "event=cart", "event=view",
+    ]
+    b2 = spark.createDataFrame(
+        [("u1", "2026-03-02T10:00:00Z", "purchase", "/a2", 3)], schema
+    )
+    merge_parquet(
+        spark, b2, table, keys=["user_id", "timestamp"],
+        partition_by=["event"], order_col="seq",
+    )
+    rows = {(r["user_id"], r["event"]) for r in spark.read.parquet(table).collect()}
+    assert rows == {("u1", "purchase"), ("u2", "cart")}

@@ -273,6 +273,70 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q6_revenue_forecast",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter-aggregate: every predicate reaches the parquet scan
+    (PushedFilters), zero joins, single-row result — the plan where scan
+    throughput is the whole story at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "scalar_subquery_above_avg_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS cnt,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    GROUP BY c_mktsegment
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate — Catalyst plans the inner aggregate
+    once and broadcasts the scalar; avg is engine-internal only (a filter
+    bound, never emitted) so cross-engine double averaging is safe here."""
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("__cust_scalar")
+    return (
+        spark.sql(
+            """SELECT c_mktsegment, c_acctbal FROM __cust_scalar
+               WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM __cust_scalar)"""
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("cnt"),
+            dec_sum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@query(
     "broadcast_part_brand_stats",
     oracle="""
     SELECT p_brand,
