@@ -56,11 +56,13 @@ def brute_force_topk(
     )
 
 
-def _bucket_expr(vec_col: str, planes: int) -> F.Column:
-    """Sign-LSH bucket id: bit j = (Σ_d v[d] · sign(hash(d, j))) > 0.
+def _bucket_expr(vec_col: str, planes: int, band: int = 0) -> F.Column:
+    """Sign-LSH bucket id for one band: bit j = sign of the projection onto
+    pseudo-random hyperplane (band, j).
 
-    sign(hash(d, j)) is a deterministic ±1 per (dimension, plane) — a
-    materialization-free random hyperplane shared by every executor.
+    sign(hash(d, band*1024 + j)) is a deterministic ±1 per (dimension,
+    plane) — a materialization-free random hyperplane shared by every
+    executor; distinct bands use disjoint plane seeds.
     """
     return F.expr(
         f"""aggregate(
@@ -68,11 +70,39 @@ def _bucket_expr(vec_col: str, planes: int) -> F.Column:
                 j -> IF(aggregate(
                          zip_with({vec_col},
                                   sequence(0, size({vec_col}) - 1),
-                                  (v, d) -> v * IF((hash(d, j) & 1) = 1, 1.0D, -1.0D)),
+                                  (v, d) -> v * IF((hash(d, {band} * 1024 + j) & 1) = 1,
+                                                   1.0D, -1.0D)),
                          0.0D, (acc, x) -> acc + x) > 0D,
                        shiftleft(1L, j), 0L)),
               0L, (acc, v) -> acc + v)"""
     )
+
+
+def with_lsh_bands(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bands: int = 8,
+    planes: int = 4,
+    out: str = "band_key",
+) -> DataFrame:
+    """OR-amplified sign-LSH: one bucket key per band (AND over ``planes``
+    bits within a band, OR across ``bands`` tables). A pair/probe is a
+    candidate if it collides in ANY band — recall for similarity s is
+    1-(1-p^planes)^bands with p = 1 - θ(s)/π, the same S-curve construction
+    as MinHash banding. Output: one row per (input row × band) with a
+    struct ``(band, key)`` column ``out``."""
+    banded = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    _bucket_expr(vec_col, planes, band=b).alias("key"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+    return df.withColumn(out, banded)
 
 
 def with_lsh_bucket(
@@ -85,22 +115,24 @@ def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    planes: int = 8,
+    planes: int = 4,
+    bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's LSH bucket.
-
-    Recall/cost dial = ``planes`` (8 planes → 256 buckets → ~n/256 candidates
-    per query). At 100 TB, bucket the corpus once and store it bucketed
-    (partitionBy(bucket)) so each query touches one partition.
+    """Approximate top-k: score only corpus vectors colliding with the query
+    in ≥1 LSH band (OR-amplified — the recall dial is ``bands``, the cost
+    dial is ``planes``). At 100 TB, band the corpus once and store it
+    bucketed (partitionBy(band, key)) so each query probes ``bands``
+    partitions instead of scanning the corpus.
     """
-    c = with_lsh_bucket(corpus, vec_col, planes, "bucket")
-    q = with_lsh_bucket(queries, "qv", planes, "bucket")
+    c = with_lsh_bands(corpus, vec_col, bands, planes, "band_key")
+    q = with_lsh_bands(queries, "qv", bands, planes, "band_key")
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), "band_key")
         .filter(F.col(id_col) != F.col(query_id_col))
+        .dropDuplicates([query_id_col, id_col])
         .select(
             query_id_col,
             id_col,
@@ -113,6 +145,40 @@ def lsh_bucket_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    bands: int = 8,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-pruned embedding near-dup pairs: candidates collide in ≥1 band,
+    then the exact cosine filter runs on the pruned set — same scores as
+    ``cosine_pairs`` on every surviving pair, at O(Σ bucket²) candidate
+    cost instead of O(n²)."""
+    b = with_lsh_bands(df, vec_col, bands, planes, "band_key")
+    left = b.select(
+        "band_key", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    right = b.select(
+        "band_key", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        left.join(right, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(as_double_vec("va"), as_double_vec("vb")), 6).alias(
+                "sim"
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
     )
 
 

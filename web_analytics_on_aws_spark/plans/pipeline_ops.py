@@ -85,6 +85,17 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(emb, threshold=0.4)
 
 
+@query("embedding_near_dup_lsh")
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: OR-amplified sign-LSH (8 bands ×
+    4 planes) prunes candidates, exact cosine scores the survivors —
+    identical scores to the exact query on every emitted pair, candidate
+    cost O(Σ bucket²) ≪ O(n²). Rows-only driver check (recall vs the exact
+    pairs asserted in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_cosine_pairs(emb, threshold=0.4, bands=8, planes=4)
+
+
 def _ann_queries(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")

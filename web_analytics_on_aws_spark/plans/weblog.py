@@ -222,6 +222,38 @@ def top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weblog_top_users_salted",
+    oracle="""
+    SELECT user_id, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    ORDER BY cnt DESC, user_id LIMIT 10
+    """,
+)
+def top_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof twin of weblog_top_users: two-phase salted aggregation
+    (operators/skew.py). Algebraic aggregates make it EXACTLY equivalent —
+    same oracle SQL as the unsalted query — while hot keys fan out over 16
+    reducers in phase 1."""
+    from web_analytics_on_aws_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["user_id"],
+        {
+            "cnt": (F.count("*"), F.sum("cnt")),
+            "total_value": (
+                F.sum(F.col("value").cast("decimal(18,2)")),
+                F.sum("total_value").cast("double"),
+            ),
+        },
+        salt_buckets=16,
+    )
+    return out.orderBy(F.desc("cnt"), F.asc("user_id")).limit(10)
+
+
+@query(
     "weblog_daily_uniques",
     oracle="""
     SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS uniq_users,

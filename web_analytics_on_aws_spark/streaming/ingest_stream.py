@@ -56,13 +56,45 @@ def start_ingest(
     trigger_seconds: int | None = 60,
     available_now: bool = False,
     max_files_per_trigger: int | None = None,
+    metrics_path: str | None = None,
 ) -> StreamingQuery:
-    """Start the validated ingest stream (landing → raw/error zones)."""
+    """Start the validated ingest stream (landing → raw/error zones).
+
+    ``metrics_path``: optional dir receiving one JSON line per micro-batch
+    with the Counter(total, valid, invalid) tally — parity with the
+    validator Lambda's per-batch log line (A2, schema_validator.py:145).
+    """
     lines = read_landing_stream(spark, landing_dir, max_files_per_trigger)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         validated = validate(batch_df, value_col="value", dialect=dialect)
-        write_split(validated, raw_path, error_path)
+        validated.persist()
+        try:
+            write_split(validated, raw_path, error_path)
+            if metrics_path:
+                import json
+                import os
+
+                from web_analytics_on_aws_spark.operators.validate import (
+                    validity_metrics,
+                )
+
+                m = validity_metrics(validated).first()
+                os.makedirs(metrics_path, exist_ok=True)
+                with open(os.path.join(metrics_path, f"batch-{batch_id}.json"), "w") as f:
+                    f.write(
+                        json.dumps(
+                            {
+                                "batch_id": batch_id,
+                                "total": m["total"],
+                                "valid": m["valid"],
+                                "invalid": m["invalid"],
+                            }
+                        )
+                        + "\n"
+                    )
+        finally:
+            validated.unpersist()
 
     writer = lines.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -81,6 +113,7 @@ def run_ingest_once(
     error_path: str,
     checkpoint_dir: str,
     dialect: str = "parquet",
+    metrics_path: str | None = None,
 ) -> None:
     """Drain everything currently in the landing zone and stop — the
     deterministic test/replay entry point (Trigger.AvailableNow)."""
@@ -92,5 +125,24 @@ def run_ingest_once(
         checkpoint_dir,
         dialect=dialect,
         available_now=True,
+        metrics_path=metrics_path,
     )
     q.awaitTermination()
+
+
+def replay_errors(
+    spark: SparkSession,
+    error_path: str,
+    raw_path: str,
+    new_error_path: str,
+    dialect: str = "parquet",
+) -> None:
+    """Re-validate the quarantine zone (e.g. after widening the schema or
+    fixing the producer) and re-route: recovered records land in the raw
+    zone under a fresh arrival hour, still-invalid ones re-quarantine.
+    The replay equivalent of Firehose error-prefix reprocessing (S8)."""
+    from web_analytics_on_aws_spark.operators.validate import validate as _validate
+    from web_analytics_on_aws_spark.operators.ingest import write_split as _split
+
+    lines = spark.read.text(error_path).select("value")
+    _split(_validate(lines, dialect=dialect), raw_path, new_error_path)
