@@ -1,0 +1,87 @@
+"""Deterministic sampling / splitting / packing operators for training-data
+pipelines (extension surface, BASELINE.json north star).
+
+Everything here must be **reproducible across runs, engines, and cluster
+layouts** — a training-data pipeline that samples differently on re-run
+poisons experiment comparisons. So no ``rand()``: selection is a pure
+function of the row key via a Knuth multiplicative hash —
+``(key * 2654435761) mod 2^32`` — exact BIGINT arithmetic any engine
+reproduces bit-for-bit (and therefore DuckDB-oracle-checkable).
+
+Scale notes: sampling/splitting are stateless row-local predicates (pure
+map, no shuffle). Sequence packing needs a global order — expressed with a
+running-sum window; at 100 TB run it per range-partitioned bucket (pack ids
+prefixed by bucket) rather than one global window.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+KNUTH = 2654435761
+MOD = 2**32
+
+
+def hash_fraction(key: Column | str) -> Column:
+    """Uniform-ish [0,1) value derived from an integer key — deterministic,
+    engine-portable (exact integer arithmetic)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (c.cast("bigint") * F.lit(KNUTH) % F.lit(MOD)) / F.lit(float(MOD))
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key: str = "doc_id"
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen by key hash (stable under re-runs,
+    repartitioning, and engine choice)."""
+    return df.filter(hash_fraction(key) < fraction)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+) -> DataFrame:
+    """Stamp a ``split`` column: disjoint, exhaustive, deterministic."""
+    h = hash_fraction(key)
+    return df.withColumn(
+        "split",
+        F.when(h < test_fraction, "test")
+        .when(h < test_fraction + val_fraction, "val")
+        .otherwise("train"),
+    )
+
+
+def bpe_style_token_count(text_col: Column | str) -> Column:
+    """BPE-ish subword proxy: count maximal runs of letters, digits, or
+    single punctuation marks — the pre-tokenization regex shape GPT-style
+    BPE uses before merges. JVM regex, identical semantics in RE2."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    context_len: int = 2048,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to training context windows ("packs") by running
+    token count in a deterministic order: pack_id = cumulative_tokens DIV
+    context_len. Greedy sequential packing — the standard pretraining
+    batch-construction shape — as a window expression.
+
+    Note: the running sum is a global-order window; for 100 TB, range-
+    partition on ``order_col`` first and pack per partition (pack ids get a
+    partition prefix), which this operator supports by being applied
+    per-bucket.
+    """
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        df.withColumn("__cum", F.sum(tokens_col).over(w))
+        # a doc belongs to the pack its FIRST token lands in
+        .withColumn("pack_id", F.expr(f"(__cum - {tokens_col}) DIV {context_len}"))
+        .drop("__cum")
+    )

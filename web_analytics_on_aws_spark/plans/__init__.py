@@ -44,6 +44,7 @@ def load_all() -> None:
     from web_analytics_on_aws_spark.plans import (  # noqa: F401
         pipeline,
         pipeline_ops,
+        sampling_plans,
         tpch,
         weblog,
         windows,

@@ -1,0 +1,110 @@
+"""Query registrations for the deterministic sampling / splitting / packing
+operators (operators/sampling.py) — all oracle-checked: the Knuth-hash
+selection is exact integer arithmetic both engines reproduce bit-for-bit."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from web_analytics_on_aws_spark.functions import dec_sum
+from web_analytics_on_aws_spark.operators.sampling import (
+    KNUTH,
+    MOD,
+    bpe_style_token_count,
+    deterministic_sample,
+    pack_sequences,
+    train_val_test_split,
+)
+from web_analytics_on_aws_spark.plans import query
+from web_analytics_on_aws_spark.sources.tables import load_table
+
+_HASH_SQL = f"((doc_id * {KNUTH}) % {MOD}) / {float(MOD)}"
+
+
+@query(
+    "pipeline_sample_20pct",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_HASH_SQL} < 0.2
+    """,
+)
+def sample_20pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% corpus sample — stable under re-runs/repartitioning
+    (pure row-local predicate, no shuffle, no rand())."""
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, 0.2).select("doc_id", "lang", "source")
+
+
+@query(
+    "pipeline_train_val_test_counts",
+    oracle=f"""
+    SELECT CASE WHEN {_HASH_SQL} < 0.1 THEN 'test'
+                WHEN {_HASH_SQL} < 0.2 THEN 'val'
+                ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint, exhaustive, deterministic train/val/test assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(docs, val_fraction=0.1, test_fraction=0.1)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "pipeline_bpe_token_counts",
+    oracle=r"""
+    SELECT lang,
+           SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+             AS total_bpe_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization counts (letter runs / digit runs / single
+    punctuation) — the second tokenizer the survey mandates beyond
+    whitespace."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(bpe_style_token_count("text").cast("bigint")).alias("total_bpe_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split_regex(trim(text), ' +')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT (cum - n_tokens) // 2048 AS pack_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens
+    FROM packed GROUP BY 1
+    """,
+)
+def pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 2048-token context windows (running-sum
+    window over doc order), summarized per pack."""
+    docs = load_table(spark, sf_dir, "documents")
+    from web_analytics_on_aws_spark.functions import token_count
+
+    toks = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    packed = pack_sequences(toks, "n_tokens", context_len=2048)
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
