@@ -70,7 +70,12 @@ def merge_parquet(
     order_col: str | None = None,
 ) -> None:
     """MERGE a batch into a plain-parquet table path (upsert semantics)."""
-    batch = dedup_batch(batch, keys, order_col).cache()
+    batch = dedup_batch(batch, keys, order_col)
+    if order_col is not None:
+        # arrival-order metadata served its last-write-wins purpose; the
+        # stored table keeps only data columns
+        batch = batch.drop(order_col)
+    batch = batch.cache()
     try:
         if _has_parquet(table_path):
             existing = spark.read.parquet(table_path)

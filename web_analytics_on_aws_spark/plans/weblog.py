@@ -285,6 +285,34 @@ def daily_uniques_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weblog_value_moments",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_value,
+           (CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            - (CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               * CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) / COUNT(*))
+             / (COUNT(*) - 1) AS var_value
+    FROM events GROUP BY event_type
+    """,
+)
+def value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/sample-variance computed from exact decimal Σx and Σx² — the
+    portable alternative to var_samp (whose float accumulation is summation-
+    order-dependent and therefore not hash-comparable across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.col("value").cast("decimal(18,2)")
+    sum_x = F.sum(d).cast("double")
+    sum_x2 = F.sum(d * d).cast("double")
+    n = F.count("*")
+    return ev.groupBy("event_type").agg(
+        n.alias("cnt"),
+        (sum_x / n).alias("mean_value"),
+        ((sum_x2 - (sum_x * sum_x) / n) / (n - F.lit(1))).alias("var_value"),
+    )
+
+
+@query(
     "weblog_props_extract",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
