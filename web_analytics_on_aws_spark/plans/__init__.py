@@ -46,6 +46,7 @@ def load_all() -> None:
         pipeline_ops,
         sampling_plans,
         tpch,
+        tpch2,
         weblog,
         windows,
     )
