@@ -42,6 +42,7 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every plan module so registrations run."""
     from web_analytics_on_aws_spark.plans import (  # noqa: F401
+        analytics,
         pipeline,
         pipeline_ops,
         sampling_plans,

@@ -1,0 +1,216 @@
+"""Product-analytics extension plans over the ``events`` stream table.
+
+The reference's declared workload stops at COUNT(*) (SURVEY §2.4) but its
+*purpose* is web analytics — these are the queries its users run on the same
+data via Athena (funnels, retention, activity heatmaps, distributions). Each
+is a single-pass declarative plan: one shuffle on the grouping key, partial
+aggregation map-side, no driver-side iteration.
+
+Scale notes (100 TB): funnel and retention both reduce events → per-user
+rows first (the 150-user test cardinality is billions in production — still
+a plain hash aggregate keyed by user_id, AQE-coalesced); the pivot emits a
+fixed 5-column conditional aggregate (no wide-pivot explosion); the word
+explode is a generator → aggregate pipeline whose intermediate never
+materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from web_analytics_on_aws_spark.plans import query
+from web_analytics_on_aws_spark.sources.tables import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS total_users,
+      SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step1_view,
+      SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+               THEN 1 ELSE 0 END) AS step2_click,
+      SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                AND t_purchase > t_click
+               THEN 1 ELSE 0 END) AS step3_purchase
+    FROM per_user
+    """,
+)
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (first-occurrence ordering: first view →
+    later first click → later first purchase). One aggregate builds a
+    per-user step-timestamp row; a second counts survivors per step — no
+    self-joins, so the plan is two hash aggregates regardless of data size."""
+    ev = load_table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    as_cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return per_user.agg(
+        F.count("*").alias("total_users"),
+        as_cnt(s1).alias("step1_view"),
+        as_cnt(s2).alias("step2_click"),
+        as_cnt(s3).alias("step3_purchase"),
+    )
+
+
+@query(
+    "retention_daily_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_date,
+           CAST(date_diff('day', cohort_date, CAST(ts AS DATE)) AS INT)
+             AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY cohort_date, day_offset
+    """,
+)
+def retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: cohort = first-activity date, cell =
+    distinct users active N days later. The first-seen aggregate broadcasts
+    (|users| ≪ |events| after reduction; at true scale it shuffle-joins on
+    user_id, the same key as the aggregate — one co-partitioned exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_date")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_date"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+@query(
+    "events_daily_type_pivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+      SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+)
+def daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event-type matrix via ``pivot`` with an explicit value list —
+    explicit values keep the plan a single-pass conditional aggregate (no
+    extra distinct-values job, schema fixed at plan time)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves null (not 0) for absent combos — normalize like the CASE sums
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
+@query(
+    "events_dow_hour_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS INT) AS dow, CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+           COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS uniq_users
+    FROM events GROUP BY dow, hod
+    """,
+)
+def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap on ISO weekday (1=Mon..7=Sun; Spark's ``weekday`` is
+    0-based Monday, DuckDB's ``isodow`` 1-based — the +1 aligns them) ×
+    hour-of-day: 168 groups, pure map-side combine."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + F.lit(1)).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("user_id").alias("uniq_users"),
+        )
+    )
+
+
+@query(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.50) AS p50,
+           quantile_cont(value, 0.75) AS p75,
+           quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per event type (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``). Exact percentile sorts
+    within-group — fine for low-cardinality grouping; the streaming-scale
+    variant is ``weblog_daily_uniques_approx``-style approx_percentile."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.50).alias("p50"),
+        F.percentile("value", 0.75).alias("p75"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+
+
+@query(
+    "doc_word_explode_top50",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (
+      SELECT unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ) words
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 50
+    """,
+)
+def word_explode_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral word explode → top-50: generator (explode) feeding a hash
+    aggregate, deterministic (cnt, word) tiebreak. The explode multiplies
+    rows ~|tokens| but stays pipelined inside the stage — no materialized
+    blow-up; the aggregate output is |vocab|, tiny."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(50)
+    )
