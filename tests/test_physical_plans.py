@@ -78,3 +78,43 @@ def test_knn_broadcasts_query_vector_not_corpus(spark):
     plan = _explain(spark, "embedding_knn_q0")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q19_disjunction_keeps_broadcast_and_pushdown(spark):
+    """The 3-branch OR must not defeat scan pushdown entirely (IsNotNull +
+    the extracted per-side disjunction reach the scan) nor force a shuffle
+    join for the part dim."""
+    plan = _explain(spark, "tpch_q19_disjunctive_pred")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "PushedFilters: []" not in l]
+    assert len(pushed) >= 2  # both scans receive filters
+
+
+def test_q21_self_joins_semi_anti_no_cartesian(spark):
+    plan = _explain(spark, "tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_sort_no_quadratic_join(spark):
+    """The as-of plan must be window-shaped: no join operator at all on the
+    events path (the union+last() formulation), bounded exchanges."""
+    plan = _explain(spark, "asof_purchase_attribution")
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # one exchange for the window partitioning, one for the view pre-agg
+    # (formatted explain lists each node twice: tree + detail section)
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """The band join must plan as an equi join on (key, bucket) — never a
+    cartesian/pure-broadcast-nested-loop over the inequality."""
+    plan = _explain(spark, "range_views_before_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
