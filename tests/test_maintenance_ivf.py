@@ -1,0 +1,88 @@
+"""Clustering rewrite (layout maintenance) and IVF ANN correctness."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMOKE
+from web_analytics_on_aws_spark.operators.maintenance import (
+    cluster_rewrite,
+    clustering_overlap,
+    layout_stats,
+)
+from web_analytics_on_aws_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+from web_analytics_on_aws_spark.sources.tables import load_table
+
+
+def test_cluster_rewrite_disjoint_ranges_and_lossless(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = f"{tmp_path}/clustered"
+    cluster_rewrite(ev, out, cluster_by=["user_id", "ts"], num_files=4)
+
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    # same multiset of rows (clustering must not drop/dup anything)
+    assert (
+        back.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+    )
+
+    stats = layout_stats(spark, out, "user_id")
+    n_files = stats.count()
+    assert n_files >= 2  # actually split
+    # range-disjoint on the leading cluster key → min/max pruning works:
+    # a point query on user_id hits at most ~1 file (ties at boundaries may
+    # share a key, so allow boundary contact but no interior overlap)
+    rows = sorted(stats.collect(), key=lambda r: (r.min_val, r.max_val))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.min_val >= prev.max_val
+
+
+def test_clustering_overlap_metric(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events")
+    clustered = f"{tmp_path}/c"
+    unclustered = f"{tmp_path}/u"
+    cluster_rewrite(ev, clustered, cluster_by=["user_id"], num_files=4)
+    ev.repartition(4).write.parquet(unclustered)  # hash layout: ranges overlap
+
+    good = clustering_overlap(layout_stats(spark, clustered, "user_id"))
+    bad = clustering_overlap(layout_stats(spark, unclustered, "user_id"))
+    assert good <= 1  # boundary contact at most
+    assert bad >= 2  # hash-partitioned files all span the key range
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    brute = {
+        (r.query_id, r.rank): (r.vec_id, r.sim)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.rank): (r.vec_id, r.sim)
+        for r in ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=8).collect()
+    }
+    assert brute == full
+
+
+def test_ivf_partial_probe_scores_consistent_and_self_found(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    brute = {
+        (r.query_id, r.vec_id): r.sim
+        for r in brute_force_topk(emb, queries, k=100).collect()
+    }
+    part = ivf_topk(emb, queries, k=5, num_centroids=8, nprobe=2).collect()
+    assert len(part) > 0
+    for r in part:
+        # every reported score equals the exact score for that pair
+        if (r.query_id, r.vec_id) in brute:
+            assert brute[(r.query_id, r.vec_id)] == r.sim

@@ -205,3 +205,102 @@ def cosine_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def deterministic_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse IVF centroids: the ``num_centroids`` lowest-id corpus vectors.
+
+    Deterministic and training-free (the point here is the *index structure*;
+    a production deployment would refine these with k-means|| from MLlib and
+    persist them — the assignment/probe machinery below is unchanged)."""
+    return (
+        corpus.orderBy(F.col(id_col))
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            as_double_vec(vec_col).alias("cv"),
+        )
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine, ties
+    to the higher centroid_id via lexicographic struct max).
+
+    Plan shape: broadcast the centroid table, expand each row × |centroids|
+    inside the stage, reduce with a partial-aggregatable max_by — the only
+    shuffle is the final |corpus| aggregation on the vector id. At 100 TB
+    the result is written ``partitionBy(centroid_id)`` once, so probes read
+    ``nprobe`` partitions instead of the corpus."""
+    scored = corpus.join(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.struct(
+            cosine_similarity(as_double_vec(vec_col), F.col("cv")).alias("sim"),
+            F.col("centroid_id"),
+        ).alias("sc"),
+    )
+    return (
+        scored.groupBy(id_col, vec_col)
+        .agg(F.max("sc").alias("best"))
+        .select(id_col, vec_col, F.col("best.centroid_id").alias("centroid_id"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``nprobe`` clusters whose
+    centroids are nearest each query, brute-force within. With
+    ``nprobe == num_centroids`` this is exactly ``brute_force_topk``;
+    smaller nprobe trades recall for a ~num_centroids/nprobe scan reduction.
+    Output: (query_id, vec_id, sim, rank) like the other top-k operators."""
+    cents = deterministic_centroids(corpus, num_centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+
+    qscored = queries.join(F.broadcast(cents)).select(
+        query_id_col,
+        "qv",
+        F.col("centroid_id"),
+        cosine_similarity(as_double_vec("qv"), F.col("cv")).alias("csim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
+    probes = (
+        qscored.withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id_col, "qv", "centroid_id")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                cosine_similarity(as_double_vec(vec_col), as_double_vec("qv")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -136,6 +136,18 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_topk(emb, _ann_queries(emb), k=5, planes=4)
 
 
+@query("ann_ivf_topk")
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer approximate top-5: assign corpus to 16 clusters
+    once, probe the 4 nearest per query (~4× scan reduction here; the dial
+    goes to num_centroids/nprobe at corpus scale). Rows-only check;
+    exactness at nprobe=num_centroids asserted in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, _ann_queries(emb), k=5, num_centroids=16, nprobe=4
+    )
+
+
 def _pred_lang_sql() -> str:
     counts = {
         lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(m) for m in ms)})))"
