@@ -73,3 +73,15 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Mask common PII shapes (emails, phone-like sequences, long digit
+    runs) — the pre-training privacy scrub step. Pure JVM regexp_replace
+    chain (whole-stage codegen, no UDF); patterns are RE2/Java-compatible
+    (no lookaround) so the DuckDB oracle can run the identical chain."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]")
+    c = F.regexp_replace(c, r"\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}", "[PHONE]")
+    c = F.regexp_replace(c, r"[0-9]{7,}", "[NUM]")
+    return c

@@ -214,3 +214,100 @@ def word_explode_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(50)
     )
+
+
+@query(
+    "cube_orders_status_priority",
+    oracle="""
+    SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+           o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING() markers — all four grouping-set combinations in
+    one pass (Catalyst plans an Expand + single aggregate, not four scans)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count("*").alias("cnt"),
+    ).select("g_status", "g_prio", "o_orderstatus", "o_orderpriority", "cnt")
+
+
+@query(
+    "events_type_unpivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS cnt
+    FROM events GROUP BY CAST(ts AS DATE), event_type
+    """,
+)
+def type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips the pivot: wide day × type matrix back to long form via
+    ``unpivot`` (relational UNPIVOT/MELT); zero-filled cells dropped so the
+    result is exactly the long-form aggregate."""
+    wide = daily_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(["day"], EVENT_TYPES, "event_type", "cnt")
+        .filter(F.col("cnt") > 0)
+    )
+
+
+@query(
+    "text_pii_redaction",
+    oracle=r"""
+    WITH synth AS (
+      SELECT doc_id,
+             'reach user' || CAST(doc_id AS VARCHAR)
+               || '@mail.com or +1 555-123-4567 re: ' || text AS raw
+      FROM documents
+    ), red AS (
+      SELECT raw,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]'),
+                 '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}',
+                 '[PHONE]'),
+               '[0-9]{7,}', '[NUM]') AS redacted
+      FROM synth
+    )
+    SELECT COUNT(*) AS docs,
+      SUM(CASE WHEN raw LIKE '%@%' THEN 1 ELSE 0 END) AS had_email,
+      SUM(CASE WHEN redacted LIKE '%@%' THEN 1 ELSE 0 END) AS leaked_email,
+      SUM(CASE WHEN redacted LIKE '%[EMAIL]%' THEN 1 ELSE 0 END) AS masked_email,
+      SUM(CASE WHEN redacted LIKE '%[PHONE]%' THEN 1 ELSE 0 END) AS masked_phone,
+      CAST(SUM(length(raw) - length(redacted)) AS BIGINT) AS chars_removed
+    FROM red
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: synthesize an email+phone prefix onto every real
+    document (both engines build the identical input), run the shared
+    redaction chain, and assert-by-aggregate that nothing leaks. The chain
+    is `operators.text.redact_pii` — pure regexp_replace, codegen-friendly."""
+    from web_analytics_on_aws_spark.operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        F.concat(
+            F.lit("reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.com or +1 555-123-4567 re: "),
+            F.col("text"),
+        ).alias("raw")
+    )
+    red = synth.withColumn("redacted", redact_pii("raw"))
+    flag = lambda c, pat: F.sum(F.when(c.contains(pat), 1).otherwise(0))
+    return red.agg(
+        F.count("*").alias("docs"),
+        flag(F.col("raw"), "@").alias("had_email"),
+        flag(F.col("redacted"), "@").alias("leaked_email"),
+        flag(F.col("redacted"), "[EMAIL]").alias("masked_email"),
+        flag(F.col("redacted"), "[PHONE]").alias("masked_phone"),
+        F.sum(F.length("raw") - F.length("redacted"))
+        .cast("bigint")
+        .alias("chars_removed"),
+    )
