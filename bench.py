@@ -29,6 +29,9 @@ HEADLINE = [
     "dedup_exact_stats",
     "text_stats_by_lang",
     "embedding_knn_q0",
+    "funnel_view_click_purchase",
+    "asof_purchase_attribution",
+    "ann_lsh_topk",
 ]
 
 
