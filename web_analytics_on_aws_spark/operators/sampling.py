@@ -85,3 +85,33 @@ def pack_sequences(
         .withColumn("pack_id", F.expr(f"(__cum - {tokens_col}) DIV {context_len}"))
         .drop("__cum")
     )
+
+
+def weighted_interleave(
+    sources: list[tuple[DataFrame, float]],
+    key: str = "doc_id",
+) -> DataFrame:
+    """Mix N datasets at per-source sampling rates — the training-data
+    mixture step (e.g. 100% wiki, 30% web, 5% code). Each source is
+    hash-thinned by its weight (deterministic, key-stable), tagged with its
+    mixture index, and unioned. Pure map per source + union — no shuffle;
+    at 100 TB the union is just concatenated scan tasks.
+
+    ``sources``: [(df, keep_fraction), ...]; fractions > 1 raise (upsampling
+    needs replication, not sampling — do it with explode(sequence) upstream).
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    parts = []
+    for i, (df, frac) in enumerate(sources):
+        if not (0.0 <= frac <= 1.0):
+            raise ValueError(f"fraction {frac} out of [0, 1] for source {i}")
+        parts.append(
+            deterministic_sample(df, frac, key).withColumn(
+                "mixture_source", F.lit(i)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

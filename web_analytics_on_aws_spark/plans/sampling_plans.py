@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from web_analytics_on_aws_spark.functions import dec_sum
+from web_analytics_on_aws_spark.operators import sampling
 from web_analytics_on_aws_spark.operators.sampling import (
     KNUTH,
     MOD,
@@ -107,4 +108,30 @@ def pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("pack_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
+@query(
+    "pipeline_weighted_mixture",
+    oracle=f"""
+    WITH thin AS (
+      SELECT doc_id, source, 0 AS mixture_source FROM documents
+      WHERE (doc_id * {sampling.KNUTH}) % {sampling.MOD} < 0.8 * {sampling.MOD}
+      UNION ALL
+      SELECT doc_id, source, 1 AS mixture_source FROM documents
+      WHERE (doc_id * {sampling.KNUTH}) % {sampling.MOD} < 0.25 * {sampling.MOD}
+    )
+    SELECT mixture_source, source, COUNT(*) AS cnt
+    FROM thin GROUP BY mixture_source, source
+    """,
+)
+def weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source mixture (80% + 25% of the same corpus standing in for two
+    corpora): per-source hash thinning → tag → union → per-source tallies.
+    Deterministic, so the mixture is reproducible run-to-run and checkable
+    in exact SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    mixed = sampling.weighted_interleave([(docs, 0.8), (docs, 0.25)])
+    return mixed.groupBy("mixture_source", "source").agg(
+        F.count("*").alias("cnt")
     )
