@@ -86,3 +86,33 @@ def test_ivf_partial_probe_scores_consistent_and_self_found(spark):
         # every reported score equals the exact score for that pair
         if (r.query_id, r.vec_id) in brute:
             assert brute[(r.query_id, r.vec_id)] == r.sim
+
+
+def test_resize_media_fake_deterministic_and_size_correct(spark):
+    from web_analytics_on_aws_spark.operators.multimodal import (
+        attach_blob,
+        resize_media,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    blobs = attach_blob(docs)
+    out1 = {r.doc_id: (r.width, r.height, r.resized.n_bytes, r.resized.content_md5)
+            for r in resize_media(blobs, target=(32, 16), fake=True).collect()}
+    out2 = {r.doc_id: (r.width, r.height, r.resized.n_bytes, r.resized.content_md5)
+            for r in resize_media(blobs.repartition(7), target=(32, 16), fake=True).collect()}
+    assert out1 == out2  # partitioning-invariant
+    for w, h, n, _ in out1.values():
+        assert (w, h, n) == (32, 16, 32 * 16 * 3)
+
+
+def test_resize_media_real_path_raises(spark):
+    import pytest as _pytest
+
+    from web_analytics_on_aws_spark.operators.multimodal import (
+        attach_blob,
+        resize_media,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(1)
+    with _pytest.raises(Exception):
+        resize_media(attach_blob(docs), fake=False).collect()

@@ -135,3 +135,67 @@ def frame_sample(
         )
         .select(id_col, "frame_idx", "offset", "frame_bytes")
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized", StructType(
+            [
+                StructField("n_bytes", LongType()),
+                StructField("content_md5", StringType()),
+                StructField("mime", StringType()),
+            ]
+        )),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame,
+    target: tuple[int, int] = (224, 224),
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize binary images to ``target`` via Arrow-batched ``mapInPandas``
+    — the normalize-resolution step before feature extraction. Real resize
+    is STUBBED (no PIL here): ``fake=True`` emits a deterministic
+    size-correct payload (target_w × target_h × 3 bytes cycled from a
+    sha256 of the input) with refreshed metadata, so batch shapes, schema,
+    and downstream consumers are exercised for real.
+    """
+    tw, th = target
+
+    def resize_batches(it: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL/opencv, absent here; pass "
+                    "fake=True for the deterministic stub"
+                )
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                seed = hashlib.sha256(bytes(blob)).digest()
+                payload = (seed * ((tw * th * 3) // len(seed) + 1))[: tw * th * 3]
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "width": tw,
+                        "height": th,
+                        "resized": {
+                            "n_bytes": len(payload),
+                            "content_md5": hashlib.md5(payload).hexdigest(),
+                            "mime": "image/raw-rgb",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select(id_col, blob_col).mapInPandas(resize_batches, RESIZED_SCHEMA)
