@@ -311,3 +311,132 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chars_removed"),
     )
+
+
+@query(
+    "events_7day_moving_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS rev,
+             COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY CAST(ts AS DATE)
+    )
+    SELECT day, CAST(rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(rev) OVER w AS DOUBLE) AS rev_7d,
+           SUM(n) OVER w AS cnt_7d
+    FROM daily
+    WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', day)
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue: RANGE frame keyed on days-since-epoch so
+    calendar gaps are respected (a ROWS frame would silently span gaps).
+    Exact decimal sums inside the frame; doubles only at the edge. The
+    window is global but over the DAILY grain (≤ a few thousand rows after
+    the aggregate, whatever the event count) — safe at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"),
+            F.count("*").alias("n"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "day",
+        F.col("rev").cast("double").alias("day_revenue"),
+        F.sum("rev").over(w).cast("double").alias("rev_7d"),
+        F.sum("n").over(w).alias("cnt_7d"),
+    )
+
+
+@query(
+    "orders_price_deciles",
+    oracle="""
+    SELECT decile, COUNT(*) AS cnt,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+    FROM (
+      SELECT o_totalprice,
+             CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+               AS decile
+      FROM orders
+    ) t
+    GROUP BY decile
+    """,
+)
+def price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile boundaries over a deterministic total order
+    (price, key) — the histogram-equi-depth shape. Global-order window: at
+    100 TB swap for approx_percentile boundaries or range-partitioned
+    two-pass ranking; kept exact here for the oracle."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(10).over(w).cast("int").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("lo"),
+            F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("hi"),
+        )
+    )
+
+
+@query(
+    "customer_first_last_order",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER w AS last_order,
+           CAST(date_diff('day',
+                FIRST_VALUE(o_orderdate) OVER w,
+                LAST_VALUE(o_orderdate)  OVER w) AS INT) AS active_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE over an explicit unbounded frame (the default
+    frame stops at CURRENT ROW — the classic last_value trap) with a
+    deterministic (date, key) order."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+            F.datediff(
+                F.last("o_orderdate").over(w), F.first("o_orderdate").over(w)
+            )
+            .cast("int")
+            .alias("active_days"),
+        )
+        .distinct()
+    )
