@@ -440,3 +440,59 @@ def first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+_SQL_SURFACE_STMT = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_surface_passthrough", oracle=_SQL_SURFACE_STMT)
+def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's interactive-SQL entry point (SURVEY §3.3): the user
+    hands the engine a SQL *string* over cataloged tables. Identical text
+    runs on Spark (session-catalog views ≅ Glue catalog) and DuckDB —
+    proving the raw SQL surface, not just the DataFrame API."""
+    from web_analytics_on_aws_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SURFACE_STMT)
+
+
+@query(
+    "event_type_transitions",
+    oracle="""
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+    FROM (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ) t
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior transitions (the Markov matrix behind path/flow
+    diagrams): lag over each user's deterministic (ts, event_id) timeline,
+    then count (from → to) pairs. One shuffle on user_id; 25 output rows
+    regardless of event volume."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("cnt"))
+    )
