@@ -221,3 +221,48 @@ def test_upsert_event_partitioned_iceberg_layout(spark, tmp_path):
     )
     rows = {(r["user_id"], r["event"]) for r in spark.read.parquet(table).collect()}
     assert rows == {("u1", "purchase"), ("u2", "cart")}
+
+
+def test_curated_scan_partition_pruned(spark, tmp_path):
+    """A one-hour predicate on the curated zone must reach the scan as a
+    PartitionFilter (directory pruning) — the property the whole arrival-
+    time layout exists for (SURVEY §1.4). At 100 TB this is the difference
+    between scanning one hour and scanning the lake."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from web_analytics_on_aws_spark.operators.compaction import (
+        compact_hour,
+        read_curated,
+    )
+    from web_analytics_on_aws_spark.schema import WEB_LOG_SCHEMA
+
+    tmp = str(tmp_path)
+    _ingest(spark, tmp)
+    # also land a second hour so pruning has something to skip
+    other = INGEST_HOUR + dt.timedelta(hours=1)
+    spark.createDataFrame(
+        [(json.dumps(_make_record(9999, other)),)], "value string"
+    ).transform(lambda d: validate(d, dialect="parquet")).transform(
+        lambda d: write_split(
+            d, f"{tmp}/raw", f"{tmp}/error", ingest_ts=F.lit(other).cast("timestamp")
+        )
+        or d
+    )
+    for when in (INGEST_HOUR, other):
+        compact_hour(spark, f"{tmp}/raw", f"{tmp}/curated", when, WEB_LOG_SCHEMA)
+
+    pruned = read_curated(spark, f"{tmp}/curated").filter(
+        (F.col("year") == INGEST_HOUR.year)
+        & (F.col("month") == INGEST_HOUR.month)
+        & (F.col("day") == INGEST_HOUR.day)
+        & (F.col("hour") == INGEST_HOUR.hour)
+    )
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "hour" in part_lines[0], plan
+    # and the filter actually prunes: only the one hour's rows are read
+    assert pruned.count() == 40
