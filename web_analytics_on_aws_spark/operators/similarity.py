@@ -25,6 +25,25 @@ from pyspark.sql import DataFrame, Window
 from web_analytics_on_aws_spark.functions import as_double_vec, cosine_similarity
 
 
+def _with_prep(df, vec_col: str, dv: str, nrm: str):
+    """Precompute the double-cast vector and its sqrt-norm once per row —
+    pair/probe scoring then does only the dot per candidate. The arithmetic
+    (dot / (sqrt(na)*sqrt(nb))) is unchanged, so scores stay bit-identical
+    to the unprepped form and the DuckDB oracle."""
+    v = as_double_vec(vec_col)
+    return df.withColumn(dv, v).withColumn(
+        nrm, F.sqrt(F.aggregate(F.col(dv), F.lit(0.0), lambda a, x: a + x * x))
+    )
+
+
+def _pair_sim(dv_a: str, nrm_a: str, dv_b: str, nrm_b: str) -> F.Column:
+    from web_analytics_on_aws_spark.functions import vec_dot
+
+    return F.round(
+        vec_dot(F.col(dv_a), F.col(dv_b)) / (F.col(nrm_a) * F.col(nrm_b)), 6
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -38,15 +57,15 @@ def brute_force_topk(
     ``queries`` must be small (broadcast): (query_id, qv: array<float|double>).
     Output: (query_id, vec_id, sim, rank), rank 1..k, ties broken by vec_id.
     """
+    prepped = _with_prep(corpus, vec_col, "__dv", "__nrm")
+    q = _with_prep(queries, "qv", "__qdv", "__qnrm")
     scored = (
-        corpus.join(F.broadcast(queries))
+        prepped.join(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            F.round(
-                cosine_similarity(as_double_vec(vec_col), as_double_vec("qv")), 6
-            ).alias("sim"),
+            _pair_sim("__dv", "__nrm", "__qdv", "__qnrm").alias("sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
@@ -127,8 +146,12 @@ def lsh_bucket_topk(
     bucketed (partitionBy(band, key)) so each query probes ``bands``
     partitions instead of scanning the corpus.
     """
-    c = with_lsh_bands(corpus, vec_col, bands, planes, "band_key")
-    q = with_lsh_bands(queries, "qv", bands, planes, "band_key")
+    c = with_lsh_bands(
+        _with_prep(corpus, vec_col, "__dv", "__nrm"), vec_col, bands, planes, "band_key"
+    )
+    q = with_lsh_bands(
+        _with_prep(queries, "qv", "__qdv", "__qnrm"), "qv", bands, planes, "band_key"
+    )
     scored = (
         c.join(F.broadcast(q), "band_key")
         .filter(F.col(id_col) != F.col(query_id_col))
@@ -136,9 +159,7 @@ def lsh_bucket_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(
-                cosine_similarity(as_double_vec(vec_col), as_double_vec("qv")), 6
-            ).alias("sim"),
+            _pair_sim("__dv", "__nrm", "__qdv", "__qnrm").alias("sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
@@ -160,24 +181,22 @@ def lsh_cosine_pairs(
     then the exact cosine filter runs on the pruned set — same scores as
     ``cosine_pairs`` on every surviving pair, at O(Σ bucket²) candidate
     cost instead of O(n²)."""
-    b = with_lsh_bands(df, vec_col, bands, planes, "band_key")
+    b = with_lsh_bands(
+        _with_prep(df, vec_col, "__dv", "__nrm"), vec_col, bands, planes, "band_key"
+    )
     left = b.select(
-        "band_key", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        "band_key", F.col(id_col).alias("id_a"),
+        F.col("__dv").alias("va"), F.col("__nrm").alias("na"),
     )
     right = b.select(
-        "band_key", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        "band_key", F.col(id_col).alias("id_b"),
+        F.col("__dv").alias("vb"), F.col("__nrm").alias("nb"),
     )
     return (
         left.join(right, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity(as_double_vec("va"), as_double_vec("vb")), 6).alias(
-                "sim"
-            ),
-        )
+        .select("id_a", "id_b", _pair_sim("va", "na", "vb", "nb").alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
@@ -194,15 +213,16 @@ def cosine_pairs(
     scale, pre-bucket with ``with_lsh_bucket`` and join on bucket first: the
     LSH variant computes the *same* pair scores on a pruned candidate set.
     """
-    a = df.select(F.col(id_col).alias("id_a"), as_double_vec(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), as_double_vec(vec_col).alias("vb"))
+    prepped = _with_prep(df, vec_col, "__dv", "__nrm")
+    a = prepped.select(
+        F.col(id_col).alias("id_a"), F.col("__dv").alias("va"), F.col("__nrm").alias("na")
+    )
+    b = prepped.select(
+        F.col(id_col).alias("id_b"), F.col("__dv").alias("vb"), F.col("__nrm").alias("nb")
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("sim"),
-        )
+        .select("id_a", "id_b", _pair_sim("va", "na", "vb", "nb").alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
@@ -289,14 +309,13 @@ def ivf_topk(
     )
 
     scored = (
-        assigned.join(F.broadcast(probes), "centroid_id")
+        _with_prep(assigned, vec_col, "__dv", "__nrm")
+        .join(F.broadcast(_with_prep(probes, "qv", "__qdv", "__qnrm")), "centroid_id")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            F.round(
-                cosine_similarity(as_double_vec(vec_col), as_double_vec("qv")), 6
-            ).alias("sim"),
+            _pair_sim("__dv", "__nrm", "__qdv", "__qnrm").alias("sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
