@@ -1,0 +1,70 @@
+"""Snapshot table format: append/overwrite commits, time travel, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+from web_analytics_on_aws_spark.sources.snapshots import (
+    commit_append,
+    commit_overwrite,
+    current_version,
+    history,
+    read_snapshot,
+    vacuum,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def test_append_creates_versions_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert commit_append(_df(spark, 0, 10), t) == 1
+    assert commit_append(_df(spark, 10, 15), t) == 2
+
+    assert read_snapshot(spark, t).count() == 15          # latest
+    assert read_snapshot(spark, t, version=1).count() == 10  # time travel
+    assert current_version(t) == 2
+    ops = [h["operation"] for h in history(t)]
+    assert ops == ["append", "append"]
+
+
+def test_overwrite_isolates_old_readers(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_append(_df(spark, 0, 10), t)
+    old = read_snapshot(spark, t, version=1)
+    commit_overwrite(_df(spark, 100, 103), t)
+
+    assert read_snapshot(spark, t).count() == 3
+    assert old.count() == 10  # v1 files untouched by the overwrite
+    assert {r.id for r in read_snapshot(spark, t).collect()} == {100, 101, 102}
+
+
+def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_append(_df(spark, 0, 10), t)
+    commit_overwrite(_df(spark, 100, 103), t)  # v1 files now unreferenced by v2
+
+    deleted = vacuum(t, retain_last=1)
+    assert deleted >= 1
+    # latest still fully readable; old manifest gone
+    assert read_snapshot(spark, t).count() == 3
+    assert current_version(t) == 2
+    assert [h["version"] for h in history(t)] == [2]
+
+
+def test_failed_write_cannot_corrupt_published_state(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    commit_append(_df(spark, 0, 5), t)
+    # simulate a crashed commit: data written but manifest never published
+    from web_analytics_on_aws_spark.sources.snapshots import _write_data_files
+
+    orphans = _write_data_files(_df(spark, 50, 60), t)
+    assert all(os.path.exists(p) for p in orphans)
+    # readers see only the published snapshot
+    assert read_snapshot(spark, t).count() == 5
+    # vacuum reclaims the orphans
+    deleted = vacuum(t, retain_last=1)
+    assert deleted >= len(orphans)
+    assert read_snapshot(spark, t).count() == 5
