@@ -68,3 +68,30 @@ def test_failed_write_cannot_corrupt_published_state(spark, tmp_path):
     deleted = vacuum(t, retain_last=1)
     assert deleted >= len(orphans)
     assert read_snapshot(spark, t).count() == 5
+
+
+def test_merge_snapshot_last_write_wins_with_time_travel(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from web_analytics_on_aws_spark.operators.upsert import merge_snapshot
+
+    t = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame(
+        [(1, "2026-03-02T10:00:00", "a"), (2, "2026-03-02T10:00:00", "b")],
+        "user_id long, timestamp string, payload string",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    v1 = merge_snapshot(spark, b1, t, keys=["user_id", "timestamp"])
+    assert v1 == 1
+
+    # same key arrives again with new payload + one new key
+    b2 = spark.createDataFrame(
+        [(1, "2026-03-02T10:00:00", "a2"), (3, "2026-03-02T11:00:00", "c")],
+        "user_id long, timestamp string, payload string",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    v2 = merge_snapshot(spark, b2, t, keys=["user_id", "timestamp"])
+    assert v2 == 2
+
+    now = {r.user_id: r.payload for r in read_snapshot(spark, t).collect()}
+    assert now == {1: "a2", 2: "b", 3: "c"}
+    before = {r.user_id: r.payload for r in read_snapshot(spark, t, version=1).collect()}
+    assert before == {1: "a", 2: "b"}

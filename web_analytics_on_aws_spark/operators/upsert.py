@@ -131,3 +131,34 @@ def merge_into_sql(
         f"MERGE INTO {table} t USING {source} s ON {on} "
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
     )
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    batch: DataFrame,
+    table: str,
+    keys: list[str] = DEFAULT_UNIQUE_KEYS,
+    order_col: str | None = None,
+) -> int:
+    """MERGE a batch into a snapshot table (sources/snapshots.py) — the
+    table-format upgrade over ``merge_parquet``'s directory swap: the new
+    snapshot is published atomically, readers pinned to older versions are
+    unaffected, and a crash mid-merge leaves only unreferenced data files
+    (vacuum reclaims them) instead of a half-swapped directory. Returns the
+    committed version."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        commit_overwrite,
+        read_snapshot,
+    )
+
+    batch = dedup_batch(batch, keys, order_col)
+    if order_col is not None:
+        batch = batch.drop(order_col)
+    try:
+        existing = read_snapshot(spark, table)
+    except FileNotFoundError:
+        merged = batch
+    else:
+        keep = existing.join(batch.select(*keys), keys, "left_anti")
+        merged = keep.unionByName(batch)
+    return commit_overwrite(merged, table)
