@@ -162,3 +162,50 @@ def test_frame_sample_offsets(spark, corpus):
             bytes(r["frame_bytes"]) for r in sorted(rs, key=lambda r: r["frame_idx"])
         )
         assert len(whole) == (n // 4) * 4
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3 (diameter 2, needs >1 propagation round), clique {10,11,12},
+    # isolated pair {20,21}; vertices not in any pair don't appear.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_keep_canonical_survivors(spark, corpus):
+    df, docs, planted = corpus
+    pairs = dedup.ngram_jaccard_pairs(df, k=3, threshold=0.5)
+    kept = dedup.keep_canonical(df, pairs)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # Ground truth: components from the exact >=0.5 Jaccard pair graph.
+    edges = [(a, b) for (a, b) in [(r.doc_a, r.doc_b) for r in pairs.collect()]]
+    parent = {i: i for (i, _) in docs}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for i, _ in docs:
+        comps.setdefault(find(i), set()).add(i)
+    expect = {min(members) for members in comps.values()} | {
+        i for i, _ in docs if len(comps[find(i)]) == 1
+    }
+    assert kept_ids == expect
+    # every planted near-dup pair collapsed to one survivor
+    for a, b in planted:
+        assert not ({a, b} <= kept_ids)

@@ -128,6 +128,77 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list → ``(doc_id,
+    cluster_id)`` where ``cluster_id`` is the minimum member id — the step
+    that turns pairwise near-dup hits (n-gram/MinHash/SimHash/embedding)
+    into dedup groups so one canonical doc per group survives.
+
+    Algorithm: iterative min-label propagation. Each round every vertex
+    takes ``min(own label, neighbors' labels)`` — one shuffle-join on the
+    vertex id per round, partial-aggregated map-side, converging in
+    O(graph diameter) rounds. Near-dup graphs are unions of near-cliques
+    (diameter ≈ 1–2), so 2–3 rounds dominate in practice; for adversarial
+    long-path graphs at 100 TB the same loop structure admits the
+    large-star/small-star variant (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") with O(log²) rounds. Lineage is truncated with an
+    eager ``localCheckpoint`` per round so the plan doesn't grow with the
+    iteration count; convergence is detected by counting label changes
+    (one scalar per round — no per-row collect).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select("a").distinct().select(
+        F.col("a").alias("id"), F.col("a").alias("label")
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                "id",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+                (F.coalesce("nbr_label", "label") < F.col("label")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.filter("changed").count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def keep_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every non-canonical duplicate: for each connected component of
+    ``pairs`` keep only the min-id member; docs in no pair survive untouched.
+    Anti-join on ids only — document payloads never enter the shuffle."""
+    clusters = connected_components(pairs)
+    losers = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 
 

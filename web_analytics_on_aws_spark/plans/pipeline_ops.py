@@ -50,6 +50,76 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
 
 
+# Shared CTE prefix: exact Jaccard≥0.5 pairs → symmetrized edge list →
+# transitive closure by recursive CTE (DuckDB) — the oracle counterpart of
+# operators/dedup.connected_components' iterative min-label propagation.
+_CLUSTERS_CTE = f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ), p AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS c,
+               len(a.sh) AS la, len(b.sh) AS lb
+        FROM t a, t b WHERE a.doc_id < b.doc_id
+      ) WHERE CAST(c AS DOUBLE) / (la + lb - c) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM p
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM p
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    ), clusters AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+    )
+"""
+
+
+@query(
+    "dedup_duplicate_clusters",
+    oracle=_CLUSTERS_CTE + "SELECT doc_id, cluster_id FROM clusters",
+)
+def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups: connected components over the exact Jaccard≥0.5 pair
+    graph (doc_id → min-member cluster_id). Spark side is O(diameter)
+    rounds of shuffle-joined min-label propagation; oracle side is a
+    recursive transitive closure — independent algorithms, same fixpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    return dedup.connected_components(pairs)
+
+
+@query(
+    "dedup_keep_canonical_stats",
+    oracle=_CLUSTERS_CTE
+    + """
+    SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+           (SELECT COUNT(*) FROM documents)
+             - (SELECT COUNT(*) FROM clusters WHERE cluster_id <> doc_id) AS n_kept,
+           (SELECT COUNT(*) FROM clusters WHERE cluster_id <> doc_id) AS n_removed
+    """,
+)
+def keep_canonical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor census after canonical-per-cluster dedup: every component
+    keeps its min-id member, untouched docs pass through (anti-join on ids
+    only — payload bytes never shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    kept = dedup.keep_canonical(docs, pairs)
+    return (
+        docs.agg(F.count("*").alias("n_total"))
+        .crossJoin(kept.agg(F.count("*").alias("n_kept")))
+        .select(
+            "n_total",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_removed"),
+        )
+    )
+
+
 @query("dedup_minhash_lsh")
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128)+LSH(32×4) candidate pairs with estimated Jaccard ≥ 0.5.
