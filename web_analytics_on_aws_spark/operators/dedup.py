@@ -7,25 +7,31 @@ DataFrame-out with no driver-side collects.
 Scale design (100 TB):
 
 - **exact**: hash-groupBy — the shuffle carries 16-byte digests only.
-- **n-gram Jaccard**: inverted-index self-join on shingles (shuffle keyed by
-  shingle hash), NOT an all-pairs cross join; pair candidates are generated
-  only where at least one shingle collides, then exact Jaccard filters.
-  Worst-case hot shingles are capped (frequency cutoff) — a stop-shingle
-  filter, the standard skew guard for this join.
+- **n-gram Jaccard**: prefix-filtered inverted-index self-join (AllPairs/
+  PPJoin), NOT an all-pairs cross join: only each set's rarest
+  |s|−⌈t·|s|⌉+1 shingles are indexed (exactness-preserving), candidates are
+  verified with one hash-intersect per pair. Rare-first ordering removes
+  stop-shingle join skew by construction; an optional frequency cutoff
+  remains as a belt-and-braces guard.
 - **MinHash+LSH**: per-doc signature (n hashes) → banded bucket keys →
   groupBy band bucket — candidate pairs only within buckets; cost is
   O(docs × bands), independent of pair count.
 - **SimHash**: 64-bit fingerprint via sign-summed token hashes; banded
   16-bit keys prefilter, Hamming distance verifies.
 
-Everything is built-in HOFs (transform/aggregate/zip_with) + joins: JVM-side,
-no Python per row.
+Signatures/fingerprints use built-in HOFs (transform/aggregate/zip_with) +
+joins JVM-side; shingling is Arrow-vectorized (one tokenization pass per
+document — see with_shingles for why the pure-HOF form was quadratic).
 """
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import ArrayType, StringType
 
 from web_analytics_on_aws_spark.functions import token_split
 
@@ -36,29 +42,38 @@ from web_analytics_on_aws_spark.functions import token_split
 def with_shingles(
     df: DataFrame, text_col: str = "text", k: int = 3, out: str = "shingles"
 ) -> DataFrame:
-    """Distinct k-word shingles per document (JVM HOF, no UDF)."""
-    toks = token_split(F.col(text_col))
-    joined = F.concat_ws(
-        " ", *[F.element_at(F.col("__toks"), F.col("i") + j) for j in range(k)]
-    )
-    return (
-        df.withColumn("__toks", toks)
-        .withColumn(
-            out,
-            F.when(F.size("__toks") < k, F.array().cast("array<string>")).otherwise(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
-                        lambda i: F.concat_ws(
-                            " ",
-                            *[F.element_at(F.col("__toks"), i + j) for j in range(k)],
-                        ),
+    """Distinct k-word shingles per document, Arrow-vectorized.
+
+    Semantics match the SQL form ``array_distinct(k-grams of split(trim(s),
+    ' +'))`` exactly: space-only trim (``strip(' ')``, not full-whitespace
+    strip), run-of-spaces tokenizer, first-occurrence distinct order, and
+    null/short texts → empty array. A pure-HOF version was ~50× slower:
+    Catalyst's projection collapse inlines the tokenizing regex split into
+    every element_at of every shingle, re-running it O(tokens·k) times per
+    document — the UDF tokenizes each document once per batch."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def shingle(texts: pd.Series) -> pd.Series:
+        out_rows = []
+        for s in texts:
+            if s is None:
+                out_rows.append([])
+                continue
+            toks = re.split(" +", s.strip(" "))
+            if len(toks) < k:
+                out_rows.append([])
+            else:
+                out_rows.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + k])
+                            for i in range(len(toks) - k + 1)
+                        )
                     )
                 )
-            ),
-        )
-        .drop("__toks")
-    )
+        return pd.Series(out_rows)
+
+    return df.withColumn(out, shingle(F.col(text_col)))
 
 
 # ---------------------------------------------------------------------------
@@ -103,21 +118,48 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
-    a = inv.select(
-        F.col("shingle"),
-        F.col("id").alias("doc_a"),
-        F.col("n_sh").alias("n_a"),
+
+    # Prefix filtering (AllPairs/PPJoin, Bayardo et al. 2007), exactness-
+    # preserving: under a global total order on shingles, two sets with
+    # Jaccard ≥ t (⇒ overlap ≥ ⌈t·|x|⌉) must collide within each set's first
+    # |x| − ⌈t·|x|⌉ + 1 shingles. Ordering rarest-first (global doc-frequency
+    # ascending) makes prefix shingles the most selective, so the self-join
+    # input shrinks ~2× and candidate pairs orders of magnitude — the skew
+    # that stop-shingles cause in a full inverted-index join disappears.
+    sdf = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+    pos_w = Window.partitionBy("id").orderBy("df", "shingle")
+    prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(float(threshold))) + 1
+    prefix = (
+        inv.join(sdf, "shingle")
+        .withColumn("__pos", F.row_number().over(pos_w))
+        .filter(F.col("__pos") <= prefix_len)
+        .select("shingle", "id")
     )
-    b = inv.select(
-        F.col("shingle"),
-        F.col("id").alias("doc_b"),
-        F.col("n_sh").alias("n_b"),
+    cand = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "shingle")
+        .filter(F.col("pa.id") < F.col("pb.id"))
+        .select(F.col("pa.id").alias("doc_a"), F.col("pb.id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact verification on candidates only: carry both shingle sets and
+    # intersect JVM-side (array_intersect is hash-based, O(|a|+|b|)).
+    sh_a = sh.select(
+        F.col("id").alias("doc_a"), F.col("shingles").alias("__sh_a"), F.col("n_sh").alias("n_a")
+    )
+    sh_b = sh.select(
+        F.col("id").alias("doc_b"), F.col("shingles").alias("__sh_b"), F.col("n_sh").alias("n_b")
     )
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").alias("n_common"))
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("__sh_a", "__sh_b")).alias("n_common"),
+        )
     )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (

@@ -7,14 +7,15 @@ search designed for 100 TB corpora.
   set against the corpus scan, score with JVM HOF arithmetic, rank per
   query. One corpus pass regardless of query count; no corpus shuffle.
 - ``lsh_bucket_topk`` — the scale path: random-hyperplane (sign) LSH.
-  Hyperplane j's coefficient for dimension d is a deterministic pseudo-random
-  ±1 derived from murmur3(d, j) — reproducible across runs/executors with no
-  stored model. Corpus is bucketed once (cost O(n × planes)); each query
-  probes only its bucket (and optionally multi-probe neighbors), turning
-  top-k from O(n) per query into O(n / 2^planes) expected.
+  Hyperplanes are Gaussian vectors regenerated from a fixed seed inside the
+  Arrow-batched banding UDF — reproducible across runs/executors with no
+  stored or broadcast model. Corpus is bucketed once (cost O(n × planes));
+  each query probes only its bucket (and optionally multi-probe neighbors),
+  turning top-k from O(n) per query into O(n / 2^planes) expected.
 - ``cosine_pairs`` — embedding near-duplicate detection: all pairs with
-  cosine ≥ threshold (exact, for oracle parity; the LSH variant prunes the
-  same computation at scale).
+  cosine ≥ threshold, exact, computed block×block with vectorized scoring
+  (the LSH variant prunes the same computation at scale and matches its
+  scores bit-for-bit).
 """
 
 from __future__ import annotations
@@ -248,25 +249,78 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold (embedding near-dup detection).
 
-    O(n²) scoring — correct-by-construction oracle twin. For production
-    scale, pre-bucket with ``with_lsh_bucket`` and join on bucket first: the
-    LSH variant computes the *same* pair scores on a pruned candidate set.
-    """
-    prepped = _with_prep(df, vec_col, "__dv", "__nrm")
-    a = prepped.select(
-        F.col(id_col).alias("id_a"), F.col("__dv").alias("va"), F.col("__nrm").alias("na")
+    O(n²) scores are unavoidable (it's the exact twin the LSH variant is
+    measured against), but they're computed block-at-a-time: vectors hash
+    into ``n_blocks`` groups, the block×block upper triangle becomes
+    O(n_blocks²/2) tasks, and each task scores its pair of sub-matrices
+    vectorized — every vector is shuffled O(n_blocks) times instead of
+    O(n) times in a row-level theta-join, and no executor ever holds more
+    than two blocks. The per-dimension accumulation loop keeps each pair's
+    float-op sequence identical to the JVM left-fold (vec_dot), so scores
+    match ``lsh_cosine_pairs``/_pair_sim bit-exactly; rounding and the
+    authoritative threshold run JVM-side (HALF_UP). At larger n, raise
+    n_blocks ∝ √n to keep blocks memory-bounded."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    packed = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            as_double_vec(vec_col).alias("__v"),
+            F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("__b"),
+        )
+        .groupBy("__b")
+        .agg(F.collect_list(F.struct("__id", "__v")).alias("rows"))
     )
-    b = prepped.select(
-        F.col(id_col).alias("id_b"), F.col("__dv").alias("vb"), F.col("__nrm").alias("nb")
+    left = packed.select(F.col("__b").alias("ba"), F.col("rows").alias("rows_a"))
+    right = packed.select(F.col("__b").alias("bb"), F.col("rows").alias("rows_b"))
+    block_pairs = left.join(right, F.col("ba") <= F.col("bb"))
+    pre = threshold - 1e-7
+
+    def _score_blocks(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                same = row["ba"] == row["bb"]
+                ra, rb = row["rows_a"], row["rows_b"]
+                ids_a = np.array([r["__id"] for r in ra])
+                ids_b = ids_a if same else np.array([r["__id"] for r in rb])
+                va = np.stack([np.asarray(r["__v"]) for r in ra]).astype(
+                    np.float64, copy=False
+                )
+                vb = va if same else np.stack(
+                    [np.asarray(r["__v"]) for r in rb]
+                ).astype(np.float64, copy=False)
+                dots = np.zeros((len(va), len(vb)), dtype=np.float64)
+                na = np.zeros(len(va), dtype=np.float64)
+                nb = np.zeros(len(vb), dtype=np.float64)
+                for d in range(va.shape[1]):
+                    ca, cb = va[:, d], vb[:, d]
+                    dots = dots + ca[:, None] * cb[None, :]
+                    na = na + ca * ca
+                    nb = nb + cb * cb
+                sim = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+                mask = sim >= pre
+                if same:
+                    mask &= ids_a[:, None] < ids_b[None, :]
+                else:
+                    mask &= ids_a[:, None] != ids_b[None, :]
+                ia, ib = np.nonzero(mask)
+                lo = np.minimum(ids_a[ia], ids_b[ib])
+                hi = np.maximum(ids_a[ia], ids_b[ib])
+                yield pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "__raw": sim[ia, ib]}
+                )
+
+    scored = block_pairs.mapInPandas(
+        _score_blocks, f"id_a {id_type}, id_b {id_type}, __raw double"
     )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", _pair_sim("va", "na", "vb", "nb").alias("sim"))
-        .filter(F.col("sim") >= threshold)
-    )
+    # each unordered pair is scored exactly once (block triangle + in-block
+    # triangle), so no dedup shuffle is needed
+    return scored.select(
+        "id_a", "id_b", F.round("__raw", 6).alias("sim")
+    ).filter(F.col("sim") >= threshold)
 
 
 def deterministic_centroids(
