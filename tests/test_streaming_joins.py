@@ -102,3 +102,34 @@ def test_dedup_within_watermark_drops_dupes_keeps_first(spark, tmp_path):
         (1, "2026-03-02T10:05:00"),
         (2, "2026-03-02T10:00:00"),
     ]
+
+
+def test_enrich_with_dim_broadcasts_static_side(spark, tmp_path):
+    from web_analytics_on_aws_spark.streaming.joins import enrich_with_dim
+
+    tmp = str(tmp_path)
+    _write(
+        f"{tmp}/ev",
+        "e.jsonl",
+        [(1, "2026-03-02T09:30:00Z"), (2, "2026-03-02T09:31:00Z"),
+         (9, "2026-03-02T09:32:00Z")],
+    )
+    dim = spark.createDataFrame(
+        [(1, "pro"), (2, "free")], "user_id long, plan string"
+    )
+    stream = spark.readStream.schema(SCHEMA).json(f"{tmp}/ev")
+    q = (
+        enrich_with_dim(stream, dim, "user_id")
+        .writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.user_id, r.plan)
+        for r in spark.sql("SELECT user_id, plan FROM enrich_out").collect()
+    }
+    # left join: unmatched stream rows survive with null plan
+    assert rows == {(1, "pro"), (2, "free"), (9, None)}

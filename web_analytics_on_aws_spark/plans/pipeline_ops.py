@@ -10,8 +10,9 @@ pytest oracles instead — tests/test_dedup_similarity.py)."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
+from web_analytics_on_aws_spark.functions import token_split
 from web_analytics_on_aws_spark.operators import dedup, multimodal, similarity, text
 from web_analytics_on_aws_spark.plans import query
 from web_analytics_on_aws_spark.sources.tables import load_table
@@ -314,3 +315,59 @@ def frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     frames = multimodal.frame_sample(multimodal.attach_blob(docs), n_frames=4)
     return frames.select("doc_id", "frame_idx", "offset")
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), idf AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / idf.df), 6) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, idf.df ASC, tf.term ASC
+             ) AS rank
+      FROM tf JOIN idf USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document with TF-IDF scores — the
+    relevance/feature-extraction primitive of a text pipeline. Ranking is
+    integer-deterministic (tf desc, rarity asc, term asc) so both engines
+    agree exactly; the tf·ln(N/df) score decorates the ranked rows. Two
+    hash-shuffles (doc-term, term); the corpus-size scalar joins in as a
+    1-row broadcast, never a driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(token_split(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    idf = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(idf, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )

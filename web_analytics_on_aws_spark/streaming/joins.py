@@ -66,3 +66,23 @@ def dedup_within_watermark(
     return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: decorate a live event stream with a
+    small dimension table (user profile, geo lookup, experiment arm).
+
+    Stream-static joins are stateless — each micro-batch joins against the
+    current static relation, no watermark needed. The dimension side is
+    broadcast-hinted: at cluster scale every executor holds the dim once and
+    the stream is never shuffled, which is the only plan shape that survives
+    a high-rate stream (a shuffle join would re-partition every micro-batch).
+    The static plan is re-resolved per batch, so an overwritten dim parquet
+    is picked up without restarting the query."""
+    on = [keys] if isinstance(keys, str) else list(keys)
+    return stream.join(F.broadcast(dim), on, how)
