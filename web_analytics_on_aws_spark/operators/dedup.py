@@ -202,9 +202,12 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = edges.select("a").distinct().select(
-        F.col("a").alias("id"), F.col("a").alias("label")
-    )
+    # round-0 fold: label = min(self, direct neighbors) in the same
+    # aggregation that enumerates vertices — near-clique dup groups converge
+    # here, leaving the loop a single no-change confirmation round
+    labels = edges.groupBy("a").agg(
+        F.least(F.col("a"), F.min("b")).alias("label")
+    ).select(F.col("a").alias("id"), "label")
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["id"])
