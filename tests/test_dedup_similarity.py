@@ -209,3 +209,33 @@ def test_keep_canonical_survivors(spark, corpus):
     # every planted near-dup pair collapsed to one survivor
     for a, b in planted:
         assert not ({a, b} <= kept_ids)
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    # random sparse graphs include long paths (multi-round convergence),
+    # isolated pairs, and merged components — checked against union-find
+    rng = random.Random(11)
+    for _ in range(3):
+        n, m = 40, 25
+        edges = set()
+        while len(edges) < m:
+            a, b = rng.sample(range(n), 2)
+            edges.add((min(a, b), max(a, b)))
+        pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+        parent = list(range(n))
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        expect = {(v, find(v)) for v in touched}
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == expect
