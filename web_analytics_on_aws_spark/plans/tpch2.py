@@ -578,3 +578,117 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), elig AS (
+      SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, supplycost,
+             MIN(supplycost) OVER (PARTITION BY p_partkey) AS mincost
+      FROM ps
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND p_size = 15 AND p_type = 'LARGE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           CAST(supplycost AS DOUBLE) AS min_cost
+    FROM elig WHERE supplycost = mincost
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (q2 shape). The driver schema has no partsupp
+    table, so supply cost is *derived*: MIN(extendedprice) per observed
+    (partkey, suppkey) pair in lineitem — exact decimal, identical derivation
+    on both engines. The correlated MIN subquery of the original is planned
+    as a window MIN over p_partkey re-probed by an equality filter: one
+    shuffle on l_partkey for the derived partsupp agg, the same partitioning
+    reused by the window (no second exchange), all four dims broadcast.
+    Reference surface: ad-hoc Trino SQL via Athena workgroup
+    (web-analytics-parquet/cdk_stacks/athena_workgroup.py:45-48)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice")).alias("supplycost")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    elig = (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        elig.withColumn("mincost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("mincost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("supplycost").cast("double").alias("min_cost"),
+        )
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    ), tot AS (SELECT SUM(part_val) AS total FROM val)
+    SELECT l_partkey AS p_partkey, CAST(part_val AS DOUBLE) AS part_value
+    FROM val, tot
+    WHERE part_val * 1000 > total
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (q11 shape): per-part value held by one
+    nation's suppliers, kept only where it exceeds a fraction of the global
+    total. Value is derived from lineitem (no partsupp in the driver schema):
+    SUM(extendedprice) per partkey over that nation's lines. The HAVING-
+    against-scalar-subquery is cross-multiplied (part_val * 1000 > total) in
+    exact decimal so no double rounding can flip a boundary part. Plan: the
+    nation's supplier set broadcasts into the lineitem scan (fact never
+    shuffled for the join), one agg shuffle on l_partkey, and the grand total
+    is a broadcast scalar re-probed with a cross join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_supp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("part_val"))
+    )
+    tot = val.agg(F.sum("part_val").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_val") * 1000 > F.col("total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("part_val").cast("double").alias("part_value"),
+        )
+    )
