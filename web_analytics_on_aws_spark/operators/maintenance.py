@@ -83,3 +83,54 @@ def clustering_overlap(stats: DataFrame) -> int:
         .count()
     )
     return overlapped
+
+
+def bucketize(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 8,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (and sorted) managed parquet table.
+
+    The 100 TB answer to the fact-fact shuffle (SCALE.md): ``orders`` and
+    ``lineitem`` bucketed on orderkey with the same bucket count make every
+    orderkey equi-join between them shuffle-free — each bucket pair is
+    joined in place, so the two largest tables in the warehouse never cross
+    the network for their most common join. This is the Spark-native
+    equivalent of the reference's hive-partitioned layout taken one level
+    further: partitioning prunes *scans* (SURVEY §1.4), bucketing prunes
+    *exchanges*. sortBy on the join key additionally removes the sort from
+    sort-merge joins (bucketed reads report the sort order to the planner).
+
+    At 100 TB pick ``num_buckets`` so one bucket of the bigger table is
+    ~128-512 MB (e.g. 4096 buckets for a 1 TB-compressed lineitem); bucket
+    counts must MATCH across tables intended to co-join (Spark only
+    colocates equal counts; a 2:1 ratio still shuffles the smaller side).
+    """
+    # One file per bucket: repartition on the same hash the bucketing uses
+    # (both are Murmur3 HashPartitioning) so each task owns exactly one
+    # bucket. Spark only propagates sortBy ordering to the planner (letting
+    # sort-merge joins skip their Sort) when a bucket is a single file.
+    writer = (
+        df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+    )
+    writer.saveAsTable(table)
+
+
+def bucket_info(spark: SparkSession, table: str) -> dict:
+    """Bucket spec of a managed table ({num_buckets, bucket_cols, sort_cols})."""
+    rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    info = {r.col_name: r.data_type for r in rows}
+    parse = lambda s: [c.strip(" `") for c in s.strip("[]").split(",")] if s else []
+    return {
+        "num_buckets": int(info.get("Num Buckets", "0")),
+        "bucket_cols": parse(info.get("Bucket Columns", "")),
+        "sort_cols": parse(info.get("Sort Columns", "")),
+    }

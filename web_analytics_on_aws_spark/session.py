@@ -57,6 +57,11 @@ def get_spark(
         # dynamic partition overwrite so compaction re-runs are idempotent
         # (reference fakes idempotency with drop-then-recreate, SURVEY §3.2).
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Report sortBy order from bucketed scans (operators/maintenance.py
+        # bucketize writes one file per bucket, which Spark re-verifies
+        # before trusting the order): sort-merge joins between co-bucketed
+        # tables then need neither Exchange nor Sort.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():
