@@ -46,6 +46,7 @@ def load_all() -> None:
         pipeline,
         pipeline_ops,
         sampling_plans,
+        sketches_plans,
         temporal,
         tpch,
         tpch2,

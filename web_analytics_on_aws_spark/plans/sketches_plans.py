@@ -1,0 +1,145 @@
+"""Sketch-rollup queries with cross-engine audit oracles.
+
+Approximate results can't hash-match an exact oracle, so these queries use
+the **audit-boolean pattern**: the Spark side computes the sketch estimate
+AND the exact answer, emitting the exact value plus a `within_tol` boolean;
+the DuckDB oracle emits the same exact value plus literal TRUE. The driver's
+bit-exact compare then *does* gate the sketch: an estimate that violates its
+error bound flips the boolean and fails the hash. (Same trick as
+`embedding_quantize_error` — turn an approximate property into an exact one.)
+
+Scale rationale in operators/sketches.py: sketch rollups shuffle O(groups)
+bytes instead of O(distinct), and coarser grains are sketch unions over the
+rollup table, never a re-scan of raw events.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from web_analytics_on_aws_spark.operators.sketches import (
+    hll_estimate,
+    hll_merge,
+    hll_rollup,
+    kll_quantiles,
+    kll_rollup,
+    within_tolerance,
+)
+from web_analytics_on_aws_spark.plans import query
+from web_analytics_on_aws_spark.sources.tables import load_table
+
+# HLL lgk=12 → rsd ≈ 1.6%; audits allow 5% (3σ). KLL k=200 → rank error
+# ≈ 1.65%; audits allow ±5 rank points.
+_HLL_TOL = 0.05
+_KLL_RANK_TOL = 0.05
+
+
+@query(
+    "sketch_daily_uniques_audit",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS uniq_users,
+           TRUE AS within_tol
+    FROM events GROUP BY 1
+    """,
+)
+def sketch_daily_uniques_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily uniques from an HLL sketch rollup, audited against the exact
+    count: emits (day, exact, estimate-within-5%). The rollup is the
+    materializable artifact — at 100 TB it replaces every COUNT(DISTINCT)
+    re-scan over raw events."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    est = hll_estimate(hll_rollup(ev, ["day"], "user_id"))
+    exact = ev.groupBy("day").agg(F.countDistinct("user_id").alias("uniq_users"))
+    return exact.join(est.select("day", "uniq_estimate"), "day").select(
+        "day",
+        "uniq_users",
+        within_tolerance(F.col("uniq_estimate"), F.col("uniq_users"), _HLL_TOL).alias(
+            "within_tol"
+        ),
+    )
+
+
+@query(
+    "sketch_global_uniques_merge_audit",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS uniq_users, TRUE AS within_tol
+    FROM events
+    """,
+)
+def sketch_global_uniques_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-time uniques answered by MERGING the daily sketch rollup
+    (hll_union_agg), never re-scanning events — the associativity property
+    that makes sketch rollups compose across 1000 executors. Audited against
+    the exact global distinct."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    merged = hll_merge(hll_rollup(ev, ["day"], "user_id"), [])
+    exact = ev.agg(F.countDistinct("user_id").alias("uniq_users"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "uniq_users",
+        within_tolerance(F.col("uniq_estimate"), F.col("uniq_users"), _HLL_TOL).alias(
+            "within_tol"
+        ),
+    )
+
+
+@query(
+    "sketch_value_median_audit",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt, TRUE AS median_rank_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_value_median_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL median per event_type, audited by its *rank*: the fraction of
+    values ≤ the estimate must sit within 50%±5 rank points (KLL guarantees
+    ±1.65 at k=200). Rank is the right audit for quantile sketches — value
+    distance is scale-dependent, rank error is the actual contract."""
+    ev = load_table(spark, sf_dir, "events")
+    med = kll_quantiles(kll_rollup(ev, ["event_type"], "value"), [0.5]).select(
+        "event_type", F.col("p50").alias("est_median")
+    )
+    ranked = ev.join(F.broadcast(med), "event_type").groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.avg((F.col("value") <= F.col("est_median")).cast("double")).alias("rank"),
+    )
+    return ranked.select(
+        "event_type",
+        "cnt",
+        (F.abs(F.col("rank") - 0.5) <= F.lit(_KLL_RANK_TOL)).alias("median_rank_ok"),
+    )
+
+
+@query(
+    "sketch_theta_union_audit",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS uniq_users,
+           CAST(COUNT(DISTINCT event_type) AS INT) AS n_groups,
+           TRUE AS within_tol
+    FROM events
+    """,
+)
+def sketch_theta_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches per event_type unioned to the global distinct-user
+    estimate (theta supports full set algebra — union here; intersections /
+    A-not-B come free for audience-overlap questions). Audited vs exact."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("s")
+    )
+    est = per_type.agg(
+        F.theta_sketch_estimate(F.theta_union_agg("s")).alias("est"),
+        F.count("*").cast("int").alias("n_groups"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("uniq_users"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "uniq_users",
+        "n_groups",
+        within_tolerance(F.col("est"), F.col("uniq_users"), _HLL_TOL).alias(
+            "within_tol"
+        ),
+    )
