@@ -81,6 +81,17 @@ def brute_force_topk(
 _SRP_SEED = 0x5EED
 
 
+def _srp_keys_np(v: np.ndarray, bands: int, planes: int, seed: int = _SRP_SEED):
+    """Shared numpy kernel: (n × dim) rows → (n × bands) packed sign bits.
+    Both the executor UDF and the driver-side query-banding path call this,
+    so their keys are identical by construction."""
+    rs = np.random.RandomState(seed)
+    planes_mat = rs.standard_normal((v.shape[1], bands * planes))
+    bits = (v @ planes_mat) > 0.0
+    weights = np.left_shift(np.int64(1), np.arange(planes, dtype=np.int64))
+    return (bits.reshape(len(v), bands, planes) * weights).sum(axis=2, dtype=np.int64)
+
+
 def _srp_band_keys(bands: int, planes: int, seed: int = _SRP_SEED):
     """Arrow-vectorized sign-random-projection banding: one BLAS matmul per
     batch ((n × dim) @ (dim × bands·planes)), then bit-pack ``planes`` sign
@@ -94,14 +105,7 @@ def _srp_band_keys(bands: int, planes: int, seed: int = _SRP_SEED):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         v = np.stack(vecs.to_numpy()).astype(np.float64, copy=False)
-        rs = np.random.RandomState(seed)
-        planes_mat = rs.standard_normal((v.shape[1], bands * planes))
-        bits = (v @ planes_mat) > 0.0
-        weights = np.left_shift(np.int64(1), np.arange(planes, dtype=np.int64))
-        keys = (bits.reshape(len(v), bands, planes) * weights).sum(
-            axis=2, dtype=np.int64
-        )
-        return pd.Series(list(keys))
+        return pd.Series(list(_srp_keys_np(v, bands, planes, seed)))
 
     return srp_keys
 
@@ -160,22 +164,64 @@ def lsh_bucket_topk(
     c = with_lsh_bands(
         _with_prep(corpus, vec_col, "__dv", "__nrm"), vec_col, bands, planes, "band_key"
     )
-    q = with_lsh_bands(
-        _with_prep(queries, "qv", "__qdv", "__qnrm"), "qv", bands, planes, "band_key"
+    # The query side is broadcast-small by contract, so band it ON THE
+    # DRIVER with the same numpy kernel the executor UDF uses: the probe
+    # plan then has no query-side scan/Arrow stage at all — the banded
+    # query table materializes as a local relation feeding the broadcast.
+    # (O(|q|·dim·planes) driver work; the corpus is never collected.)
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    qrows = queries.select(query_id_col, "qv").collect()
+    qid_type = queries.schema[query_id_col].dataType
+    if qrows:
+        qm = np.array([list(r.qv) for r in qrows], dtype=np.float64)
+        keys = _srp_keys_np(qm, bands, planes)
+        nrms = np.sqrt((qm * qm).sum(axis=1))
+        data = [
+            ((b, int(keys[i, b])), r[query_id_col], [float(x) for x in qm[i]],
+             float(nrms[i]))
+            for i, r in enumerate(qrows)
+            for b in range(bands)
+        ]
+    else:
+        data = []
+    q = spark.createDataFrame(
+        data,
+        T.StructType(
+            [
+                T.StructField(
+                    "band_key",
+                    T.StructType(
+                        [
+                            T.StructField("band", T.IntegerType()),
+                            T.StructField("key", T.LongType()),
+                        ]
+                    ),
+                ),
+                T.StructField(query_id_col, qid_type),
+                T.StructField("__qdv", T.ArrayType(T.DoubleType())),
+                T.StructField("__qnrm", T.DoubleType()),
+            ]
+        ),
     )
-    scored = (
-        c.join(F.broadcast(q), "band_key")
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .dropDuplicates([query_id_col, id_col])
+    cands = c.join(F.broadcast(q), "band_key").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    # One exchange for dedup + rank: both windows partition by query_id, so
+    # the multi-band duplicates are dropped by an adjacency check (lag over
+    # the id sort) and ranked by a second sort in the same partition.
+    w_dedup = Window.partitionBy(query_id_col).orderBy(F.asc(id_col))
+    w_rank = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        cands.withColumn("__prev", F.lag(id_col).over(w_dedup))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(id_col)))
         .select(
             query_id_col,
             id_col,
             _pair_sim("__dv", "__nrm", "__qdv", "__qnrm").alias("sim"),
         )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
         .filter(F.col("rank") <= k)
     )
 
