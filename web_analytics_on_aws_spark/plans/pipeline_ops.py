@@ -409,3 +409,56 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("__scale", 6).alias("scale"),
         F.round(err, 6).alias("max_abs_err"),
     )
+
+
+@query(
+    "cdc_orders_changelog",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ), j AS (
+      SELECT old.o_orderkey AS ok, new.o_orderkey AS nk,
+             old.o_orderstatus AS os, old.o_totalprice AS ot,
+             new.o_orderstatus AS ns, new.o_totalprice AS nt
+      FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    )
+    SELECT nk AS o_orderkey, ns AS o_orderstatus, nt AS o_totalprice,
+           'insert' AS _change_type
+    FROM j WHERE ok IS NULL
+    UNION ALL
+    SELECT ok, os, ot, 'delete' FROM j WHERE nk IS NULL
+    UNION ALL
+    SELECT ok, os, ot, 'update_preimage'
+    FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL
+      AND (os IS DISTINCT FROM ns OR ot IS DISTINCT FROM nt)
+    UNION ALL
+    SELECT nk, ns, nt, 'update_postimage'
+    FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL
+      AND (os IS DISTINCT FROM ns OR ot IS DISTINCT FROM nt)
+    """,
+)
+def cdc_orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-convention changelog between two deterministic states of orders
+    (drops = keys divisible by 7, inserts = keys divisible by 10 restored,
+    updates = +10 price on keys divisible by 3): exercises
+    operators/cdc.py::table_diff — one full-outer shuffle join, every change
+    class derived from the same joined row (no per-class re-join)."""
+    from web_analytics_on_aws_spark.operators.cdc import table_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 10
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(old, new, ["o_orderkey"])
