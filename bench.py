@@ -32,6 +32,7 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "asof_purchase_attribution",
     "ann_lsh_topk",
+    "pipeline_corpus_build_e2e",
 ]
 
 

@@ -462,3 +462,77 @@ def cdc_orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
     return table_diff(old, new, ["o_orderkey"])
+
+
+_QUALITY_SQL = """ROUND((
+             least(len(string_split_regex(trim(text), ' +')) / 100.0, 1.0)
+             + CASE WHEN CAST(length(text) AS DOUBLE)
+                         / greatest(len(string_split_regex(trim(text), ' +')), 1)
+                         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END
+             + CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1)
+           ) / 3.0, 6)"""
+
+
+@query(
+    "pipeline_corpus_build_e2e",
+    oracle=f"""
+    WITH dedup AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents) t
+      WHERE rn = 1
+    ), scored AS (
+      SELECT doc_id, text, {_QUALITY_SQL} AS quality FROM dedup
+    ), kept AS (
+      SELECT * FROM scored WHERE quality >= 0.85
+    )
+    SELECT CASE WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.1
+                     THEN 'test'
+                WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.2
+                     THEN 'val'
+                ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split_regex(trim(text), ' +'))) AS total_tokens,
+           CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS avg_quality
+    FROM kept GROUP BY 1
+    """,
+)
+def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus build as ONE declarative plan: exact dedup
+    (survivor = min doc_id per content hash) → quality filter (≥0.85) →
+    deterministic train/val/test split → per-split doc/token/quality stats.
+    Catalyst pipelines the whole chain into two shuffles (dedup window on
+    the 16-byte digest; final split agg) — the point of composing operators
+    as DataFrames instead of materializing between stages. Every stage is
+    the already-oracle-checked operator (dedup_exact_stats,
+    text_quality_scores, pipeline_train_val_test_counts) composed end-to-end."""
+    from pyspark.sql import Window
+
+    from web_analytics_on_aws_spark.operators.sampling import train_val_test_split
+    from web_analytics_on_aws_spark.functions import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        docs.select("doc_id", "text")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    kept = deduped.withColumn("quality", text.quality_score("text")).filter(
+        F.col("quality") >= 0.85
+    )
+    return (
+        train_val_test_split(kept, val_fraction=0.1, test_fraction=0.1)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(F.col("text")).cast("bigint")).alias("total_tokens"),
+            (
+                F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_quality"),
+        )
+    )
