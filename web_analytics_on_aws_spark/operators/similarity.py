@@ -157,20 +157,23 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors colliding with the query
     in ≥1 LSH band (OR-amplified — the recall dial is ``bands``, the cost
-    dial is ``planes``). At 100 TB, band the corpus once and store it
-    bucketed (partitionBy(band, key)) so each query probes ``bands``
-    partitions instead of scanning the corpus.
+    dial is ``planes``).
+
+    Probe plan: the corpus is scanned ONCE and never exploded — each row's
+    ``bands`` keys are matched positionally (``arrays_zip`` + ``exists``)
+    against the broadcast query keys, so every (corpus, query) candidate
+    appears exactly once and no dedup pass is needed. The query side is
+    broadcast-small by contract, so it is banded ON THE DRIVER with the
+    same numpy kernel the executor UDF uses (no query-side scan/Arrow
+    stage; the corpus is never collected). At 100 TB the candidate filter
+    drops ~(1−2^−planes)^bands of the corpus before any dot product; for
+    corpus-scale pair mining use lsh_cosine_pairs (banded bucket join).
     """
-    c = with_lsh_bands(
-        _with_prep(corpus, vec_col, "__dv", "__nrm"), vec_col, bands, planes, "band_key"
-    )
-    # The query side is broadcast-small by contract, so band it ON THE
-    # DRIVER with the same numpy kernel the executor UDF uses: the probe
-    # plan then has no query-side scan/Arrow stage at all — the banded
-    # query table materializes as a local relation feeding the broadcast.
-    # (O(|q|·dim·planes) driver work; the corpus is never collected.)
     from pyspark.sql import types as T
 
+    c = _with_prep(corpus, vec_col, "__dv", "__nrm").withColumn(
+        "__keys", _srp_band_keys(bands, planes)(F.col(vec_col))
+    )
     spark = corpus.sparkSession
     qrows = queries.select(query_id_col, "qv").collect()
     qid_type = queries.schema[query_id_col].dataType
@@ -179,10 +182,9 @@ def lsh_bucket_topk(
         keys = _srp_keys_np(qm, bands, planes)
         nrms = np.sqrt((qm * qm).sum(axis=1))
         data = [
-            ((b, int(keys[i, b])), r[query_id_col], [float(x) for x in qm[i]],
-             float(nrms[i]))
+            (r[query_id_col], [int(x) for x in keys[i]],
+             [float(x) for x in qm[i]], float(nrms[i]))
             for i, r in enumerate(qrows)
-            for b in range(bands)
         ]
     else:
         data = []
@@ -190,33 +192,21 @@ def lsh_bucket_topk(
         data,
         T.StructType(
             [
-                T.StructField(
-                    "band_key",
-                    T.StructType(
-                        [
-                            T.StructField("band", T.IntegerType()),
-                            T.StructField("key", T.LongType()),
-                        ]
-                    ),
-                ),
                 T.StructField(query_id_col, qid_type),
+                T.StructField("__qkeys", T.ArrayType(T.LongType())),
                 T.StructField("__qdv", T.ArrayType(T.DoubleType())),
                 T.StructField("__qnrm", T.DoubleType()),
             ]
         ),
     )
-    cands = c.join(F.broadcast(q), "band_key").filter(
-        F.col(id_col) != F.col(query_id_col)
+    collide = F.exists(
+        F.arrays_zip(F.col("__keys"), F.col("__qkeys")),
+        lambda x: x["__keys"] == x["__qkeys"],
     )
-    # One exchange for dedup + rank: both windows partition by query_id, so
-    # the multi-band duplicates are dropped by an adjacency check (lag over
-    # the id sort) and ranked by a second sort in the same partition.
-    w_dedup = Window.partitionBy(query_id_col).orderBy(F.asc(id_col))
+    cands = c.join(F.broadcast(q), collide & (F.col(id_col) != F.col(query_id_col)))
     w_rank = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (
-        cands.withColumn("__prev", F.lag(id_col).over(w_dedup))
-        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(id_col)))
-        .select(
+        cands.select(
             query_id_col,
             id_col,
             _pair_sim("__dv", "__nrm", "__qdv", "__qnrm").alias("sim"),
