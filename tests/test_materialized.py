@@ -107,3 +107,58 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     merge_counters(spark, state, ev, ["user_id"], "value", batch_id=0)  # replay
     got = {r.user_id: (r.cnt, float(r.total)) for r in read_counters(spark, state).collect()}
     assert got == {1: (1, 5.0), 2: (1, 3.0)}
+
+
+def test_uniques_view_accumulates_and_replay_is_idempotent(spark, tmp_path):
+    from web_analytics_on_aws_spark.streaming.materialized import (
+        merge_uniques,
+        read_uniques,
+        start_uniques_view,
+    )
+
+    tmp = str(tmp_path)
+    landing, state, ckpt = f"{tmp}/land", f"{tmp}/state", f"{tmp}/ckpt"
+    _write(landing, "b1.jsonl", [
+        (u, "2026-03-02T10:00:00Z", 1.0) for u in (1, 2, 3, 2, 1)
+    ])
+    q = start_uniques_view(
+        spark, landing, SCHEMA, state, ckpt, keys=(), col="user_id"
+    )
+    q.awaitTermination()
+    # keys=() → one global row
+    est1 = read_uniques(spark, state).collect()[0].uniq_estimate
+    assert est1 == 3  # HLL exact at tiny cardinalities
+
+    # new batch with one overlapping and one new user
+    _write(landing, "b2.jsonl", [
+        (3, "2026-03-02T11:00:00Z", 1.0),
+        (4, "2026-03-02T11:01:00Z", 1.0),
+    ])
+    q = start_uniques_view(
+        spark, landing, SCHEMA, state, ckpt, keys=(), col="user_id"
+    )
+    q.awaitTermination()
+    assert read_uniques(spark, state).collect()[0].uniq_estimate == 4
+
+    # replay the SAME batch content manually: HLL union is idempotent,
+    # state must not change (no batch-id guard needed)
+    batch = spark.createDataFrame(
+        [(3, 1.0), (4, 1.0)], "user_id long, value double"
+    )
+    merge_uniques(spark, state, batch, [], "user_id")
+    assert read_uniques(spark, state).collect()[0].uniq_estimate == 4
+
+
+def test_uniques_view_per_key_grouping(spark, tmp_path):
+    from web_analytics_on_aws_spark.streaming.materialized import (
+        merge_uniques,
+        read_uniques,
+    )
+
+    host_df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("a", 1)], "hostname string, user_id long"
+    )
+    state = str(tmp_path / "state")
+    merge_uniques(spark, state, host_df, ["hostname"], "user_id")
+    got = {r.hostname: r.uniq_estimate for r in read_uniques(spark, state).collect()}
+    assert got == {"a": 2, "b": 1}

@@ -35,6 +35,8 @@ N_BUCKETS_DEFAULT = 16
 
 
 def _bucket(keys: Sequence[str], n_buckets: int) -> F.Column:
+    if not keys:  # global (keyless) view → single bucket
+        return F.lit(0).cast("int")
     return F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
 
 
@@ -131,3 +133,84 @@ def start_counter_view(
 def read_counters(spark: SparkSession, state_path: str) -> DataFrame:
     df = spark.read.option("basePath", state_path).parquet(state_path)
     return df.drop("__bucket", "__last_batch")
+
+
+def merge_uniques(
+    spark: SparkSession,
+    state_path: str,
+    batch_df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    lgk: int = 12,
+) -> None:
+    """Merge one micro-batch into a materialized per-key UNIQUES view backed
+    by HLL sketches (operators/sketches.py rationale).
+
+    Unlike the additive counters above, no batch-id replay guard is needed:
+    HLL union is IDEMPOTENT (registers are per-bucket maxima — re-merging a
+    checkpoint-replayed batch is a no-op on the state), so at-least-once
+    delivery gives exactly-once *results*. State is one ~2^lgk-byte binary
+    per key, bucket-partitioned like the counters; distinct-user dashboards
+    read estimates without ever re-scanning history.
+    """
+    keys = list(keys)
+    batch_agg = (
+        batch_df.groupBy(*keys)
+        .agg(F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias("uniq_sketch"))
+        .withColumn("__bucket", _bucket(keys, n_buckets))
+    )
+    touched = [r["__bucket"] for r in batch_agg.select("__bucket").distinct().collect()]
+    if not touched:
+        return
+    out_cols = [*keys, "uniq_sketch", "__bucket"]
+    merged = batch_agg.select(out_cols)
+    if os.path.exists(state_path):
+        existing = (
+            spark.read.option("basePath", state_path)
+            .parquet(state_path)
+            .filter(F.col("__bucket").isin(touched))
+        )
+        merged = existing.select(out_cols).unionByName(merged)
+    final = (
+        merged.groupBy(*keys, "__bucket")
+        .agg(F.hll_union_agg("uniq_sketch").alias("uniq_sketch"))
+        .select(out_cols)
+    )
+    final.write.mode("overwrite").partitionBy("__bucket").parquet(state_path)
+
+
+def start_uniques_view(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType,
+    state_path: str,
+    checkpoint_dir: str,
+    keys: Sequence[str] = ("hostname",),
+    col: str = "userId",
+    n_buckets: int = N_BUCKETS_DEFAULT,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Run the landing-dir stream into the materialized uniques view."""
+    lines = spark.readStream.schema(schema).json(landing_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        merge_uniques(
+            batch_df.sparkSession, state_path, batch_df, keys, col, n_buckets
+        )
+
+    writer = lines.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_uniques(spark: SparkSession, state_path: str) -> DataFrame:
+    """Current per-key distinct estimates from the materialized view."""
+    df = spark.read.option("basePath", state_path).parquet(state_path)
+    return df.select(
+        *[c for c in df.columns if c not in ("uniq_sketch", "__bucket")],
+        F.hll_sketch_estimate("uniq_sketch").alias("uniq_estimate"),
+    )
