@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import re
 
+import pyspark.sql.functions as F
+
 import pytest
 
 from tests.conftest import SF_SMOKE
@@ -76,3 +78,31 @@ def test_bucketed_agg_on_bucket_key_skips_shuffle(spark, bucketed):
     agg = spark.table(f"{bucketed}.lineitem_b").groupBy("l_orderkey").count()
     plan = _fmt_plan(agg)
     assert not re.search(r"\(\d+\) Exchange", plan), plan
+
+
+def test_zorder_bounds_every_dimension(spark, tmp_path):
+    """Z-order vs lexicographic clustering on (o_custkey, o_totalprice):
+    a selective predicate on the SECOND column must overlap fewer files
+    under z-order (lexical clustering leaves the second dim unbounded)."""
+    from web_analytics_on_aws_spark.operators.maintenance import (
+        cluster_rewrite,
+        layout_stats,
+        zorder_rewrite,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lex, zo = str(tmp_path / "lex"), str(tmp_path / "zo")
+    cluster_rewrite(orders, lex, ["o_custkey", "o_totalprice"], num_files=16)
+    zorder_rewrite(orders, zo, ["o_custkey", "o_totalprice"], num_files=16)
+
+    # lossless
+    assert spark.read.parquet(zo).count() == orders.count()
+
+    def files_hit(path: str, lo: float, hi: float) -> int:
+        st = layout_stats(spark, path, "o_totalprice")
+        return st.filter(
+            (F.col("max_val") >= lo) & (F.col("min_val") <= hi)
+        ).count()
+
+    lo, hi = 1000.0, 2000.0  # narrow band on the second cluster key
+    assert files_hit(zo, lo, hi) < files_hit(lex, lo, hi)

@@ -134,3 +134,60 @@ def bucket_info(spark: SparkSession, table: str) -> dict:
         "bucket_cols": parse(info.get("Bucket Columns", "")),
         "sort_cols": parse(info.get("Sort Columns", "")),
     }
+
+
+def morton_code(cols: Sequence[str], mins, maxs, bits: int = 8) -> F.Column:
+    """Z-order (Morton) key for 2+ numeric columns, pure JVM bit arithmetic.
+
+    Each column is scaled to a ``bits``-bit integer rank over its [min, max]
+    range (uniform buckets — fine for layout; quantile buckets would handle
+    heavy skew), then the ranks' bits are interleaved so nearby z-values are
+    nearby in EVERY dimension at once. mins/maxs are plain Python numbers
+    (one cheap agg to obtain) — broadcast as literals, no per-row lookup.
+    """
+    n = 1 << bits
+    ranks = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi) - float(lo) or 1.0
+        r = F.floor((F.col(c).cast("double") - F.lit(float(lo))) / F.lit(span) * n)
+        ranks.append(F.least(F.greatest(r, F.lit(0)), F.lit(n - 1)).cast("long"))
+    z = F.lit(0).cast("long")
+    d = len(ranks)
+    for i in range(bits):
+        for j, r in enumerate(ranks):
+            bit = F.shiftright(r, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * d + j))
+    return z
+
+
+def zorder_rewrite(
+    df: DataFrame,
+    out_path: str,
+    cluster_by: Sequence[str],
+    num_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Rewrite clustered on the Z-ORDER of ``cluster_by`` (vs
+    ``cluster_rewrite``'s lexicographic order, which gives tight ranges on
+    the FIRST key only): every file gets a bounded min/max envelope in every
+    clustered dimension, so parquet min/max skipping prunes selective
+    predicates on ANY of them. This is the plain-parquet equivalent of
+    Iceberg/Delta OPTIMIZE ZORDER BY — the layout half of the reference's
+    compaction job (SURVEY §2.6 D5) taken to multi-dimensional predicates.
+    """
+    cols = list(cluster_by)
+    row = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    mins = [row[f"lo_{c}"] for c in cols]
+    maxs = [row[f"hi_{c}"] for c in cols]
+    z = morton_code(cols, mins, maxs, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
