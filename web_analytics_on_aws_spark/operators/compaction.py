@@ -107,3 +107,73 @@ def read_curated(spark: SparkSession, curated_base: str) -> DataFrame:
         if c in df.columns:
             df = df.withColumn(c, F.col(c).cast("int"))
     return df
+
+
+def partition_file_stats(spark: SparkSession, root: str) -> list[dict]:
+    """Per-hive-partition file statistics (n_files, total/avg bytes) from a
+    recursive Hadoop FileSystem listing — a metadata-only pass (the same
+    listing a scan's file index does; works on local/HDFS/S3 URIs alike),
+    no data read. The input to `plan_compaction`."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return []
+    stats: dict[str, dict] = {}
+    it = fs.listFiles(path, True)
+    root_str = fs.makeQualified(path).toString()
+    while it.hasNext():
+        f = it.next()
+        p = f.getPath().toString()
+        if not p.endswith(".parquet"):
+            continue
+        part = p[len(root_str):].rsplit("/", 1)[0].strip("/")
+        s = stats.setdefault(part, {"partition": part, "n_files": 0, "bytes": 0})
+        s["n_files"] += 1
+        s["bytes"] += f.getLen()
+    return sorted(stats.values(), key=lambda s: s["partition"])
+
+
+def plan_compaction(
+    spark: SparkSession,
+    root: str,
+    min_files: int = 10,
+    small_file_bytes: int = 32 * 1024 * 1024,
+) -> list[dict]:
+    """Partitions due for compaction: ≥ ``min_files`` files AND average file
+    below ``small_file_bytes``. The incremental version of the reference's
+    blanket hourly CTAS (athena_ctas.py compacts hour T−1 unconditionally;
+    this compacts only where small files actually accumulated — at 100 TB
+    the difference is rewriting GBs instead of re-touching every partition).
+    Thresholds mirror Iceberg's `optimize_rewrite_delete_file_threshold`
+    dial (web-analytics-iceberg/README.md:187)."""
+    return [
+        s
+        for s in partition_file_stats(spark, root)
+        if s["n_files"] >= min_files and s["bytes"] / s["n_files"] < small_file_bytes
+    ]
+
+
+def compact_partition_path(
+    spark: SparkSession,
+    root: str,
+    partition: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite one partition directory to ~target-sized files (the
+    reference's 128 MB Firehose buffer is the default target). Returns the
+    output file count. The rewrite stages to a sibling temp dir and swaps
+    (can't lazily read the directory being truncated); overwrite is scoped
+    to the one directory."""
+    import math
+
+    from web_analytics_on_aws_spark.operators.upsert import _swap_dirs
+
+    path = f"{root}/{partition}"
+    stats = [s for s in partition_file_stats(spark, root) if s["partition"] == partition]
+    n_out = max(1, math.ceil((stats[0]["bytes"] if stats else 1) / target_file_bytes))
+    tmp = f"{path}__compacting"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    _swap_dirs(tmp, path)
+    return n_out

@@ -115,3 +115,29 @@ def weighted_interleave(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def stratified_sample(
+    df: DataFrame, strata: Sequence[str], fractions: dict, key: str = "doc_id"
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum keeps its own hash
+    fraction (e.g. downsample dominant languages, keep all of rare ones —
+    the corpus-rebalancing move every pretraining mix does). Row-local
+    predicate against a broadcast CASE on the strata columns: no shuffle,
+    no rand(), stable under re-runs and repartitioning. Strata absent from
+    ``fractions`` are kept whole (fraction 1.0)."""
+    frac = None
+    strata = list(strata)
+    for value, f in fractions.items():
+        key_vals = value if isinstance(value, tuple) else (value,)
+        cond = None
+        for c, v in zip(strata, key_vals):
+            eq = F.col(c) == F.lit(v)
+            cond = eq if cond is None else cond & eq
+        frac = (
+            F.when(cond, F.lit(float(f)))
+            if frac is None
+            else frac.when(cond, F.lit(float(f)))
+        )
+    frac = frac.otherwise(F.lit(1.0)) if frac is not None else F.lit(1.0)
+    return df.filter(hash_fraction(key) < frac)

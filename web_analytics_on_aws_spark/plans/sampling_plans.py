@@ -135,3 +135,28 @@ def weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.groupBy("mixture_source", "source").agg(
         F.count("*").alias("cnt")
     )
+
+
+@query(
+    "pipeline_stratified_rebalance",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents
+    WHERE {_HASH_SQL} < CASE lang WHEN 'en' THEN 0.3
+                                  WHEN 'zh' THEN 0.8
+                                  ELSE 1.0 END
+    GROUP BY lang
+    """,
+)
+def stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing via per-stratum deterministic sampling: keep 30%
+    of dominant 'en', 80% of 'zh', all other languages whole — the
+    downsample-the-head move of every pretraining mixture, as one row-local
+    shuffle-free predicate."""
+    from web_analytics_on_aws_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(docs, ["lang"], {"en": 0.3, "zh": 0.8})
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
