@@ -117,6 +117,24 @@ def weighted_interleave(
     return out
 
 
+def sample_k_per_group(
+    df: DataFrame, group_cols: Sequence[str], k: int, key: str = "doc_id"
+) -> DataFrame:
+    """Deterministic uniform k-per-group sample: rank rows within each
+    group by the Knuth hash of the key (ties broken by the key itself for a
+    total order) and keep the first k — the distributed equivalent of a
+    per-group reservoir, reproducible across runs, engines, and partition
+    layouts. One shuffle on the group columns; ordering uses the exact
+    BIGINT hash, never floats or rand()."""
+    h = F.col(key).cast("bigint") * F.lit(KNUTH) % F.lit(MOD)
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata: Sequence[str], fractions: dict, key: str = "doc_id"
 ) -> DataFrame:

@@ -138,6 +138,29 @@ def weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_group_sample_k",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum
+    FROM (SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY (doc_id * {KNUTH}) % {MOD}, doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 20
+    GROUP BY lang
+    """,
+)
+def group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group reservoir equivalent: exactly 20 uniformly-chosen docs per
+    language, deterministic under re-runs. id_sum pins the exact membership
+    of the sample, not just its size."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = sampling.sample_k_per_group(docs, ["lang"], 20)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+@query(
     "pipeline_stratified_rebalance",
     oracle=f"""
     SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars

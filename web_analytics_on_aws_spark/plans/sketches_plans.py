@@ -143,3 +143,25 @@ def sketch_theta_union_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_tol"
         ),
     )
+
+
+@query(
+    "events_heavy_hitter_users",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) >= (SELECT CEIL(COUNT(*) * CAST(0.007 AS DECIMAL(8,4)))
+                        FROM events)
+    """,
+)
+def events_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (users with ≥0.7% of all events) at sketch cost:
+    per-partition Misra-Gries candidates (map-only, bounded memory) + a
+    broadcast semi-join recount — the shuffle carries only candidate keys,
+    never the full user-id cardinality, yet the result is bit-exact against
+    the plain GROUP BY/HAVING oracle."""
+    from web_analytics_on_aws_spark.operators.frequent import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", support="0.007", count_alias="n_events")
