@@ -1,0 +1,53 @@
+"""Incremental rollup maintenance: merged partials are bit-identical to a
+flat recompute, for any split point and for repeated (associative) merges."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMOKE
+from web_analytics_on_aws_spark.operators.incremental import (
+    daily_event_rollup,
+    merge_rollups,
+)
+from web_analytics_on_aws_spark.sources.tables import load_table
+
+MEASURES = {"n_events": "sum", "sum_value": "sum", "max_value": "max"}
+KEYS = ["day", "event_type"]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_equals_flat_recompute(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    flat = daily_event_rollup(ev)
+    base = daily_event_rollup(ev.filter(F.col("ts") < "2024-01-15 06:30:00"))
+    delta = daily_event_rollup(ev.filter(F.col("ts") >= "2024-01-15 06:30:00"))
+    merged = merge_rollups(base, delta, KEYS, MEASURES)
+    assert _rows(merged) == _rows(flat)
+
+
+def test_three_way_merge_associative(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    c1, c2 = "2024-01-10", "2024-01-20"
+    parts = [
+        daily_event_rollup(ev.filter(F.col("ts") < c1)),
+        daily_event_rollup(ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2))),
+        daily_event_rollup(ev.filter(F.col("ts") >= c2)),
+    ]
+    left = merge_rollups(merge_rollups(parts[0], parts[1], KEYS, MEASURES), parts[2], KEYS, MEASURES)
+    right = merge_rollups(parts[0], merge_rollups(parts[1], parts[2], KEYS, MEASURES), KEYS, MEASURES)
+    flat = daily_event_rollup(ev)
+    assert _rows(left) == _rows(right) == _rows(flat)
+
+
+def test_unmergeable_measure_rejected(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    r = daily_event_rollup(ev)
+    try:
+        merge_rollups(r, r, KEYS, {"n_events": "avg"})
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

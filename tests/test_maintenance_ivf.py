@@ -116,3 +116,34 @@ def test_resize_media_real_path_raises(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(1)
     with _pytest.raises(Exception):
         resize_media(attach_blob(docs), fake=False).collect()
+
+
+def test_extract_features_deterministic_unit_norm(spark):
+    import math
+
+    from web_analytics_on_aws_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "another doc"), (3, "hello world")],
+        ["doc_id", "text"],
+    )
+    blobs = multimodal.attach_blob(docs)
+    a = {r["doc_id"]: r["embedding"] for r in multimodal.extract_features(blobs, fake=True).collect()}
+    b = {r["doc_id"]: r["embedding"] for r in
+         multimodal.extract_features(blobs.repartition(3), fake=True).collect()}
+    assert a == b  # partitioning-independent
+    assert a[1] == a[3]  # same bytes -> same features
+    assert a[1] != a[2]
+    for v in a.values():
+        assert len(v) == 16
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-6
+
+
+def test_extract_features_real_path_raises(spark):
+    import pytest as _pytest
+
+    from web_analytics_on_aws_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(Exception, match="NotImplementedError|inference runtime"):
+        multimodal.extract_features(multimodal.attach_blob(docs), fake=False).collect()

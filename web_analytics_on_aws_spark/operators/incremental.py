@@ -1,0 +1,60 @@
+"""Incremental aggregate maintenance: merge partial rollups, never re-scan.
+
+The reference recomputes everything per query (Athena re-scans the curated
+zone; SURVEY §3.3). At 100 TB the viable pattern is the one Spark's own
+partial aggregation uses, lifted to table granularity: keep a **rollup
+table** of decomposable partial aggregates (count/sum/min/max — and avg as
+sum+count), and when an hour/day of new data lands, aggregate *only the
+delta* and merge it into the base with a key-wise reduce. The merged result
+is bit-identical to a full recompute (decomposable aggregates are
+associative and commutative), which is exactly what the driver's DuckDB
+oracle checks: the Spark side answers from base ⊎ delta, the oracle from
+one flat GROUP BY over all rows.
+
+Cost model: maintaining a daily rollup over N new rows touches O(N + G)
+rows (G = affected groups), versus O(total history) for recompute — the
+same asymmetry that makes the sketch rollups in operators/sketches.py
+viable; this module is their exact-measure counterpart.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MERGE_FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def daily_event_rollup(events: DataFrame) -> DataFrame:
+    """The canonical (day, event_type) rollup: decomposable measures only.
+    The money sum stays DECIMAL in the rollup table — partials must keep
+    exact arithmetic until the *final* merge, or two-level double addition
+    could drift from a flat recompute; readers cast to double at the end."""
+    return events.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def merge_rollups(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    measures: dict[str, str],
+) -> DataFrame:
+    """Merge two partial-rollup tables with identical schemas into one.
+    ``measures`` maps measure column → merge function name: counts and sums
+    merge by 'sum', extrema by 'min'/'max'. Non-decomposable aggregates
+    (median, distinct) don't belong here — use the sketch rollups
+    (operators/sketches.py) for those. One shuffle over O(groups) rows."""
+    unknown = set(measures.values()) - MERGE_FNS.keys()
+    if unknown:
+        raise ValueError(f"unmergeable measure fns: {unknown}")
+    unioned = base.unionByName(delta)
+    aggs = [MERGE_FNS[fn](c).alias(c) for c, fn in measures.items()]
+    return unioned.groupBy(*keys).agg(*aggs)

@@ -137,6 +137,58 @@ def frame_sample(
     )
 
 
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Media → unit-normalized embedding vector, the bridge from the
+    multimodal columns to the similarity-search operators (the output
+    schema matches the `embeddings` table, so `similarity.*` consume it
+    unchanged). Real model inference is STUBBED (no torch/onnx here):
+    ``fake=True`` derives a deterministic unit vector from a sha256 stream
+    of the payload. Arrow-batched ``mapInPandas``; at scale this is the
+    GPU-batch boundary — batch size = Arrow batch, constant memory."""
+
+    def feature_batches(it: Iterator) -> Iterator:
+        import hashlib
+        import math
+
+        import pandas as pd
+
+        for pdf in it:
+            if not fake:
+                raise NotImplementedError(
+                    "feature extraction requires an inference runtime absent "
+                    "here; pass fake=True for the deterministic stub"
+                )
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                stream = b""
+                seed = bytes(blob)
+                while len(stream) < dim:
+                    seed = hashlib.sha256(seed).digest()
+                    stream += seed
+                raw = [stream[j] / 255.0 - 0.5 for j in range(dim)]
+                norm = math.sqrt(sum(x * x for x in raw)) or 1.0
+                rows.append(
+                    {"doc_id": int(i), "embedding": [float(x / norm) for x in raw]}
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
+
+    return df.select(id_col, blob_col).mapInPandas(feature_batches, FEATURES_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -496,3 +496,39 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@query(
+    "incremental_daily_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the base rollup (history before a
+    mid-day cutoff) is merged with a delta rollup (rows after it) by
+    key-wise reduce — never re-scanning history. The cutoff falls mid-day
+    so the boundary day's groups exist on BOTH sides and the merge is
+    actually exercised; the oracle recomputes flat from all rows, proving
+    merged ≡ recomputed bit-for-bit."""
+    from web_analytics_on_aws_spark.operators.incremental import (
+        daily_event_rollup,
+        merge_rollups,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = "2024-01-21 12:00:00"
+    base = daily_event_rollup(ev.filter(F.col("ts") < cutoff))
+    delta = daily_event_rollup(ev.filter(F.col("ts") >= cutoff))
+    merged = merge_rollups(
+        base,
+        delta,
+        ["day", "event_type"],
+        {"n_events": "sum", "sum_value": "sum", "max_value": "max"},
+    )
+    return merged.withColumn("sum_value", F.col("sum_value").cast("double"))

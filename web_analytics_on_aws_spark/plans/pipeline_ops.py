@@ -536,3 +536,22 @@ def corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_quality"),
         )
     )
+
+
+@query("multimodal_feature_knn")
+def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal → similarity composition: extract (stub) embeddings from
+    binary payloads via Arrow mapInPandas, then exact cosine top-10 against
+    the first 5 docs as query vectors — the output schema of
+    `extract_features` matches the `embeddings` table, so the whole
+    similarity surface consumes media features unchanged. Rows-only check
+    (feature derivation is non-SQL)."""
+    from web_analytics_on_aws_spark.operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(multimodal.attach_blob(docs), fake=True)
+    queries = (
+        feats.filter(F.col("doc_id") < 5)
+        .select(F.col("doc_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    return brute_force_topk(feats, queries, k=10, id_col="doc_id")
