@@ -532,3 +532,69 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"n_events": "sum", "sum_value": "sum", "max_value": "max"},
     )
     return merged.withColumn("sum_value", F.col("sum_value").cast("double"))
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR((value - 0) * 20 / (500 - 0)) AS BIGINT) + 1 AS bucket,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via SQL-standard width_bucket — one partial-agg
+    pass, 20ish groups out regardless of input size (the fixed-bounds
+    companion to the NTILE equi-depth deciles). DuckDB has no width_bucket;
+    the oracle replicates Spark's exact formula floor((v−lo)·n/(hi−lo))+1,
+    identical for in-range values."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.width_bucket("value", F.lit(0), F.lit(500), F.lit(20)).alias("bucket")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("bucket_sum"),
+    )
+
+
+@query(
+    "events_value_trend",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS slope_num,
+           COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS slope_den
+    FROM (SELECT event_type,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+                 CAST(value AS DECIMAL(18,2)) AS y
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (is `value` drifting over the month?) via exact
+    decimal moments: emit the slope's numerator n·Σxy − Σx·Σy and
+    denominator n·Σx² − (Σx)² instead of their float quotient, so the
+    result is bit-exact across engines (divide at the consumer). One
+    partial-agg pass — the distributed equivalent of regr_slope."""
+    ev = load_table(spark, sf_dir, "events")
+    xy = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("x"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+    agg = xy.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("slope_den"),
+    )
