@@ -33,6 +33,9 @@ HEADLINE = [
     "asof_purchase_attribution",
     "ann_lsh_topk",
     "pipeline_corpus_build_e2e",
+    "events_heavy_hitter_users",
+    "incremental_daily_rollup",
+    "dq_expectations",
 ]
 
 
