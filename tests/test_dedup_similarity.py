@@ -239,3 +239,27 @@ def test_connected_components_random_graphs_match_union_find(spark):
             for r in dedup.connected_components(pairs).collect()
         }
         assert got == expect
+
+
+def test_trigram_lang_id_accuracy_and_edges(spark):
+    from web_analytics_on_aws_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and then runs", "en"),
+            (2, "el rapido zorro marron salta sobre el perro perezoso hoy", "es"),
+            (3, "le renard brun rapide saute par dessus le chien paresseux", "fr"),
+            (4, "the cat and the dog are friends in the house and garden", "en"),
+            (5, "la casa es grande y el jardin tiene muchas flores bonitas", "es"),
+            (6, "le chat et le chien sont amis dans la maison et le jardin", "fr"),
+            (7, "xy", "en"),  # < 3 chars -> no trigrams -> 'und'
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    prof = T.trigram_profiles(docs.filter("doc_id <= 6"), top_p=50)
+    preds = {r["doc_id"]: r["pred_lang"]
+             for r in T.trigram_lang_id(docs, prof).collect()}
+    assert preds[7] == "und"
+    acc = sum(preds[i] == l for i, l in
+              [(1, "en"), (2, "es"), (3, "fr"), (4, "en"), (5, "es"), (6, "fr")])
+    assert acc == 6, preds

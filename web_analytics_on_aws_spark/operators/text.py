@@ -85,3 +85,78 @@ def redact_pii(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}", "[PHONE]")
     c = F.regexp_replace(c, r"[0-9]{7,}", "[NUM]")
     return c
+
+
+def _trigrams(text_col: Column) -> Column:
+    """Distinct character trigrams of the lowercased text (empty array for
+    texts shorter than 3 chars — guarded because Spark's sequence(1, n)
+    runs DESCENDING when n < 1, unlike DuckDB's empty range)."""
+    t = F.lower(text_col)
+    tris = F.when(
+        F.length(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 2),
+            lambda i: F.substring(t, i, 3),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(tris)
+
+
+def trigram_profiles(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    top_p: int = 200,
+) -> DataFrame:
+    """Cavnar-Trenkle-style per-language character-trigram profiles learned
+    from labeled docs: top ``top_p`` trigrams per language by document
+    frequency, weighted by inverted rank (integer weight = top_p+1−rank, so
+    scoring stays exact-arithmetic and engine-portable). Output
+    (lang, tri, weight) — ≤ |langs|·top_p rows, broadcastable."""
+    from pyspark.sql import Window
+
+    tris = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(_trigrams(F.col(text_col))).alias("tri"),
+    )
+    counts = tris.groupBy("lang", "tri").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("lang").orderBy(F.desc("df"), F.asc("tri"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_p)
+        .select("lang", "tri", (F.lit(top_p + 1) - F.col("rank")).alias("weight"))
+    )
+
+
+def trigram_lang_id(
+    docs: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classify each doc by summed profile weight of its distinct trigrams
+    (argmax over languages; ties → lexicographically first lang; docs
+    matching no profile trigram → 'und'). The profile table broadcasts, so
+    the only shuffle is the per-(doc, lang) score aggregation — O(docs ×
+    matched langs), never a cross join against the corpus."""
+    from pyspark.sql import Window
+
+    doc_tris = docs.select(
+        id_col, F.explode(_trigrams(F.col(text_col))).alias("tri")
+    )
+    scored = (
+        doc_tris.join(F.broadcast(profiles), "tri")
+        .groupBy(id_col, "lang")
+        .agg(F.sum("weight").alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("lang"))
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("lang").alias("pred_lang"), "score")
+    )
+    return docs.select(id_col).join(best, id_col, "left").select(
+        id_col,
+        F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+        F.coalesce("score", F.lit(0)).alias("score"),
+    )

@@ -555,3 +555,55 @@ def multimodal_feature_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("query_id"), F.col("embedding").alias("qv"))
     )
     return brute_force_topk(feats, queries, k=10, id_col="doc_id")
+
+
+@query(
+    "text_lang_trigram_confusion",
+    oracle="""
+    WITH tri AS (
+      SELECT doc_id, lang, unnest(list_distinct(
+        [substr(lower(text), i, 3) for i in range(1, length(lower(text)) - 1)]
+      )) AS tri
+      FROM documents
+    ),
+    counts AS (SELECT lang, tri, COUNT(*) AS df FROM tri GROUP BY 1, 2),
+    prof AS (
+      SELECT lang, tri,
+             201 - ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, tri)
+               AS weight
+      FROM counts
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, tri) <= 200
+    ),
+    scores AS (
+      SELECT t.doc_id, p.lang, SUM(p.weight) AS score
+      FROM tri t JOIN prof p ON t.tri = p.tri GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, lang AS pred_lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rn
+      FROM scores
+    )
+    SELECT d.lang, COALESCE(b.pred_lang, 'und') AS pred_lang,
+           COUNT(*) AS cnt
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, pred_lang FROM best WHERE rn = 1) b
+      USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def lang_trigram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (Cavnar-Trenkle rank profiles, integer
+    weights → exact cross-engine arithmetic): train per-language top-200
+    trigram profiles from the labeled corpus, classify every doc by summed
+    profile weight, report the confusion matrix. Train + predict in one
+    declarative plan; the profile table broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    profiles = text.trigram_profiles(docs, top_p=200)
+    preds = text.trigram_lang_id(docs, profiles)
+    return (
+        docs.select("doc_id", "lang")
+        .join(preds, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("cnt"))
+    )
