@@ -162,3 +162,30 @@ def test_uniques_view_per_key_grouping(spark, tmp_path):
     merge_uniques(spark, state, host_df, ["hostname"], "user_id")
     got = {r.hostname: r.uniq_estimate for r in read_uniques(spark, state).collect()}
     assert got == {"a": 2, "b": 1}
+
+
+def test_topk_counters_reads_state_only(spark, tmp_path):
+    import json
+
+    from web_analytics_on_aws_spark.streaming.materialized import (
+        start_counter_view,
+        topk_counters,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType, DoubleType
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = [{"user_id": i % 5, "value": 1.0} for i in range(100)]
+    rows += [{"user_id": 99, "value": 1.0}] * 50
+    (landing / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+    ])
+    q = start_counter_view(
+        spark, str(landing), schema, str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    top = topk_counters(spark, str(tmp_path / "state"), k=2).collect()
+    assert [(r["user_id"], r["cnt"]) for r in top] == [(99, 50), (0, 20)]

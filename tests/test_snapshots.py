@@ -95,3 +95,20 @@ def test_merge_snapshot_last_write_wins_with_time_travel(spark, tmp_path):
     assert now == {1: "a2", 2: "b", 3: "c"}
     before = {r.user_id: r.payload for r in read_snapshot(spark, t, version=1).collect()}
     assert before == {1: "a", 2: "b"}
+
+
+def test_snapshot_additive_schema_evolution(spark, tmp_path):
+    from web_analytics_on_aws_spark.sources import snapshots as S
+
+    t = str(tmp_path / "tbl")
+    v1 = S.commit_append(spark.createDataFrame([(1, "a")], ["id", "name"]), t)
+    v2 = S.commit_append(
+        spark.createDataFrame([(2, "b", "extra")], ["id", "name", "note"]), t
+    )
+    cur = S.read_snapshot(spark, t)
+    assert set(cur.columns) == {"id", "name", "note"}
+    got = {r["id"]: r["note"] for r in cur.collect()}
+    assert got == {1: None, 2: "extra"}  # old files surface new col as NULL
+    old = S.read_snapshot(spark, t, version=v1)
+    assert set(old.columns) == {"id", "name"}  # time travel keeps old schema
+    assert v2 == v1 + 1

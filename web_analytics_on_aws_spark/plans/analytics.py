@@ -598,3 +598,42 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("slope_num"),
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("slope_den"),
     )
+
+
+@query(
+    "sql_udf_surface",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), ' +')) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+             AS n_bpe,
+           length(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{3,4}[- .]?[0-9]{0,4}',
+               '[PHONE]', 'g'),
+               '[0-9]{7,}', '[NUM]', 'g')) AS redacted_len
+    FROM documents
+    WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.5
+    """,
+)
+def sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's scalar functions consumed purely through SQL text — a
+    user at the interactive surface (SURVEY §3.3) calls token_count /
+    bpe_token_count / redact_pii / hash_fraction as registered SQL
+    functions (declarative `CREATE FUNCTION`, inlined by Catalyst — not
+    Python UDFs). The oracle inlines the equivalent expressions."""
+    from web_analytics_on_aws_spark.functions.sql_udfs import register_sql_functions
+    from web_analytics_on_aws_spark.sources.tables import register_views
+
+    register_sql_functions(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id,
+               token_count(text) AS n_tokens,
+               bpe_token_count(text) AS n_bpe,
+               length(redact_pii(text)) AS redacted_len
+        FROM documents
+        WHERE hash_fraction(doc_id) < 0.5
+        """
+    )

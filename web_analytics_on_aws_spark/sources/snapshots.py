@@ -113,7 +113,12 @@ def read_snapshot(
         raise FileNotFoundError(f"no snapshots at {table}")
     v = cur if version is None else version
     files = _read_manifest(table, v)["files"]
-    return spark.read.parquet(*files)
+    # mergeSchema: additive column evolution across commits (a later append
+    # may carry new columns; older files surface them as NULL — the same
+    # read-time union-of-schemas Iceberg/Delta do). Time travel to a
+    # pre-evolution version still shows the narrow schema, because only
+    # that version's files are listed.
+    return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def history(table: str) -> list[dict]:

@@ -214,3 +214,15 @@ def read_uniques(spark: SparkSession, state_path: str) -> DataFrame:
         *[c for c in df.columns if c not in ("uniq_sketch", "__bucket")],
         F.hll_sketch_estimate("uniq_sketch").alias("uniq_estimate"),
     )
+
+
+def topk_counters(
+    spark: SparkSession, state_path: str, k: int = 10, by: str = "cnt"
+) -> DataFrame:
+    """Read-side top-k over the materialized counter view: a dashboard
+    "top users by events" answered from O(keys) state rows — never from
+    raw history. TakeOrderedAndProject over the state table (no full sort);
+    deterministic tie-break on the key columns."""
+    df = read_counters(spark, state_path)
+    keys = [c for c in df.columns if c not in ("cnt", "total")]
+    return df.orderBy(F.desc(by), *[F.asc(c) for c in keys]).limit(k)
