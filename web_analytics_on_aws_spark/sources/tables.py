@@ -42,6 +42,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Integer DIV, not `/`: ns-epoch longs (~1.7e18) exceed double's
             # 53-bit mantissa, so float division drifts by ±1µs.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif field.name == "ts" and field.dataType.typeName() == "timestamp_ntz":
+            # Testdata may store ts as TIMESTAMP(MICROS) isAdjustedToUTC=false
+            # → Spark reads TIMESTAMP_NTZ. The session timezone is pinned UTC,
+            # so casting to TimestampType keeps every instant/extraction
+            # bit-identical to the DuckDB oracle's naive-UTC interpretation
+            # while restoring the epoch-math surface (unix_micros etc.).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
