@@ -12,7 +12,10 @@ from web_analytics_on_aws_spark.operators.maintenance import (
 )
 from web_analytics_on_aws_spark.operators.similarity import (
     brute_force_topk,
+    deterministic_centroids,
     ivf_topk,
+    kmeans_objective,
+    kmeans_refine,
 )
 from web_analytics_on_aws_spark.sources.tables import load_table
 
@@ -147,3 +150,44 @@ def test_extract_features_real_path_raises(spark):
     docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with _pytest.raises(Exception, match="NotImplementedError|inference runtime"):
         multimodal.extract_features(multimodal.attach_blob(docs), fake=False).collect()
+
+
+def test_kmeans_refine_monotone_objective(spark):
+    """Spherical k-means: the summed-cosine objective is non-decreasing
+    round over round (unit-norm centroids make assignment and mean-update
+    both objective-improving steps)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    seeds = deterministic_centroids(emb, num_centroids=8)
+    objs = [kmeans_objective(emb, seeds)]
+    for iters in (1, 2, 3):
+        cents = kmeans_refine(emb, num_centroids=8, iterations=iters)
+        objs.append(kmeans_objective(emb, cents))
+    # scores round to 1e-6 inside _pair_sim; allow that quantization
+    for before, after in zip(objs, objs[1:]):
+        assert after >= before - 5e-5, objs
+    assert objs[-1] > objs[0]  # training actually moved the quantizer
+
+
+def test_kmeans_centroids_unit_norm_and_full_probe_exact(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = kmeans_refine(emb, num_centroids=8, iterations=2)
+    rows = cents.collect()
+    assert len(rows) == 8
+    for r in rows:
+        nrm = sum(x * x for x in r["cv"]) ** 0.5
+        assert abs(nrm - 1.0) < 1e-9  # every cluster non-empty here
+    # trained centroids change the partition of the corpus, not the scores:
+    # probing every cluster is still exactly brute force
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(2)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    full = ivf_topk(
+        emb, queries, k=5, num_centroids=8, nprobe=8, centroids=cents
+    )
+    brute = brute_force_topk(emb, queries, k=5)
+    key = lambda df: sorted(
+        (r["query_id"], r["vec_id"], r["sim"], r["rank"]) for r in df.collect()
+    )
+    assert key(full) == key(brute)

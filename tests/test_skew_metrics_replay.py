@@ -10,7 +10,7 @@ import pyspark.sql.functions as F
 
 from tests.conftest import SF_SMOKE
 from web_analytics_on_aws_spark import plans
-from web_analytics_on_aws_spark.operators.skew import salted_agg
+from web_analytics_on_aws_spark.operators.skew import salted_agg, salted_join
 from web_analytics_on_aws_spark.sources.tables import load_table
 from web_analytics_on_aws_spark.streaming.ingest_stream import (
     replay_errors,
@@ -112,3 +112,32 @@ def test_embedding_lsh_near_dup_is_subset_with_exact_scores(spark):
         assert exact[k] == v
     # sign-LSH with 4 planes keeps decent recall on cos>=0.4 pairs
     assert len(lsh) >= len(exact) * 0.3
+
+
+def test_salted_join_exactly_matches_plain_join(spark):
+    """Each fact row matches exactly one replica of each build row, so the
+    salted join is the plain join's multiset — row-for-row."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(cust, "o_custkey")
+    salted = salted_join(orders, cust, on=["o_custkey"], salt_buckets=8)
+
+    assert salted.count() == plain.count()
+    # no fact row duplicated by the replication (o_orderkey is unique and
+    # custkey is a key of customer → exactly one output row per order)
+    assert (
+        salted.groupBy("o_orderkey").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    agg = lambda df: sorted(
+        (r["c_mktsegment"], r["cnt"], r["tot"])
+        for r in df.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("tot"),
+        )
+        .collect()
+    )
+    assert agg(salted) == agg(plain)

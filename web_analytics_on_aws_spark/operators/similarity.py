@@ -419,6 +419,87 @@ def ivf_assign(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    iterations: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) refinement of the deterministic IVF seeds.
+
+    Each round: (1) map-only cosine assignment (the same Arrow matmul kernel
+    as ``ivf_assign`` — no shuffle), (2) per-cluster mean direction via
+    posexplode → partial-agg sum per (cluster, dim) — the shuffle carries at
+    most ``num_centroids × dim`` doubles per executor after map-side
+    combine, never vectors — (3) L2-normalize the mean (spherical variant:
+    with unit centroids, assignment maximizes the summed-cosine objective,
+    so the objective is monotone non-decreasing — pinned in pytest). Empty
+    clusters keep their previous centroid.
+
+    Centroids (num_centroids × dim doubles — KBs) are the ONLY driver-side
+    state; each round re-plans from the materialized centroid rows, so
+    lineage stays one round deep no matter how many iterations. Returns the
+    refined (centroid_id, cv) table for ``ivf_topk(centroids=…)``/
+    ``ivf_assign``.
+    """
+    spark = corpus.sparkSession
+    cents = deterministic_centroids(corpus, num_centroids, id_col, vec_col)
+    schema = cents.schema
+    for _ in range(iterations):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        sums = (
+            assigned.select(
+                "centroid_id", F.posexplode(as_double_vec(vec_col)).alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("x").alias("sx"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sx"))),
+                    lambda s: s["sx"],
+                ).alias("sv")
+            )
+        )
+        nrm = F.sqrt(F.aggregate(F.col("sv"), F.lit(0.0), lambda a, x: a + x * x))
+        refined = (
+            cents.join(sums, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.when(
+                    F.col("sv").isNotNull() & (nrm > 0),
+                    F.transform(F.col("sv"), lambda x: x / nrm),
+                )
+                .otherwise(F.col("cv"))
+                .alias("cv"),
+            )
+            .collect()
+        )
+        cents = spark.createDataFrame(refined, schema)
+    return cents
+
+
+def kmeans_objective(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> float:
+    """Summed cosine similarity of every vector to its assigned centroid —
+    the spherical-k-means objective (higher is better)."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    row = (
+        _with_prep(assigned, vec_col, "__dv", "__nrm")
+        .join(F.broadcast(centroids), "centroid_id")
+        .withColumn("__cnrm", F.sqrt(F.aggregate("cv", F.lit(0.0), lambda a, x: a + x * x)))
+        .select(_pair_sim("__dv", "__nrm", "cv", "__cnrm").alias("sim"))
+        .agg(F.sum("sim").alias("obj"))
+        .collect()[0]
+    )
+    return float(row["obj"])
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -428,13 +509,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe only the ``nprobe`` clusters whose
     centroids are nearest each query, brute-force within. With
     ``nprobe == num_centroids`` this is exactly ``brute_force_topk``;
     smaller nprobe trades recall for a ~num_centroids/nprobe scan reduction.
+    Pass ``centroids`` (e.g. from ``kmeans_refine``) to reuse a trained
+    coarse quantizer; default is the training-free deterministic seed set.
     Output: (query_id, vec_id, sim, rank) like the other top-k operators."""
-    cents = deterministic_centroids(corpus, num_centroids, id_col, vec_col)
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(corpus, num_centroids, id_col, vec_col)
+    )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
     qscored = queries.join(F.broadcast(cents)).select(

@@ -26,6 +26,40 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+def salted_join(
+    skewed: DataFrame,
+    replicated: DataFrame,
+    on: list[str],
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Inner equi-join with explicit key salting for hot-key skew.
+
+    The skewed (fact) side gets a deterministic per-row salt
+    ``xxhash64(all columns) % N``; the other side is replicated N× with one
+    row per salt value, and the join runs on ``on + [salt]``. Every fact row
+    matches exactly one replica of each matching build row, so the result
+    multiset is EXACTLY the plain join — which is why the registered query
+    shares the unsalted oracle verbatim — while a key that used to land on
+    one reducer now spreads over N.
+
+    Use when the build side is too large to broadcast AND the probe-side
+    key histogram is concentrated (one viral URI / bot user at 100 TB).
+    AQE's skew-join split (on in session.py) handles this adaptively for
+    sort-merge joins; explicit salting is the deterministic form that also
+    survives engines/stages where AQE can't rewrite (e.g. a skewed key
+    feeding a downstream window). Cost: build side bytes × N — keep N small
+    (4–16) and salt only the skewed partition range if known.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets)
+    ).cast("int")
+    lhs = skewed.withColumn("__salt", salt)
+    rhs = replicated.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return lhs.join(rhs, [*on, "__salt"], "inner").drop("__salt")
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],

@@ -637,3 +637,78 @@ def sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE hash_fraction(doc_id) < 0.5
         """
     )
+
+
+@query(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type, date_trunc('hour', MIN(ts)) AS mn,
+             date_trunc('hour', MAX(ts)) AS mx
+      FROM events GROUP BY event_type
+    ),
+    cal AS (
+      SELECT event_type, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+      FROM bounds
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value)
+               AS avg_v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.hr, COALESCE(h.cnt, 0) AS events_cnt,
+           h.cnt IS NULL AS is_gap,
+           last_value(h.avg_v IGNORE NULLS) OVER (
+             PARTITION BY c.event_type ORDER BY c.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+    FROM cal c LEFT JOIN hourly h USING (event_type, hr)
+    """,
+)
+def hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification + forward fill: generate the complete
+    per-type hourly calendar (sequence/explode between each type's observed
+    bounds), left-join the hourly aggregate, zero-fill counts, and carry the
+    last observed hourly average across gaps (`last(…, ignorenulls)` over an
+    unbounded-preceding frame).
+
+    Scale shape: the hourly aggregate reduces events before anything else
+    (map-side combine; |types × hours| ≪ |events|); the calendar is
+    generated, never materialized from data (|types| rows explode to
+    |types × hours|); the join and the forward-fill window share the
+    event_type hash partitioning. At 100 TB the dominant cost is the one
+    events aggregate — gap-filling itself is metadata-sized."""
+    from web_analytics_on_aws_spark.functions import dec_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count("*").alias("cnt"), dec_avg("value").alias("avg_v"))
+    cal = (
+        ev.groupBy("event_type")
+        .agg(
+            F.date_trunc("hour", F.min("ts")).alias("mn"),
+            F.date_trunc("hour", F.max("ts")).alias("mx"),
+        )
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hr"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce("cnt", F.lit(0)).alias("events_cnt"),
+            F.col("cnt").isNull().alias("is_gap"),
+            F.last("avg_v", ignorenulls=True).over(w).alias("filled_avg"),
+        )
+    )

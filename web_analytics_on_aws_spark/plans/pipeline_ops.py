@@ -219,6 +219,20 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_kmeans_topk")
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with the coarse quantizer trained in-engine: 3 rounds of
+    spherical k-means (map-only Arrow assignment + one tiny per-dim sum
+    shuffle per round) refine the deterministic seeds, then the same
+    nprobe=4 probe path. Rows-only check; objective monotonicity and
+    recall-vs-seeds asserted in pytest (`test_maintenance_ivf.py`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_refine(emb, num_centroids=16, iterations=3)
+    return similarity.ivf_topk(
+        emb, _ann_queries(emb), k=5, num_centroids=16, nprobe=4, centroids=cents
+    )
+
+
 def _pred_lang_sql() -> str:
     counts = {
         lang: f"len(list_filter(toks, t -> t IN ({', '.join(repr(m) for m in ms)})))"

@@ -692,3 +692,36 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("part_val").cast("double").alias("part_value"),
         )
     )
+
+
+@query(
+    "skew_salted_join_mktsegment",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS orders_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def salted_join_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⨝ customer through the explicit hot-key salting operator
+    (operators/skew.py::salted_join): the fact side is salted
+    xxhash64(row) % 8, the customer side replicated 8×, the join runs on
+    (custkey, salt) — result multiset EXACTLY the plain join, so this
+    shares the unsalted oracle verbatim. The pattern is for build sides too
+    big to broadcast under a concentrated key histogram; equivalence (not
+    speed at this SF) is what the gate checks, and `tests/test_skew…`
+    pins the per-row single-replica-match invariant."""
+    from web_analytics_on_aws_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    joined = salted_join(orders, cust, on=["o_custkey"], salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("orders_cnt"),
+        dec_sum("o_totalprice").alias("total_price"),
+    )
