@@ -36,6 +36,9 @@ HEADLINE = [
     "events_heavy_hitter_users",
     "incremental_daily_rollup",
     "dq_expectations",
+    "events_hourly_gapfill",
+    "pipeline_chunk_512_overlap64",
+    "events_user_skew_profile",
 ]
 
 

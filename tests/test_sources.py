@@ -8,6 +8,7 @@ import datetime as dt
 import json
 import urllib.request
 
+from tests.conftest import SF_SMOKE
 from web_analytics_on_aws_spark.operators.upsert import tag_operation
 from web_analytics_on_aws_spark.operators.validate import validate, validity_metrics
 from web_analytics_on_aws_spark.sources.generator import fake_events, write_landing_batch
@@ -102,3 +103,45 @@ def test_tag_operation_mode_switch(spark):
     df = spark.createDataFrame([(1,)], "x long")
     assert tag_operation(df, ["user_id", "timestamp"]).first()["operation"] == "update"
     assert tag_operation(df, None).first()["operation"] == "insert"
+
+
+def test_all_formats_roundtrip_losslessly(spark, tmp_path):
+    """events (timestamps, doubles, nulls in props) survives a write+read
+    through every supported format bit-for-bit."""
+    from web_analytics_on_aws_spark.sources.formats import (
+        FORMATS,
+        read_table,
+        write_table,
+    )
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(200)
+    want = sorted(map(tuple, ev.collect()))
+    for fmt in FORMATS:
+        path = f"{tmp_path}/{fmt}"
+        write_table(ev, path, fmt=fmt)
+        back = read_table(spark, path, fmt=fmt, schema=ev.schema)
+        assert sorted(map(tuple, back.collect())) == want, fmt
+
+
+def test_partitioned_format_write_prunes(spark, tmp_path):
+    """Hive layout works identically for orc; partition filter prunes the
+    scan to one directory."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from web_analytics_on_aws_spark.sources.formats import read_table, write_table
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.dayofmonth("ts")
+    )
+    write_table(ev, f"{tmp_path}/orc", fmt="orc", partition_by=["day"])
+    assert len(glob.glob(f"{tmp_path}/orc/day=*")) > 1
+    back = read_table(spark, f"{tmp_path}/orc", fmt="orc")
+    one_day = back.filter(F.col("day") == 5)
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert one_day.count() == ev.filter(F.col("day") == 5).count()
+    # partition filter reached the scan (pruned directories, not a full read)
+    assert "day" in plan

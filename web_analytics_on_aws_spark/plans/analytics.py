@@ -712,3 +712,67 @@ def hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("avg_v", ignorenulls=True).over(w).alias("filled_avg"),
         )
     )
+
+
+@query(
+    "events_user_skew_profile",
+    oracle="""
+    WITH cnts AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS i,
+             COUNT(*) OVER () AS n
+      FROM cnts
+    )
+    SELECT COUNT(*) AS distinct_keys,
+           SUM(cnt) AS total_rows,
+           MAX(cnt) AS max_cnt,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS max_share,
+           ROUND(CAST(SUM(CASE WHEN i > n - 10 THEN cnt
+                               ELSE 0 END) AS DOUBLE) / SUM(cnt), 6)
+             AS top10_share,
+           ROUND((2.0 * SUM(i * cnt) - (COUNT(*) + 1) * SUM(cnt))
+                 / (COUNT(*) * SUM(cnt)), 6) AS gini
+    FROM ranked
+    """,
+)
+def user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profiler for choosing a join/agg strategy: distinct keys,
+    hottest-key share, top-10 share, and the Gini coefficient of the
+    per-key histogram — the decision inputs for broadcast vs shuffle,
+    AQE skew-split, or the explicit salted operators (skew.py). All
+    moments are exact integer sums over the ranked histogram (ties don't
+    affect Σi·cnt — permutations within equal counts cancel); doubles
+    appear only in the final three ratios, identically on both engines.
+
+    Scale: one events aggregate (map-side combined) reduces to |keys| rows;
+    the rank is a single sort of longs. Run it per candidate key column as
+    a planning pass — cheaper than one bad shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    cnts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    ranked = cnts.select(
+        "cnt",
+        F.row_number().over(Window.orderBy("cnt", "user_id")).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.count("*").alias("distinct_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt"), 6).alias("max_share"),
+        F.round(
+            F.sum(F.when(F.col("i") > F.col("n") - 10, F.col("cnt")).otherwise(0))
+            .cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("top10_share"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("cnt"))
+             - (F.count("*") + 1) * F.sum("cnt"))
+            / (F.count("*") * F.sum("cnt")),
+            6,
+        ).alias("gini"),
+    )

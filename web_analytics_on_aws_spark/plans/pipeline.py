@@ -231,3 +231,124 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.array_min("embedding")).cast("double").alias("min_val"),
         F.max(F.array_max("embedding")).cast("double").alias("max_val"),
     )
+
+
+@query(
+    "pipeline_chunk_512_overlap64",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             UNNEST(generate_series(0, GREATEST(len(toks) - 1, 0), 448))
+               AS start
+      FROM t
+    )
+    SELECT doc_id, CAST(start // 448 AS INT) AS chunk_idx,
+           len(toks[start + 1 : start + 512]) AS chunk_tokens,
+           md5(array_to_string(toks[start + 1 : start + 512], ' '))
+             AS chunk_hash
+    FROM c
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking: split every document into 512-token windows
+    with 64-token overlap (stride 448) — the standard context-packing prep
+    step before tokenization. Fully declarative: tokenize once, *generate*
+    the stride offsets (sequence → explode, no UDF, no per-doc loop), slice
+    the token array per offset. Chunk identity is pinned cross-engine by
+    md5 of the space-joined window.
+
+    Scale shape: map-only — one generator expression per doc, zero
+    shuffles; output rows ≈ Σ ceil(n_tokens/448) stream straight to the
+    sink. At 100 TB this is the same per-row cost as any projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", token_split(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.expr("sequence(0, greatest(size(toks) - 1, 0), 448)")
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST(start / 448 AS INT)").alias("chunk_idx"),
+            F.expr("size(slice(toks, start + 1, 512))").alias("chunk_tokens"),
+            F.expr("md5(array_join(slice(toks, start + 1, 512), ' '))").alias(
+                "chunk_hash"
+            ),
+        )
+    )
+
+
+@query(
+    "text_sparse_cosine_pairs",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), ' +'))
+              AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    norms AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM tf GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(a.tf * b.tf) AS num
+      FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(num / SQRT(CAST(na.n2 * nb.n2 AS DOUBLE)), 6) AS cos_tf
+    FROM pairs
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE 100 * num * num >= 81 * na.n2 * nb.n2
+    """,
+)
+def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse term-frequency cosine similarity ≥ 0.9 over the corpus — the
+    lexical complement to the dense embedding near-dup operators. Inverted-
+    index self-join on token (only docs *sharing* a term ever meet — never
+    an n² cross product), integer numerator/norms so the threshold is an
+    EXACT cross-multiplied predicate (100·num² ≥ 81·n2a·n2b ⟺ cos ≥ 0.9; no
+    float boundary can flip a pair), one double division at the end for the
+    reported score.
+
+    Scale dial (documented, off at test SF for exactness): drop tokens with
+    document frequency above a cap before the self-join — stopword-dominated
+    posting lists are what explode candidate counts at 100 TB; the same
+    df-prefix pruning as the Jaccard operator applies."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(token_split(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a, b = tf.alias("a"), tf.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("num"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(100 * F.col("num") * F.col("num") >= 81 * F.col("n2a") * F.col("n2b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("num") / F.sqrt((F.col("n2a") * F.col("n2b")).cast("double")),
+                6,
+            ).alias("cos_tf"),
+        )
+    )
