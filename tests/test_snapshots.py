@@ -6,6 +6,8 @@ import os
 
 from web_analytics_on_aws_spark.sources.snapshots import (
     commit_append,
+    delete_where,
+    update_where,
     commit_overwrite,
     current_version,
     history,
@@ -112,3 +114,71 @@ def test_snapshot_additive_schema_evolution(spark, tmp_path):
     old = S.read_snapshot(spark, t, version=v1)
     assert set(old.columns) == {"id", "name"}  # time travel keeps old schema
     assert v2 == v1 + 1
+
+
+def test_delete_where_cow_prunes_untouched_files(spark, tmp_path):
+    """DELETE rewrites only files containing matches; other files are
+    carried by reference; old versions still see the deleted rows."""
+    from web_analytics_on_aws_spark.sources.snapshots import _read_manifest
+
+    t = str(tmp_path / "t")
+    commit_append(_df(spark, 0, 100), t)     # v1: ids 0..99
+    commit_append(_df(spark, 100, 200), t)   # v2: adds 100..199
+    before = set(_read_manifest(t, 2)["files"])
+
+    res = delete_where(spark, t, "id >= 150")
+    assert res["operation"] == "delete"
+    assert res["rows_matched"] == 50
+    assert res["files_kept"] >= 1  # the 0..99 commit untouched
+    after = _read_manifest(t, res["version"])["files"]
+    # every kept file is carried verbatim from the previous manifest
+    assert set(after) & before, "untouched files must be carried by reference"
+
+    now = read_snapshot(spark, t)
+    assert now.count() == 150
+    assert now.filter("id >= 150").count() == 0
+    # time travel still sees pre-delete rows
+    assert read_snapshot(spark, t, version=2).count() == 200
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id int, tag string"
+    )
+    commit_append(df, t)
+    res = delete_where(spark, t, "tag = 'a'")  # NULL tag → predicate NULL → keep
+    assert res["rows_matched"] == 1
+    left = {r["id"] for r in read_snapshot(spark, t).collect()}
+    assert left == {2, 3}
+
+
+def test_update_where_applies_set_and_preserves_rest(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_append(_df(spark, 0, 100), t)
+    commit_append(_df(spark, 100, 200), t)
+    res = update_where(spark, t, "id < 10", {"v": "v + 1000"})
+    assert res["rows_matched"] == 10
+    assert res["files_kept"] >= 1
+    now = read_snapshot(spark, t)
+    assert now.columns == ["id", "v"]
+    got = {r["id"]: r["v"] for r in now.collect()}
+    assert got[5] == 5 * 2 + 1000 and got[50] == 100 and got[150] == 300
+    # old version unchanged
+    old = {r["id"]: r["v"] for r in read_snapshot(spark, t, version=2).collect()}
+    assert old[5] == 10
+
+
+def test_delete_then_vacuum_physically_erases(spark, tmp_path):
+    """Retention flow: delete → vacuum(retain_last=1) removes every file
+    that still held the deleted rows (right-to-be-forgotten completion)."""
+    t = str(tmp_path / "t")
+    commit_append(_df(spark, 0, 100), t)
+    delete_where(spark, t, "id < 50")
+    vacuum(t, retain_last=1)
+    assert read_snapshot(spark, t).count() == 50
+    import glob
+
+    live = glob.glob(f"{t}/data/**/*.parquet", recursive=True)
+    back = spark.read.parquet(*live)
+    assert back.filter("id < 50").count() == 0  # no orphan bytes remain

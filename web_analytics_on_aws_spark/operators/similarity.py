@@ -6,7 +6,9 @@ search designed for 100 TB corpora.
 - ``brute_force_topk`` — the exactness baseline: broadcast the (small) query
   set against the corpus scan, score with JVM HOF arithmetic, rank per
   query. One corpus pass regardless of query count; no corpus shuffle.
-- ``lsh_bucket_topk`` — the scale path: random-hyperplane (sign) LSH.
+- ``lsh_bucket_topk`` — the scale path: random-hyperplane (sign) LSH
+  (Charikar, "Similarity Estimation Techniques from Rounding Algorithms",
+  STOC 2002).
   Hyperplanes are Gaussian vectors regenerated from a fixed seed inside the
   Arrow-batched banding UDF — reproducible across runs/executors with no
   stored or broadcast model. Corpus is bucketed once (cost O(n × planes));
@@ -426,7 +428,10 @@ def kmeans_refine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Spherical k-means (Lloyd's) refinement of the deterministic IVF seeds.
+    """Spherical k-means (Lloyd's) refinement of the deterministic IVF seeds
+    (coarse quantizer as in Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011 — the IVF part, without the PQ codes; int8
+    quantization is the separate `embedding_quantize_error` operator).
 
     Each round: (1) map-only cosine assignment (the same Arrow matmul kernel
     as ``ivf_assign`` — no shuffle), (2) per-cluster mean direction via

@@ -318,7 +318,10 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     float boundary can flip a pair), one double division at the end for the
     reported score.
 
-    Scale dial (documented, off at test SF for exactness): drop tokens with
+    Exact all-pairs prefix filtering (Bayardo/Ma/Srikant, "Scaling Up All
+    Pairs Similarity Search", WWW 2007) was measured to prune ~nothing on
+    this stopword-TF weighting (SCALE.md) — the honest dials are:
+    drop tokens with
     document frequency above a cap before the self-join — stopword-dominated
     posting lists are what explode candidate counts at 100 TB; the same
     df-prefix pruning as the Jaccard operator applies."""

@@ -147,3 +147,104 @@ def vacuum(table: str, retain_last: int = 1) -> int:
     for v in vs[:-retain_last] if retain_last else vs:
         os.remove(_manifest_path(table, v))
     return deleted
+
+
+def _normalize_file(p: str) -> str:
+    return p.removeprefix("file://")
+
+
+def _rewrite_matched(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    transform,
+    op: str,
+) -> dict:
+    """Copy-on-write engine for row-level DML (Delta/Iceberg CoW semantics):
+    only data files that CONTAIN matched rows are rewritten; every other
+    file is carried into the new manifest untouched (no read, no write, no
+    copy). ``transform(matched_file_df, pred)`` returns that file-set's
+    replacement rows. Readers of older versions are unaffected — time
+    travel still sees the pre-DML rows."""
+    import pyspark.sql.functions as F
+
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    files = _read_manifest(table, cur)["files"]
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hit = F.coalesce(pred, F.lit(False))  # SQL DML: NULL predicate = no match
+
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*files)
+        .withColumn("__file", F.input_file_name())
+    )
+    touched = {
+        _normalize_file(r["__file"])
+        for r in df.filter(hit).select("__file").distinct().collect()
+    }
+    kept = [f for f in files if f not in touched]
+    n_matched = 0
+    new_files: list[str] = []
+    if touched:
+        matched_scope = spark.read.option("mergeSchema", "true").parquet(
+            *sorted(touched)
+        )
+        n_matched = matched_scope.filter(hit).count()
+        replacement = transform(matched_scope, hit)
+        if replacement is not None:
+            new_files = _write_data_files(replacement, table)
+    version = cur + 1
+    _publish(table, version, kept + new_files, op)
+    return {
+        "version": version,
+        "operation": op,
+        "rows_matched": n_matched,
+        "files_rewritten": len(touched),
+        "files_kept": len(kept),
+    }
+
+
+def delete_where(spark: SparkSession, table: str, predicate) -> dict:
+    """Row-level DELETE (the retention / right-to-be-forgotten operator):
+    drop every row matching ``predicate`` in a single atomic commit.
+
+    At 100 TB the file-level prune is the whole game: a delete keyed on a
+    clustered column (user_id after `cluster_rewrite`/z-order) touches O(1)
+    of the table's files; the untouched majority is carried by reference.
+    Audit trail = the returned counts + the manifest `operation` field;
+    physical erasure of the old rows completes when `vacuum` ages out the
+    pre-delete versions (document retention windows accordingly)."""
+
+    def drop_matched(scope, hit):
+        survivors = scope.filter(~hit)
+        return survivors
+
+    return _rewrite_matched(spark, table, predicate, drop_matched, "delete")
+
+
+def update_where(
+    spark: SparkSession, table: str, predicate, set_exprs: dict[str, str]
+) -> dict:
+    """Row-level UPDATE: for matched rows assign each ``col: sql_expr`` in
+    ``set_exprs`` (expressions may reference existing columns); unmatched
+    rows in touched files are rewritten unchanged, untouched files carried
+    by reference. Same CoW/atomicity/time-travel contract as delete."""
+    import pyspark.sql.functions as F
+
+    def apply_set(scope, hit):
+        out = []
+        for c in scope.columns:  # preserve column order
+            if c in set_exprs:
+                out.append(
+                    F.when(hit, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                )
+            else:
+                out.append(F.col(c))
+        for c, e in set_exprs.items():  # net-new columns (additive evolution)
+            if c not in scope.columns:
+                out.append(F.when(hit, F.expr(e)).alias(c))
+        return scope.select(*out)
+
+    return _rewrite_matched(spark, table, predicate, apply_set, "update")
