@@ -1,0 +1,92 @@
+"""Streaming → snapshot-table sink: exactly-once micro-batch commits
+(txn-stamped appends survive checkpoint loss / batch replay without
+duplicating rows)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from web_analytics_on_aws_spark.sources.snapshots import (
+    commit_append,
+    current_version,
+    history,
+    last_committed_batch,
+    read_snapshot,
+)
+from web_analytics_on_aws_spark.streaming.snapshot_sink import start_snapshot_ingest
+
+
+def _rec(user: str, ts: str, event: str, uri: str) -> str:
+    return json.dumps(
+        {
+            "user_id": user, "session_id": "s" * 24, "event": event,
+            "referrer": None, "user_agent": "UA", "ip": "10.0.0.1",
+            "hostname": "h.example", "os": "Linux", "timestamp": ts, "uri": uri,
+        }
+    )
+
+
+def _land(landing: str, name: str, lines: list[str]) -> None:
+    os.makedirs(landing, exist_ok=True)
+    with open(os.path.join(landing, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _drain(spark, landing, table, err, ckpt):
+    q = start_snapshot_ingest(
+        spark, landing, table, err, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+
+
+def test_snapshot_sink_commits_and_quarantines(spark, tmp_path):
+    t = str(tmp_path)
+    landing, table = f"{t}/landing", f"{t}/table"
+    good = [_rec(f"u{i}", "2026-03-02T13:45:00Z", "view", f"/p/{i}") for i in range(5)]
+    bad = [_rec("ux", "2026-03-02 13:45:00", "view", "/bad"), "not json"]
+    _land(landing, "b1.jsonl", good + bad)
+
+    _drain(spark, landing, table, f"{t}/err", f"{t}/ckpt")
+    assert read_snapshot(spark, table).count() == 5
+    assert spark.read.text(f"{t}/err", recursiveFileLookup=True).count() == 2
+    assert history(table)[-1]["operation"] == "append"
+    assert last_committed_batch(table, "snapshot-ingest") == 0
+
+
+def test_snapshot_sink_replay_is_exactly_once(spark, tmp_path):
+    """Checkpoint loss → the source redelivers batch 0 → the txn stamp makes
+    the re-commit a durable no-op (count and version unchanged)."""
+    t = str(tmp_path)
+    landing, table = f"{t}/landing", f"{t}/table"
+    _land(landing, "b1.jsonl",
+          [_rec(f"u{i}", "2026-03-02T13:45:00Z", "view", f"/p/{i}") for i in range(4)])
+
+    _drain(spark, landing, table, f"{t}/err", f"{t}/ckpt")
+    v1 = current_version(table)
+    assert read_snapshot(spark, table).count() == 4
+
+    shutil.rmtree(f"{t}/ckpt")  # lose the checkpoint → full replay
+    _drain(spark, landing, table, f"{t}/err", f"{t}/ckpt2")
+    assert read_snapshot(spark, table).count() == 4  # no duplicates
+    assert current_version(table) == v1  # no new version published
+
+    # genuinely new data still lands (next batch id under the fresh ckpt
+    # is 1 > last committed 0)
+    _land(landing, "b2.jsonl", [_rec("u9", "2026-03-02T14:00:00Z", "like", "/p/9")])
+    _drain(spark, landing, table, f"{t}/err", f"{t}/ckpt2")
+    assert read_snapshot(spark, table).count() == 5
+
+
+def test_commit_append_txn_api_skips_stale_batches(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    v1 = commit_append(df, table, txn=("app", 0))
+    v2 = commit_append(df, table, txn=("app", 0))  # replay → skipped
+    assert v1 == v2 == current_version(table)
+    assert read_snapshot(spark, table).count() == 10
+    # another app is independent; a later batch from app commits
+    assert commit_append(df, table, txn=("other", 0)) == v1 + 1
+    assert commit_append(df, table, txn=("app", 1)) == v1 + 2
+    assert read_snapshot(spark, table).count() == 30

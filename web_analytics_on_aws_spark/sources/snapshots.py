@@ -62,9 +62,17 @@ def _read_manifest(table: str, version: int) -> dict:
         return json.load(f)
 
 
-def _publish(table: str, version: int, files: list[str], op: str) -> None:
+def _publish(
+    table: str,
+    version: int,
+    files: list[str],
+    op: str,
+    txn: tuple[str, int] | None = None,
+) -> None:
     os.makedirs(os.path.join(table, MANIFEST_DIR), exist_ok=True)
     body = {"version": version, "operation": op, "files": sorted(files)}
+    if txn is not None:
+        body["txn"] = {"app": txn[0], "batch": int(txn[1])}
     tmp = _manifest_path(table, version) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(body, f)
@@ -84,13 +92,36 @@ def _write_data_files(df: DataFrame, table: str) -> list[str]:
     ]
 
 
-def commit_append(df: DataFrame, table: str) -> int:
-    """Append df as a new snapshot; returns the new version number."""
-    new_files = _write_data_files(df, table)
+def last_committed_batch(table: str, app: str) -> int | None:
+    """Highest micro-batch id committed by ``app`` (Delta's txn-appId
+    idempotence protocol): scan manifests newest-first for the app's
+    latest ``txn`` stamp."""
+    for v in reversed(_versions(table)):
+        txn = _read_manifest(table, v).get("txn")
+        if txn and txn.get("app") == app:
+            return int(txn["batch"])
+    return None
+
+
+def commit_append(
+    df: DataFrame, table: str, txn: tuple[str, int] | None = None
+) -> int:
+    """Append df as a new snapshot; returns the new version number.
+
+    ``txn=(app_id, batch_id)`` makes the append EXACTLY-ONCE under replay:
+    if this app already committed this-or-a-later batch (a restarted
+    streaming query re-delivering after checkpoint loss / at-least-once
+    source), the call is a no-op returning the current version — the same
+    txnAppId/txnVersion protocol Delta's streaming sink uses."""
     cur = current_version(table)
+    if txn is not None:
+        last = last_committed_batch(table, txn[0])
+        if last is not None and int(txn[1]) <= last:
+            return cur  # replayed batch — already durable, skip
+    new_files = _write_data_files(df, table)
     prev = _read_manifest(table, cur)["files"] if cur is not None else []
     version = (cur or 0) + 1
-    _publish(table, version, prev + new_files, "append")
+    _publish(table, version, prev + new_files, "append", txn=txn)
     return version
 
 

@@ -1,0 +1,81 @@
+"""Streaming → ACID snapshot table: exactly-once micro-batch commits.
+
+The reference's iceberg variants get exactly-once from Firehose committing
+each buffered batch into an Iceberg table (SURVEY §2.1 S9, §3.1 iceberg
+delta). This sink reproduces the guarantee on the jar-free snapshot format
+(sources/snapshots.py): ``foreachBatch`` stamps every append with
+``(app_id, batch_id)`` and ``commit_append`` refuses batches at-or-below
+the app's last committed id — so a replayed micro-batch (checkpoint rollback,
+at-least-once redelivery) is a durable no-op, not a duplicate.
+
+The result composes with the rest of the snapshot surface: time travel sees
+each micro-batch as one version, `snapshot_changelog` (CDC) diffs them,
+`delete_where` applies retention on top, `vacuum` ages old versions out.
+
+Scale: one manifest write per micro-batch; the dedup check reads manifests
+newest-first and stops at the first stamp from this app — O(1) for a steady
+stream. Data files are whatever the batch writes — the incremental
+compaction planner (operators/compaction.py) handles small-file pressure
+exactly as it does for the hive zones.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from web_analytics_on_aws_spark.operators.validate import RESULT_OK, validate
+from web_analytics_on_aws_spark.schema import WEB_LOG_ICEBERG_FIELDS
+from web_analytics_on_aws_spark.sources import snapshots
+from web_analytics_on_aws_spark.streaming.ingest_stream import read_landing_stream
+
+
+def start_snapshot_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    table: str,
+    error_path: str,
+    checkpoint_dir: str,
+    app_id: str = "snapshot-ingest",
+    available_now: bool = False,
+    trigger_seconds: int | None = 60,
+) -> StreamingQuery:
+    """Landing JSON-lines → validate (iceberg dialect) → typed append into
+    the snapshot table at ``table``, one atomic exactly-once commit per
+    micro-batch; invalid records quarantine to ``error_path`` (same
+    record-granularity routing as the hive-zone sink, T3)."""
+    lines = read_landing_stream(spark, landing_dir)
+    data_cols = [n for n, _ in WEB_LOG_ICEBERG_FIELDS]
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        validated = validate(batch_df, value_col="value", dialect="iceberg")
+        validated.persist()
+        try:
+            invalid = validated.filter(F.col("result") != RESULT_OK).select("value")
+            if invalid.limit(1).count() > 0:
+                from web_analytics_on_aws_spark.operators.ingest import (
+                    with_ingest_partitions,
+                )
+
+                (
+                    with_ingest_partitions(invalid)
+                    .write.mode("append")
+                    .partitionBy("year", "month", "day", "hour")
+                    .format("text")
+                    .save(error_path)
+                )
+            typed = validated.filter(F.col("result") == RESULT_OK).select(*data_cols)
+            if typed.limit(1).count() > 0:
+                snapshots.commit_append(typed, table, txn=(app_id, batch_id))
+        finally:
+            validated.unpersist()
+
+    writer = lines.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
