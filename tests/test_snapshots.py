@@ -182,3 +182,28 @@ def test_delete_then_vacuum_physically_erases(spark, tmp_path):
     live = glob.glob(f"{t}/data/**/*.parquet", recursive=True)
     back = spark.read.parquet(*live)
     assert back.filter("id < 50").count() == 0  # no orphan bytes remain
+
+
+def test_optimize_compacts_small_files_losslessly(spark, tmp_path):
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        _read_manifest,
+        optimize,
+    )
+
+    t = str(tmp_path / "t")
+    for k in range(5):  # 5 micro-batch-sized commits → 5+ small files
+        commit_append(_df(spark, k * 10, (k + 1) * 10), t)
+    v = current_version(t)
+    n_before = len(_read_manifest(t, v)["files"])
+
+    res = optimize(spark, t, small_file_mb=8.0, min_small_files=2)
+    assert res["rewritten"] == n_before and res["version"] == v + 1
+    m = _read_manifest(t, res["version"])
+    assert len(m["files"]) < n_before and m["operation"] == "optimize"
+    # row multiset unchanged; time travel still sees the old layout
+    now = sorted(tuple(r) for r in read_snapshot(spark, t).collect())
+    old = sorted(tuple(r) for r in read_snapshot(spark, t, version=v).collect())
+    assert now == old and len(now) == 50
+    # second run converges to a no-op (single big-enough file set)
+    res2 = optimize(spark, t, small_file_mb=8.0, min_small_files=2)
+    assert res2["rewritten"] == 0 and current_version(t) == res["version"]

@@ -776,3 +776,53 @@ def user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "events_value_iqr_outliers",
+    oracle="""
+    WITH fences AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS p25,
+             quantile_cont(value, 0.75) AS p75
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           SUM(CASE WHEN e.value < p25 - 1.5 * (p75 - p25)
+                     OR e.value > p75 + 1.5 * (p75 - p25)
+                    THEN 1 ELSE 0 END) AS outliers,
+           ROUND(CAST(SUM(CASE WHEN e.value < p25 - 1.5 * (p75 - p25)
+                                OR e.value > p75 + 1.5 * (p75 - p25)
+                               THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS outlier_share
+    FROM events e JOIN fences f USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def value_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence anomaly counts per event type: exact interpolated
+    quartiles → 1.5·IQR fences → outlier tally. The fence table is
+    |event_types| rows and broadcasts; the events side is scanned once with
+    a map-side conditional count — the same two-aggregate shape as the
+    funnel, no sort of the raw values beyond the within-group quartile."""
+    ev = load_table(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.75).alias("p75"),
+    )
+    lo = F.col("p25") - 1.5 * (F.col("p75") - F.col("p25"))
+    hi = F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))
+    is_out = (F.col("value") < lo) | (F.col("value") > hi)
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("outliers"),
+            F.round(
+                F.sum(F.when(is_out, 1).otherwise(0)).cast("double") / F.count("*"),
+                6,
+            ).alias("outlier_share"),
+        )
+    )

@@ -279,3 +279,47 @@ def update_where(
         return scope.select(*out)
 
     return _rewrite_matched(spark, table, predicate, apply_set, "update")
+
+
+def optimize(
+    spark: SparkSession,
+    table: str,
+    small_file_mb: float = 8.0,
+    min_small_files: int = 2,
+    target_file_mb: float = 128.0,
+) -> dict:
+    """Small-file compaction for snapshot tables — the jar-free equivalent
+    of Iceberg's ``rewrite_data_files`` (the reference pins its delete-file
+    sibling via ``optimize_rewrite_delete_file_threshold='10'``,
+    /root/reference/web-analytics-iceberg/README.md:187).
+
+    Files under ``small_file_mb`` are rewritten together, coalesced toward
+    ``target_file_mb``; files already big enough are carried into the new
+    manifest BY REFERENCE (no read, no copy — the same CoW contract as
+    delete/update). No-ops (returns rewritten=0, no new version) unless at
+    least ``min_small_files`` qualify, so a well-compacted table isn't
+    churned. Old versions still resolve to the pre-compaction files until
+    ``vacuum`` ages them out; row content is provably unchanged (pinned in
+    pytest by full-multiset equality).
+
+    Scale: the decision pass is metadata-only (manifest paths + file sizes
+    from the filesystem); the rewrite reads exactly the small files. A
+    streaming table (snapshot_sink appends one version per micro-batch)
+    converges under a scheduled optimize exactly like the hive-zone
+    incremental compaction planner."""
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    files = _read_manifest(table, cur)["files"]
+    cutoff = small_file_mb * 1024 * 1024
+    small = [f for f in files if os.path.getsize(f) < cutoff]
+    if len(small) < min_small_files:
+        return {"version": cur, "rewritten": 0, "kept": len(files)}
+    kept = [f for f in files if f not in set(small)]
+    total = sum(os.path.getsize(f) for f in small)
+    n_out = max(1, round(total / (target_file_mb * 1024 * 1024)))
+    merged = spark.read.option("mergeSchema", "true").parquet(*small).coalesce(n_out)
+    new_files = _write_data_files(merged, table)
+    version = cur + 1
+    _publish(table, version, kept + new_files, "optimize")
+    return {"version": version, "rewritten": len(small), "kept": len(kept)}
