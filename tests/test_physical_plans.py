@@ -219,3 +219,30 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_chunking_is_map_only(spark):
+    """512-token chunking must stay a generator pipeline — zero shuffles."""
+    plan = _explain(spark, "pipeline_chunk_512_overlap64")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # explode of the stride sequence
+
+
+def test_gapfill_reuses_event_type_partitioning(spark):
+    """Calendar gap-fill: the hourly aggregate, the bounds aggregate, the
+    left join, and the forward-fill window all key on event_type — the plan
+    must not exceed those exchanges (no extra repartition creep)."""
+    plan = _explain(spark, "events_hourly_gapfill")
+    # numbered-node section: exactly 2 shuffle exchanges (bounds agg, hourly
+    # agg) + 1 broadcast; the forward-fill Window runs on the join output's
+    # existing event_type partitioning — no third shuffle
+    assert plan.count(") Exchange") == 2
+    assert plan.count(") BroadcastExchange") == 1
+    assert "Window" in plan
+
+
+def test_salted_join_spreads_and_iqr_broadcasts(spark):
+    salted = _explain(spark, "skew_salted_join_mktsegment")
+    assert "__salt" not in salted.split("Output")[0]  # salt never escapes
+    iqr = _explain(spark, "events_value_iqr_outliers")
+    assert "BroadcastHashJoin" in iqr  # fence table must broadcast

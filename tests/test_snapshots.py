@@ -207,3 +207,40 @@ def test_optimize_compacts_small_files_losslessly(spark, tmp_path):
     # second run converges to a no-op (single big-enough file set)
     res2 = optimize(spark, t, small_file_mb=8.0, min_small_files=2)
     assert res2["rewritten"] == 0 and current_version(t) == res["version"]
+
+
+def test_append_retries_past_concurrent_commit(spark, tmp_path):
+    """CAS loss on append: another writer claims vN first → append re-reads
+    the head and lands at vN+1 including BOTH writers' rows."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        CommitConflict,
+        _manifest_path,
+        _publish,
+        delete_where,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(_df(spark, 0, 10), t)  # v1
+    # simulate a concurrent writer publishing v2 before our append's CAS
+    other = _df(spark, 100, 110)
+    from web_analytics_on_aws_spark.sources.snapshots import _write_data_files
+
+    stolen = _write_data_files(other, t)
+    import json
+
+    v1_files = json.load(open(_manifest_path(t, 1)))["files"]
+    _publish(t, 2, v1_files + stolen, "append")
+
+    v = commit_append(_df(spark, 200, 210), t)  # raced: must land at v3
+    assert v == 3
+    ids = {r["id"] for r in read_snapshot(spark, t).collect()}
+    assert ids == set(range(0, 10)) | set(range(100, 110)) | set(range(200, 210))
+
+    # the CAS itself: re-publishing an existing version raises (rewrite
+    # commits — overwrite/DML/optimize — have no retry loop, so a lost race
+    # propagates this to the caller to re-plan against the new head)
+    import pytest as _pytest
+
+    with _pytest.raises(CommitConflict):
+        _publish(t, 3, json.load(open(_manifest_path(t, 3)))["files"], "append")
+    assert delete_where is not None  # rewrite path shares _publish

@@ -21,8 +21,14 @@ filesystem:
 Scale notes: manifests hold file paths, not row data — a 100 TB table is a
 few MB of manifest. Readers do no directory listing (the file list IS the
 manifest), which is the same reason Iceberg beats hive layouts on object
-stores. Concurrency: single-writer (the reference's Firehose is too);
-multi-writer would need a manifest-pointer CAS, noted not implemented.
+stores. Concurrency: manifest publish is a true compare-and-set —
+``os.link`` (atomic create-if-absent on POSIX) refuses an already-published
+version, so two racing writers can never both claim snapshot N.
+``commit_append`` resolves conflicts by re-reading the head and retrying
+(its payload is position-independent); rewrite commits (overwrite / DML /
+optimize) surface ``CommitConflict`` to the caller, who must re-plan
+against the new head — the same optimistic-concurrency contract Iceberg
+and Delta expose.
 """
 
 from __future__ import annotations
@@ -35,6 +41,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_DIR = "manifests"
 DATA_DIR = "data"
+
+
+class CommitConflict(Exception):
+    """Another writer published this snapshot version first (optimistic
+    concurrency): re-read the head and re-plan the commit."""
 
 
 def _manifest_path(table: str, version: int) -> str:
@@ -76,7 +87,17 @@ def _publish(
     tmp = _manifest_path(table, version) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(body, f)
-    os.replace(tmp, _manifest_path(table, version))  # atomic publish
+    try:
+        # CAS publish: os.link is atomic create-if-absent — if a concurrent
+        # writer already claimed this version, FileExistsError, nothing
+        # half-written, and our data files stay unreferenced (GC'd later).
+        os.link(tmp, _manifest_path(table, version))
+    except FileExistsError:
+        raise CommitConflict(
+            f"snapshot v{version} of {table} was published concurrently"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def _write_data_files(df: DataFrame, table: str) -> list[str]:
@@ -119,10 +140,22 @@ def commit_append(
         if last is not None and int(txn[1]) <= last:
             return cur  # replayed batch — already durable, skip
     new_files = _write_data_files(df, table)
-    prev = _read_manifest(table, cur)["files"] if cur is not None else []
-    version = (cur or 0) + 1
-    _publish(table, version, prev + new_files, "append", txn=txn)
-    return version
+    # An append's payload is position-independent, so a CAS loss is resolved
+    # by re-reading the new head and re-publishing on top of it (data files
+    # are already durable — only the manifest pointer moves).
+    for _ in range(16):
+        prev = _read_manifest(table, cur)["files"] if cur is not None else []
+        version = (cur or 0) + 1
+        try:
+            _publish(table, version, prev + new_files, "append", txn=txn)
+            return version
+        except CommitConflict:
+            cur = current_version(table)
+            if txn is not None:
+                last = last_committed_batch(table, txn[0])
+                if last is not None and int(txn[1]) <= last:
+                    return cur  # the racing writer WAS our replay twin
+    raise CommitConflict(f"append to {table} lost {16} consecutive races")
 
 
 def commit_overwrite(df: DataFrame, table: str) -> int:
