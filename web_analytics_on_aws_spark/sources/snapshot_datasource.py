@@ -1,0 +1,171 @@
+"""`spark.read.format("snapshot")` — the snapshot table format as a native
+Spark 4 Python DataSource, with manifest-driven scan planning and file-level
+min/max data skipping.
+
+The snapshot layer (sources/snapshots.py) already gives ACID commits, time
+travel, DML, and OPTIMIZE; this adapter plugs its read path into Spark's
+planner-facing plug-in API so the format composes with plain `spark.read`:
+
+    spark.dataSource.register(SnapshotDataSource)
+    spark.read.format("snapshot").option("path", t).load()
+    spark.read.format("snapshot").option("path", t).option("version", "3")…
+
+Scan planning is Iceberg-shaped, in miniature:
+- the file list comes from the pinned manifest (no directory listing);
+- `pushFilters` (Spark ≥ 4.1) receives the query's conjunctive predicates;
+  comparison filters on top-level columns are evaluated against each file's
+  parquet footer min/max — files that cannot contain a match are dropped
+  from `partitions()` BEFORE any task launches (file-level skip, the same
+  contract as Iceberg manifest stats). Every filter is also returned to
+  Spark, which re-applies it post-scan — skipping is a pure optimization,
+  never a correctness dependency;
+- one `InputPartition` per surviving file; `read` streams Arrow record
+  batches (zero row-by-row Python), padding net-new columns with nulls so
+  additive schema evolution reads like `read_snapshot(mergeSchema=True)`.
+
+This is the interoperability path; `snapshots.read_snapshot` (JVM parquet
+reader on the same manifest) remains the raw-throughput path. At 100 TB the
+win of THIS path is planning: pruning thousands of files via footer stats
+costs metadata reads only, and a clustered table (`cluster_rewrite` /
+z-order) makes the min/max envelopes tight enough that point queries open
+O(1) files.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from web_analytics_on_aws_spark.sources.snapshots import (
+    _read_manifest,
+    current_version,
+)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _manifest_files(options: dict) -> list[str]:
+    table = options["path"]
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    v = int(options["version"]) if "version" in options else cur
+    return _read_manifest(table, v)["files"]
+
+
+def _unified_arrow_schema(files: list[str]):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    unified = pa.unify_schemas(
+        [pq.read_schema(f) for f in files], promote_options="permissive"
+    )
+    # evolution means any column may be absent (null) in older files — the
+    # read schema must be nullable even where every writer declared required
+    return pa.schema([f.with_nullable(True) for f in unified])
+
+
+_COMPARES = {
+    EqualTo: lambda lo, hi, v: lo <= v <= hi,
+    GreaterThan: lambda lo, hi, v: hi > v,
+    GreaterThanOrEqual: lambda lo, hi, v: hi >= v,
+    LessThan: lambda lo, hi, v: lo < v,
+    LessThanOrEqual: lambda lo, hi, v: lo <= v,
+}
+
+
+class SnapshotReader(DataSourceReader):
+    def __init__(self, options: dict, schema):
+        self._files = _manifest_files(options)
+        self._schema = schema
+        self._pushed: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]):
+        """Keep every comparison filter on a top-level column for file-level
+        min/max skipping; return ALL filters so Spark still evaluates them
+        (skipping may only ever drop files that provably contain no match)."""
+        self._pushed = [
+            f
+            for f in filters
+            if type(f) in _COMPARES and len(f.attribute) == 1
+        ]
+        return filters
+
+    def _file_may_match(self, path: str) -> bool:
+        import pyarrow.parquet as pq
+
+        if not self._pushed:
+            return True
+        meta = pq.ParquetFile(path).metadata
+        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        for f in self._pushed:
+            col = f.attribute[0]
+            if col not in names:
+                continue  # evolution: column absent in this file → all-null
+            lo: Any = None
+            hi: Any = None
+            ok = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(names[col]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False  # no stats → cannot skip on this filter
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if not ok or lo is None:
+                continue
+            try:
+                if not _COMPARES[type(f)](lo, hi, f.value):
+                    return False  # provably no matching row in this file
+            except TypeError:
+                continue  # incomparable literal/stat types → keep the file
+        return True
+
+    def partitions(self):
+        return [_FilePartition(f) for f in self._files if self._file_may_match(f)]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        want = _unified_arrow_schema(self._files)
+        table = pq.read_table(partition.path)
+        # additive evolution: pad columns this file predates with nulls,
+        # project to the unified column order
+        cols = []
+        for field in want:
+            if field.name in table.column_names:
+                cols.append(table.column(field.name).cast(field.type))
+            else:
+                cols.append(pa.nulls(len(table), type=field.type))
+        yield from pa.table(dict(zip(want.names, cols))).to_batches()
+
+
+class SnapshotDataSource(DataSource):
+    """Register with ``spark.dataSource.register(SnapshotDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshot"
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return from_arrow_schema(_unified_arrow_schema(_manifest_files(self.options)))
+
+    def reader(self, schema) -> SnapshotReader:
+        return SnapshotReader(self.options, schema)
