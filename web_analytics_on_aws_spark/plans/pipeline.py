@@ -355,3 +355,53 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_tf"),
         )
     )
+
+
+@query(
+    "dedup_fuzzy_head_pairs",
+    oracle=f"""
+    WITH heads AS (
+      SELECT doc_id, substr({_NORM_SQL}, 1, 40) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.head, b.head) AS dist
+    FROM heads a JOIN heads b
+      ON substr(a.head, 1, 8) = substr(b.head, 1, 8)
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 5
+    """,
+)
+def fuzzy_head_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup detection on normalized 40-char
+    document heads: blocked self-join on the 8-char prefix (only docs
+    sharing a block ever meet — never n²), exact Levenshtein ≤ 5 inside
+    each block. Classic record-linkage blocking: the block key is the
+    recall dial (tighter prefix → fewer candidates, misses edits in the
+    first 8 chars; production stacks multiple keys — prefix, sorted
+    bigrams, phonetic — and unions candidates, same plan shape).
+
+    Scale: candidates are Σ_block |block|² — bounded by the head-prefix
+    distribution, not the corpus; Levenshtein is JVM `levenshtein()` on
+    40-char strings, O(1600) cells per pair, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    heads = docs.select(
+        "doc_id", F.substring(_norm(F.col("text")), 1, 40).alias("head")
+    )
+    a = heads.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("head").alias("head_a"),
+        F.substring("head", 1, 8).alias("blk"),
+    )
+    b = heads.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("head").alias("head_b"),
+        F.substring("head", 1, 8).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("dist", F.levenshtein("head_a", "head_b"))
+        .filter(F.col("dist") <= 5)
+        .select("doc_a", "doc_b", "dist")
+    )
