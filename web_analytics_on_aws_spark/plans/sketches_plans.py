@@ -165,3 +165,63 @@ def events_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return heavy_hitters(ev, "user_id", support="0.007", count_alias="n_events")
+
+
+@query(
+    "sketch_theta_overlap_audit",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_v,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
+      FROM events GROUP BY user_id
+    )
+    SELECT SUM(has_v * has_p) AS both_exact,
+           SUM(has_v * (1 - has_p)) AS view_only_exact,
+           TRUE AS both_within_tol,
+           TRUE AS view_only_within_tol
+    FROM per_user
+    """,
+)
+def sketch_theta_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap via theta set algebra: viewers ∩ purchasers
+    (`theta_intersection`) and viewers ∖ purchasers (`theta_difference`)
+    estimated from two per-segment sketches — the questions COUNT(DISTINCT)
+    can't answer from a rollup without re-scanning raw events. At 100 TB the
+    segment sketches are built once (fixed bytes per segment), and every
+    pairwise overlap/exclusion combination is sketch-local arithmetic.
+    Audit-boolean oracle: exact intersection counts hash-gate the estimates
+    within theta's intersection error envelope."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = lambda t: F.theta_sketch_agg(
+        F.when(F.col("event_type") == t, F.col("user_id"))
+    )
+    ests = ev.agg(
+        F.theta_sketch_estimate(
+            F.theta_intersection(sk("view"), sk("purchase"))
+        ).alias("est_both"),
+        F.theta_sketch_estimate(
+            F.theta_difference(sk("view"), sk("purchase"))
+        ).alias("est_vonly"),
+    )
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("has_v"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_p"
+        ),
+    )
+    exact = flags.agg(
+        F.sum(F.col("has_v") * F.col("has_p")).alias("both_exact"),
+        F.sum(F.col("has_v") * (1 - F.col("has_p"))).alias("view_only_exact"),
+    )
+    # theta intersection error compounds vs union — audit at a wider 15%
+    return exact.crossJoin(F.broadcast(ests)).select(
+        "both_exact",
+        "view_only_exact",
+        within_tolerance(F.col("est_both"), F.col("both_exact"), 0.15).alias(
+            "both_within_tol"
+        ),
+        within_tolerance(F.col("est_vonly"), F.col("view_only_exact"), 0.15).alias(
+            "view_only_within_tol"
+        ),
+    )
