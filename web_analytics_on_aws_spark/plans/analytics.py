@@ -826,3 +826,43 @@ def value_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("outlier_share"),
         )
     )
+
+
+@query(
+    "events_weekly_revenue_wow",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week_start,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week_start, revenue,
+           ROUND((revenue - lag(revenue) OVER w)
+                 / lag(revenue) OVER w, 6) AS wow_change
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
+    """,
+)
+def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: exact decimal weekly sums, one
+    lag window on the reduced series (|types × weeks| rows — the window
+    never touches raw events). First week's change is NULL by definition.
+    Both engines divide the same two doubles, so the rounded ratio is
+    bit-stable."""
+    from pyspark.sql import Window
+
+    from web_analytics_on_aws_spark.functions import dec_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+    ).agg(dec_sum("value").alias("revenue"))
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "event_type",
+        "week_start",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("wow_change"),
+    )

@@ -168,16 +168,20 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     """,
 )
 def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join ≡ NOT EXISTS. At scale: broadcast the distinct key set
-    when small, else shuffle-anti; here Catalyst picks via AQE."""
+    """Left-anti join ≡ NOT EXISTS (customers with no large order — the
+    filtered subquery keeps the result non-vacuous at every test SF, so the
+    gate checks real anti-join rows, not an empty-vs-empty hash). At scale:
+    broadcast the distinct key set when small, else shuffle-anti; Catalyst
+    picks via AQE."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        big, cust.c_custkey == big.o_custkey, "left_anti"
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
