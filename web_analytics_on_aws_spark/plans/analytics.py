@@ -866,3 +866,48 @@ def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round((F.col("revenue") - prev) / prev, 6).alias("wow_change"),
     )
+
+
+@query(
+    "funnel_purchase_within_7d",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS total_users,
+      SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS viewers,
+      SUM(CASE WHEN t_purchase > t_view
+                AND t_purchase <= t_view + INTERVAL 7 DAY
+               THEN 1 ELSE 0 END) AS converted_7d,
+      SUM(CASE WHEN t_purchase > t_view + INTERVAL 7 DAY
+               THEN 1 ELSE 0 END) AS converted_late
+    FROM per_user
+    """,
+)
+def funnel_within_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: first purchase must land within 7
+    days of first view to count (the marketing-attribution variant of the
+    unbounded funnel). Same two-hash-aggregate shape — the window
+    constraint is a row-local interval predicate on the per-user step
+    timestamps, zero extra joins or shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    deadline = F.col("t_view") + F.expr("INTERVAL 7 DAY")
+    in_window = (F.col("t_purchase") > F.col("t_view")) & (
+        F.col("t_purchase") <= deadline
+    )
+    late = F.col("t_purchase") > deadline
+    as_cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    return per_user.agg(
+        F.count("*").alias("total_users"),
+        as_cnt(F.col("t_view").isNotNull()).alias("viewers"),
+        as_cnt(in_window).alias("converted_7d"),
+        as_cnt(late).alias("converted_late"),
+    )
