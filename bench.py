@@ -39,6 +39,9 @@ HEADLINE = [
     "events_hourly_gapfill",
     "pipeline_chunk_512_overlap64",
     "events_user_skew_profile",
+    "funnel_purchase_within_7d",
+    "events_weekly_revenue_wow",
+    "dedup_fuzzy_head_pairs",
 ]
 
 

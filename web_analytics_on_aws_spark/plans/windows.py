@@ -11,7 +11,7 @@ DuckDB oracle can check them exactly.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from web_analytics_on_aws_spark.functions import dec_sum
 from web_analytics_on_aws_spark.plans import query
@@ -105,4 +105,35 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "dur_sec",
         )
+    )
+
+
+@query(
+    "window_top3_orders_with_ties",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(RANK() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC) AS INT) AS rnk
+      FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+)
+def top3_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK() variant of the per-customer top-3: ties share a rank and ALL
+    tied rows survive the cut (row_number's arbitrary tiebreak is the other
+    registered query — keeping both pins the semantic difference). Same
+    single-shuffle window plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
     )
