@@ -1,0 +1,50 @@
+"""Regenerate QUERIES.md: the auto-generated index of every registered
+query — name, oracle status, implementing module, first docstring line.
+
+Run after adding queries: `python tools/gen_query_index.py`.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from web_analytics_on_aws_spark import plans  # noqa: E402
+
+
+def first_line(fn) -> str:
+    doc = (fn.__doc__ or "").strip().splitlines()
+    return doc[0].rstrip(".") if doc else ""
+
+
+def main() -> None:
+    plans.load_all()
+    rows = []
+    for name in sorted(plans.QUERIES):
+        fn = plans.QUERIES[name]
+        check = "oracle" if name in plans.ORACLES else "rows-only"
+        rows.append((name, check, fn.__module__.rsplit(".", 1)[-1], first_line(fn)))
+
+    n_oracle = sum(1 for _, c, _, _ in rows if c == "oracle")
+    out = [
+        "# QUERIES — registered query index (auto-generated)",
+        "",
+        f"{len(rows)} queries, {n_oracle} DuckDB-oracle-checked (hash-compared",
+        "by the driver at sf0.01), the rest rows-only (approximate/Pandas ops,",
+        "pinned by pytest oracles instead). Regenerate:",
+        "`python tools/gen_query_index.py`.",
+        "",
+        "| query | check | module | what it does |",
+        "|---|---|---|---|",
+    ]
+    out += [f"| `{n}` | {c} | {m} | {d} |" for n, c, m, d in rows]
+    Path(__file__).resolve().parent.parent.joinpath("QUERIES.md").write_text(
+        "\n".join(out) + "\n"
+    )
+    print(f"QUERIES.md: {len(rows)} queries ({n_oracle} oracled)")
+
+
+if __name__ == "__main__":
+    main()
