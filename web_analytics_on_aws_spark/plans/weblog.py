@@ -329,3 +329,68 @@ def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket")
     ).agg(F.count("*").alias("cnt"), dec_sum("value").alias("total_value"))
+
+
+@query(
+    "weblog_session_depth_histogram",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > {SESSION_GAP_SECONDS}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_seq
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, sess_seq, COUNT(*) AS depth
+      FROM sessions GROUP BY user_id, sess_seq
+    )
+    SELECT CAST(LEAST(depth, 10) AS INT) AS depth_bucket,
+           COUNT(*) AS sessions,
+           CAST(SUM(depth) AS BIGINT) AS events
+    FROM per_session GROUP BY depth_bucket
+    """,
+)
+def session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth distribution (events per session, capped 10+ bucket) —
+    the engagement histogram layered on the same gaps-and-islands pipeline
+    as weblog_sessionization: two windows + two aggregates, ALL on the
+    user_id partitioning, then a tiny |buckets| reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > SESSION_GAP_SECONDS
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_sess"),
+    )
+    sessions = flagged.withColumn(
+        "sess_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_session = sessions.groupBy("user_id", "sess_seq").agg(
+        F.count("*").alias("depth")
+    )
+    return (
+        per_session.groupBy(
+            F.least(F.col("depth"), F.lit(10)).cast("int").alias("depth_bucket")
+        )
+        .agg(F.count("*").alias("sessions"), F.sum("depth").alias("events"))
+    )

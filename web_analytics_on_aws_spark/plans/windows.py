@@ -137,3 +137,34 @@ def top3_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "orders_rolling3_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS avg3
+    FROM orders
+    """,
+)
+def orders_rolling3_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame trailing average (last 3 orders per customer) — the
+    count-based sibling of the RANGE-frame 7-day window
+    (`events_7day_moving_revenue`); decimal-cast input keeps the windowed
+    AVG bit-identical across engines. One shuffle on the partition key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.avg(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"),
+            6,
+        ).alias("avg3"),
+    )
