@@ -31,7 +31,8 @@ HEADLINE = [
     "embedding_knn_q0",
     "funnel_view_click_purchase",
     "asof_purchase_attribution",
-    "ann_lsh_topk",
+    "ann_lsh_topk_raw",
+    "text_sparse_cosine_pairs_capped",
     "pipeline_corpus_build_e2e",
     "events_heavy_hitter_users",
     "incremental_daily_rollup",
@@ -86,6 +87,8 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
 
+    freshness = _measure_freshness(spark)
+
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
@@ -96,9 +99,48 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "freshness_sec": freshness,
     }
     print(json.dumps(out))
     spark.stop()
+
+
+def _measure_freshness(spark) -> float:
+    """Ingest→queryable latency (VERDICT r1 #7): land 1000 records, drain one
+    validated micro-batch into the raw zone, and report processing wall time
+    + the 60 s production trigger interval (worst-case scheduling delay).
+    Reference parity target: Firehose buffers 60–300 s + Lambda transform,
+    'within minutes' per web-analytics-iceberg/README.md — ≤ 300 s here."""
+    import json as _json
+    import shutil
+    import tempfile
+    import time
+
+    from web_analytics_on_aws_spark.streaming.ingest_stream import run_ingest_once
+
+    work = tempfile.mkdtemp(prefix="bench-freshness-")
+    try:
+        landing = os.path.join(work, "landing")
+        os.makedirs(landing)
+        rec = {
+            "userId": "u1", "sessionId": "s" * 24, "referrer": None,
+            "userAgent": "UA", "ip": "10.0.0.1", "hostname": "h.example",
+            "os": "Linux", "timestamp": "2026-03-02T13:45:00Z", "uri": "/p/1",
+        }
+        with open(os.path.join(landing, "batch.jsonl"), "w") as f:
+            for i in range(1000):
+                f.write(_json.dumps(rec | {"uri": f"/p/{i}"}) + "\n")
+        t0 = time.perf_counter()
+        run_ingest_once(
+            spark, landing, os.path.join(work, "raw"),
+            os.path.join(work, "err"), os.path.join(work, "ckpt"),
+        )
+        n = spark.read.text(os.path.join(work, "raw"), recursiveFileLookup=True).count()
+        elapsed = time.perf_counter() - t0
+        assert n == 1000, n
+        return round(elapsed + 60.0, 2)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

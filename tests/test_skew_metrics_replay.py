@@ -103,9 +103,14 @@ def test_embedding_lsh_near_dup_is_subset_with_exact_scores(spark):
         (r["id_a"], r["id_b"]): r["sim"]
         for r in plans.QUERIES["embedding_near_dup_pairs"](spark, SF_SMOKE).collect()
     }
+    from web_analytics_on_aws_spark.operators import similarity
+    from web_analytics_on_aws_spark.sources.tables import load_table as _lt
+
     lsh = {
         (r["id_a"], r["id_b"]): r["sim"]
-        for r in plans.QUERIES["embedding_near_dup_lsh"](spark, SF_SMOKE).collect()
+        for r in similarity.lsh_cosine_pairs(
+            _lt(spark, SF_SMOKE, "embeddings"), threshold=0.4, bands=8, planes=4
+        ).collect()
     }
     assert set(lsh) <= set(exact)
     for k, v in lsh.items():

@@ -88,3 +88,31 @@ def test_filter_on_absent_column_keeps_file(registered, tmp_path):
     # and null-safe Spark evaluation decides, not our stats)
     df = spark.read.format("snapshot").option("path", t).load().filter("v >= 0")
     assert df.count() == 10
+
+
+def test_reader_honors_explicit_schema_order_and_subset(registered, tmp_path):
+    """ADVICE r1: the reader must emit batches in the schema Spark passes it
+    (explicit .schema(...) with reordered / subset columns), not the
+    manifest-union order."""
+    spark = registered
+    t = str(tmp_path / "t")
+    commit_append(spark.range(0, 10).selectExpr("id", "id * 2 AS v"), t)
+
+    df = (
+        spark.read.format("snapshot")
+        .schema("v BIGINT, id BIGINT")  # reversed order
+        .option("path", t)
+        .load()
+    )
+    assert df.columns == ["v", "id"]
+    got = {r["id"]: r["v"] for r in df.collect()}
+    assert got == {i: i * 2 for i in range(10)}
+
+    only_v = (
+        spark.read.format("snapshot")
+        .schema("v BIGINT")
+        .option("path", t)
+        .load()
+    )
+    assert only_v.columns == ["v"]
+    assert sorted(r["v"] for r in only_v.collect()) == [i * 2 for i in range(10)]

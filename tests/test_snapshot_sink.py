@@ -79,6 +79,45 @@ def test_snapshot_sink_replay_is_exactly_once(spark, tmp_path):
     assert read_snapshot(spark, table).count() == 5
 
 
+def test_txn_stamps_survive_optimize_and_vacuum(spark, tmp_path):
+    """ADVICE r1: exactly-once must not depend on vacuum-able history. Every
+    manifest carries the per-app txn map forward, so commit → rewrite
+    (optimize) → vacuum(retain_last=1) → replay of the same batch id is
+    still a durable no-op."""
+    from web_analytics_on_aws_spark.sources.snapshots import optimize, vacuum
+
+    table = str(tmp_path / "t")
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    commit_append(df, table, txn=("app", 0))
+    commit_append(spark.range(5).selectExpr("id", "id AS v"), table,
+                  txn=("app", 1))
+    optimize(spark, table, small_file_mb=64.0, min_small_files=2)
+    vacuum(table, retain_last=1)  # only the optimize manifest survives
+    assert last_committed_batch(table, "app") == 1
+    v = current_version(table)
+    commit_append(df, table, txn=("app", 1))  # replay after vacuum
+    assert current_version(table) == v  # no-op, no duplicate rows
+    assert read_snapshot(spark, table).count() == 15
+
+
+def test_quarantine_replay_does_not_duplicate_errors(spark, tmp_path):
+    """ADVICE r1: a replayed micro-batch must not re-append its invalid
+    records to the error zone (batch-keyed overwrite)."""
+    t = str(tmp_path)
+    landing, table = f"{t}/landing", f"{t}/table"
+    good = [_rec("u1", "2026-03-02T13:45:00Z", "view", "/p/1")]
+    bad = ["not json", _rec("u2", "2026-03-02 13:45:00", "view", "/bad")]
+    _land(landing, "b1.jsonl", good + bad)
+
+    _drain(spark, landing, table, f"{t}/err", f"{t}/ckpt")
+    assert spark.read.text(f"{t}/err", recursiveFileLookup=True).count() == 2
+
+    shutil.rmtree(f"{t}/ckpt")  # checkpoint loss → batch 0 replays
+    _drain(spark, landing, table, f"{t}/err", f"{t}/ckpt2")
+    assert spark.read.text(f"{t}/err", recursiveFileLookup=True).count() == 2
+    assert read_snapshot(spark, table).count() == 1
+
+
 def test_commit_append_txn_api_skips_stale_batches(spark, tmp_path):
     table = str(tmp_path / "t")
     df = spark.range(10).selectExpr("id", "id * 2 AS v")

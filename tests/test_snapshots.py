@@ -244,3 +244,17 @@ def test_append_retries_past_concurrent_commit(spark, tmp_path):
     with _pytest.raises(CommitConflict):
         _publish(t, 3, json.load(open(_manifest_path(t, 3)))["files"], "append")
     assert delete_where is not None  # rewrite path shares _publish
+
+
+def test_dml_on_table_path_with_spaces(spark, tmp_path):
+    """ADVICE r1: input_file_name() returns URI-escaped paths; DML file
+    matching must unquote them or every touched file would be silently kept
+    AND rewritten (duplicating rows). A space in the table path exercises
+    the escape path end-to-end."""
+    from web_analytics_on_aws_spark.sources.snapshots import delete_where
+
+    t = str(tmp_path / "my table")
+    commit_append(spark.range(0, 10).selectExpr("id", "id * 2 AS v"), t)
+    res = delete_where(spark, t, "id >= 5")
+    assert res["rows_matched"] == 5
+    assert sorted(r["id"] for r in read_snapshot(spark, t).collect()) == list(range(5))

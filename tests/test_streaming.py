@@ -57,3 +57,46 @@ def test_streaming_ingest_drains_and_splits(spark, tmp_path):
         spark, landing, f"{tmp}/raw", f"{tmp}/error", f"{tmp}/ckpt", dialect="parquet"
     )
     assert spark.read.text(f"{tmp}/raw").count() == 13
+
+
+def test_cleanup_landing_prunes_aged_files_only(spark, tmp_path):
+    """S5 retention (VERDICT r1 #5): files older than the window are pruned
+    from the LANDING zone; fresh landing files and the quarantine zone are
+    preserved, and the already-checkpointed stream state is unaffected."""
+    import time
+
+    from web_analytics_on_aws_spark.streaming.ingest_stream import cleanup_landing
+
+    t = str(tmp_path)
+    landing, err = f"{t}/landing", f"{t}/err"
+    os.makedirs(landing), os.makedirs(err)
+    now = time.time()
+    old, fresh = f"{landing}/old.jsonl", f"{landing}/fresh.jsonl"
+    for p in (old, fresh):
+        with open(p, "w") as f:
+            f.write("{}\n")
+    os.utime(old, (now - 25 * 3600, now - 25 * 3600))  # 25 h old
+    q = f"{err}/bad.txt"
+    with open(q, "w") as f:
+        f.write("not json\n")
+    os.utime(q, (now - 48 * 3600, now - 48 * 3600))  # quarantine is NOT a buffer
+
+    assert cleanup_landing(landing, older_than_hours=24, now=now) == 1
+    assert not os.path.exists(old)
+    assert os.path.exists(fresh)
+    assert os.path.exists(q)  # retention never touches the error zone
+    # idempotent second run
+    assert cleanup_landing(landing, older_than_hours=24, now=now) == 0
+
+
+def test_merge_into_sql_parses_as_merge(spark):
+    """VERDICT r1 #6: no OTF jar in the env, so pin the emitted MERGE INTO
+    against Spark's own SQL grammar (parse-only — analysis needs a live
+    Iceberg/Delta catalog): it must round-trip to a MergeIntoTable plan."""
+    from web_analytics_on_aws_spark.operators.upsert import merge_into_sql
+
+    sql = merge_into_sql("db.events_iceberg")
+    assert "WHEN MATCHED THEN UPDATE SET *" in sql
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    assert plan.getClass().getSimpleName() == "MergeIntoTable"

@@ -346,11 +346,25 @@ def simhash64(hashes_col: str) -> F.Column:
     )
 
 
+# Token-hash dialects for SimHash. "xxhash64" is the production default
+# (fastest JVM path). "md5_60" folds the top 60 bits of md5 — ~2× slower,
+# but both Spark and DuckDB compute it identically (conv/hex-cast of the
+# same hex digest), which makes the whole simhash pipeline exactly
+# oracle-checkable pair-for-pair rather than audit-boolean-checkable.
+SIMHASH_HASH_FNS = {
+    "xxhash64": "t -> xxhash64(t)",
+    "md5_60": "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)",
+}
+
+
 def with_simhash(
-    df: DataFrame, text_col: str = "text", out: str = "simhash"
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "simhash",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     hashes = F.expr(
-        "transform(__sh_toks, t -> xxhash64(t))"
+        f"transform(__sh_toks, {SIMHASH_HASH_FNS[hash_fn]})"
     )
     return (
         df.withColumn("__sh_toks", F.array_distinct(token_split(F.col(text_col))))
@@ -365,6 +379,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -376,7 +391,7 @@ def simhash_pairs(
     # cache: both legs of the self-join reuse the computed fingerprints
     # (8 bytes/doc) instead of re-deriving the 64-pass hash fold
     fp = (
-        with_simhash(df, text_col)
+        with_simhash(df, text_col, hash_fn=hash_fn)
         .select(F.col(id_col).alias("id"), "simhash")
         .cache()
     )

@@ -36,12 +36,13 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
       FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS total_users,
-      SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step1_view,
-      SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-               THEN 1 ELSE 0 END) AS step2_click,
-      SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+      CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS step1_view,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+               THEN 1 ELSE 0 END) AS BIGINT) AS step2_click,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
                 AND t_purchase > t_click
-               THEN 1 ELSE 0 END) AS step3_purchase
+               THEN 1 ELSE 0 END) AS BIGINT) AS step3_purchase
     FROM per_user
     """,
 )
@@ -109,11 +110,16 @@ def retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_daily_type_pivot",
     oracle="""
     SELECT CAST(ts AS DATE) AS day,
-      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-      SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-      SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+        AS click,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        AS error,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        AS purchase,
+      CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+        AS signup,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+        AS view
     FROM events
     GROUP BY CAST(ts AS DATE)
     """,
@@ -275,10 +281,14 @@ def type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM synth
     )
     SELECT COUNT(*) AS docs,
-      SUM(CASE WHEN raw LIKE '%@%' THEN 1 ELSE 0 END) AS had_email,
-      SUM(CASE WHEN redacted LIKE '%@%' THEN 1 ELSE 0 END) AS leaked_email,
-      SUM(CASE WHEN redacted LIKE '%[EMAIL]%' THEN 1 ELSE 0 END) AS masked_email,
-      SUM(CASE WHEN redacted LIKE '%[PHONE]%' THEN 1 ELSE 0 END) AS masked_phone,
+      CAST(SUM(CASE WHEN raw LIKE '%@%' THEN 1 ELSE 0 END) AS BIGINT)
+        AS had_email,
+      CAST(SUM(CASE WHEN redacted LIKE '%@%' THEN 1 ELSE 0 END) AS BIGINT)
+        AS leaked_email,
+      CAST(SUM(CASE WHEN redacted LIKE '%[EMAIL]%' THEN 1 ELSE 0 END) AS BIGINT)
+        AS masked_email,
+      CAST(SUM(CASE WHEN redacted LIKE '%[PHONE]%' THEN 1 ELSE 0 END) AS BIGINT)
+        AS masked_phone,
       CAST(SUM(length(raw) - length(redacted)) AS BIGINT) AS chars_removed
     FROM red
     """,
@@ -324,7 +334,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day, CAST(rev AS DOUBLE) AS day_revenue,
            CAST(SUM(rev) OVER w AS DOUBLE) AS rev_7d,
-           SUM(n) OVER w AS cnt_7d
+           CAST(SUM(n) OVER w AS BIGINT) AS cnt_7d
     FROM daily
     WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', day)
                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -564,8 +574,9 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS slope_num,
-           COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS slope_den
+           CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+             AS slope_num,
+           CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
     FROM (SELECT event_type,
                  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
                  CAST(value AS DECIMAL(18,2)) AS y
@@ -595,8 +606,12 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type",
         "n",
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("slope_num"),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("slope_den"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint")
+        .alias("slope_den"),
     )
 
 
@@ -726,7 +741,7 @@ def hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cnts
     )
     SELECT COUNT(*) AS distinct_keys,
-           SUM(cnt) AS total_rows,
+           CAST(SUM(cnt) AS BIGINT) AS total_rows,
            MAX(cnt) AS max_cnt,
            ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS max_share,
            ROUND(CAST(SUM(CASE WHEN i > n - 10 THEN cnt
@@ -789,9 +804,9 @@ def user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            COUNT(*) AS n,
-           SUM(CASE WHEN e.value < p25 - 1.5 * (p75 - p25)
+           CAST(SUM(CASE WHEN e.value < p25 - 1.5 * (p75 - p25)
                      OR e.value > p75 + 1.5 * (p75 - p25)
-                    THEN 1 ELSE 0 END) AS outliers,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
            ROUND(CAST(SUM(CASE WHEN e.value < p25 - 1.5 * (p75 - p25)
                                 OR e.value > p75 + 1.5 * (p75 - p25)
                                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
@@ -878,12 +893,13 @@ def weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS total_users,
-      SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS viewers,
-      SUM(CASE WHEN t_purchase > t_view
+      CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS viewers,
+      CAST(SUM(CASE WHEN t_purchase > t_view
                 AND t_purchase <= t_view + INTERVAL 7 DAY
-               THEN 1 ELSE 0 END) AS converted_7d,
-      SUM(CASE WHEN t_purchase > t_view + INTERVAL 7 DAY
-               THEN 1 ELSE 0 END) AS converted_late
+               THEN 1 ELSE 0 END) AS BIGINT) AS converted_7d,
+      CAST(SUM(CASE WHEN t_purchase > t_view + INTERVAL 7 DAY
+               THEN 1 ELSE 0 END) AS BIGINT) AS converted_late
     FROM per_user
     """,
 )

@@ -60,7 +60,7 @@ def dq_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     UNION ALL
     SELECT 'unique(event_id)',
-           COALESCE(SUM(n - 1), 0),
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT),
            COALESCE(SUM(n - 1), 0) = 0
     FROM (SELECT COUNT(*) AS n FROM events GROUP BY event_id)
     UNION ALL

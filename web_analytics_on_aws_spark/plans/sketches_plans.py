@@ -176,8 +176,8 @@ def events_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
       FROM events GROUP BY user_id
     )
-    SELECT SUM(has_v * has_p) AS both_exact,
-           SUM(has_v * (1 - has_p)) AS view_only_exact,
+    SELECT CAST(SUM(has_v * has_p) AS BIGINT) AS both_exact,
+           CAST(SUM(has_v * (1 - has_p)) AS BIGINT) AS view_only_exact,
            TRUE AS both_within_tol,
            TRUE AS view_only_within_tol
     FROM per_user

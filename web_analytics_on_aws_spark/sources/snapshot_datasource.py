@@ -93,6 +93,21 @@ class SnapshotReader(DataSourceReader):
         self._files = _manifest_files(options)
         self._schema = schema
         self._pushed: list[Filter] = []
+        # Resolve the OUTPUT arrow schema once, on the driver: honor the
+        # schema Spark hands the reader (explicit .schema(...) / future
+        # column pruning), falling back to the manifest union. Serialized
+        # into the pickled reader → each task reuses it instead of
+        # re-reading every file's footer per partition (which was O(files²)
+        # metadata reads per scan).
+        want = None
+        if schema is not None and len(schema.fields) > 0:
+            try:
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                want = to_arrow_schema(schema)
+            except Exception:
+                want = None
+        self._want = want if want is not None else _unified_arrow_schema(self._files)
 
     def pushFilters(self, filters: list[Filter]):
         """Keep every comparison filter on a top-level column for file-level
@@ -142,8 +157,13 @@ class SnapshotReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        want = _unified_arrow_schema(self._files)
-        table = pq.read_table(partition.path)
+        want = self._want
+        # column pruning at the file read: only the requested columns that
+        # this file actually has are decoded; the rest are padded below
+        have = set(pq.read_schema(partition.path).names)
+        table = pq.read_table(
+            partition.path, columns=[n for n in want.names if n in have]
+        )
         # additive evolution: pad columns this file predates with nulls,
         # project to the unified column order
         cols = []

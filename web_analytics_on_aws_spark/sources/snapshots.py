@@ -73,6 +73,17 @@ def _read_manifest(table: str, version: int) -> dict:
         return json.load(f)
 
 
+def _manifest_txns(m: dict) -> dict[str, int]:
+    """Per-app txn stamps recorded in a manifest (legacy single-``txn``
+    manifests normalize to a one-entry map)."""
+    txns = {a: int(b) for a, b in m.get("txns", {}).items()}
+    legacy = m.get("txn")
+    if legacy:
+        app, batch = legacy["app"], int(legacy["batch"])
+        txns[app] = max(txns.get(app, batch), batch)
+    return txns
+
+
 def _publish(
     table: str,
     version: int,
@@ -82,8 +93,25 @@ def _publish(
 ) -> None:
     os.makedirs(os.path.join(table, MANIFEST_DIR), exist_ok=True)
     body = {"version": version, "operation": op, "files": sorted(files)}
+    # Exactly-once stamps survive vacuum: every manifest carries the full
+    # per-app txn map forward (merged from the predecessor), so replay
+    # detection never depends on aged-out history. Rewrites (overwrite/DML/
+    # optimize) inherit the map unchanged.
+    txns: dict[str, int] = {}
+    if version > 1:
+        try:
+            txns = _manifest_txns(_read_manifest(table, version - 1))
+        except FileNotFoundError:
+            # predecessor vacuumed under retain_last=0 — fall back to the
+            # newest surviving manifest's map
+            vs = [v for v in _versions(table) if v < version]
+            if vs:
+                txns = _manifest_txns(_read_manifest(table, vs[-1]))
     if txn is not None:
-        body["txn"] = {"app": txn[0], "batch": int(txn[1])}
+        app, batch = txn[0], int(txn[1])
+        txns[app] = max(txns.get(app, batch), batch)
+    if txns:
+        body["txns"] = txns
     tmp = _manifest_path(table, version) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(body, f)
@@ -115,12 +143,13 @@ def _write_data_files(df: DataFrame, table: str) -> list[str]:
 
 def last_committed_batch(table: str, app: str) -> int | None:
     """Highest micro-batch id committed by ``app`` (Delta's txn-appId
-    idempotence protocol): scan manifests newest-first for the app's
-    latest ``txn`` stamp."""
+    idempotence protocol). The head manifest carries the complete per-app
+    map (see ``_publish``), so one read answers it even after vacuum; the
+    newest-first scan below only matters for pre-``txns`` legacy tables."""
     for v in reversed(_versions(table)):
-        txn = _read_manifest(table, v).get("txn")
-        if txn and txn.get("app") == app:
-            return int(txn["batch"])
+        txns = _manifest_txns(_read_manifest(table, v))
+        if app in txns:
+            return txns[app]
     return None
 
 
@@ -214,7 +243,14 @@ def vacuum(table: str, retain_last: int = 1) -> int:
 
 
 def _normalize_file(p: str) -> str:
-    return p.removeprefix("file://")
+    """Map an ``input_file_name()`` URI back to a local path: percent-escapes
+    decoded (spaces etc.), scheme stripped — so it compares equal to the
+    plain paths stored in manifests."""
+    from urllib.parse import unquote, urlparse
+
+    if p.startswith("file:"):
+        return unquote(urlparse(p).path)
+    return unquote(p)
 
 
 def _rewrite_matched(
@@ -248,6 +284,14 @@ def _rewrite_matched(
         _normalize_file(r["__file"])
         for r in df.filter(hit).select("__file").distinct().collect()
     }
+    # A normalization miss would keep AND rewrite the same file, silently
+    # duplicating its rows in the new snapshot — fail loudly instead.
+    unknown = touched - set(files)
+    if unknown:
+        raise RuntimeError(
+            f"matched files not present in manifest v{cur} of {table}: "
+            f"{sorted(unknown)[:3]}"
+        )
     kept = [f for f in files if f not in touched]
     n_matched = 0
     new_files: list[str] = []

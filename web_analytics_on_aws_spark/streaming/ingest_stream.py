@@ -130,6 +130,40 @@ def run_ingest_once(
     q.awaitTermination()
 
 
+def cleanup_landing(
+    landing_dir: str,
+    older_than_hours: float = 24.0,
+    now: float | None = None,
+) -> int:
+    """Retention enforcement for the landing zone — the maintenance job the
+    reference gets from Kinesis' 24 h stream retention
+    (web-analytics-parquet/cdk_stacks/kds.py:28-31): landing files older
+    than ``older_than_hours`` are deleted; everything else (including the
+    separate raw/error zones — retention applies to the BUFFER, never the
+    quarantine) is untouched. Safe to run any time after the stream's
+    checkpoint has consumed the files: the file-source checkpoint tracks
+    processed paths by name, so removing aged inputs never re-triggers or
+    loses data. Returns the number of files deleted.
+
+    Scale: one directory walk, metadata-only — schedule it like the
+    compaction tick (T6)."""
+    import os
+    import time
+
+    cutoff = (now if now is not None else time.time()) - older_than_hours * 3600.0
+    deleted = 0
+    for root, _dirs, files in os.walk(landing_dir):
+        for name in files:
+            p = os.path.join(root, name)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    os.remove(p)
+                    deleted += 1
+            except FileNotFoundError:
+                continue  # concurrent cleaner — already gone
+    return deleted
+
+
 def replay_errors(
     spark: SparkSession,
     error_path: str,

@@ -21,6 +21,8 @@ exactly as it does for the hive zones.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
@@ -58,12 +60,16 @@ def start_snapshot_ingest(
                     with_ingest_partitions,
                 )
 
+                # batch-keyed subdir + overwrite → a replayed micro-batch
+                # (checkpoint rollback) REPLACES its own quarantine output
+                # instead of appending duplicates; the error zone inherits
+                # the data zone's exactly-once property without txn state.
                 (
                     with_ingest_partitions(invalid)
-                    .write.mode("append")
+                    .write.mode("overwrite")
                     .partitionBy("year", "month", "day", "hour")
                     .format("text")
-                    .save(error_path)
+                    .save(os.path.join(error_path, f"batch={batch_id}"))
                 )
             typed = validated.filter(F.col("result") == RESULT_OK).select(*data_cols)
             if typed.limit(1).count() > 0:
