@@ -160,3 +160,101 @@ def trigram_lang_id(
         F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
         F.coalesce("score", F.lit(0)).alias("score"),
     )
+
+
+def benchmark_ngram_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the n-gram-overlap rule every pretraining
+    pipeline runs before training): return the ids of ``train`` documents
+    sharing at least one n-token shingle with any ``benchmark`` document.
+
+    Plan: benchmark shingles → distinct → BROADCAST (eval sets are tiny
+    next to the corpus — MBs of grams vs TBs of train text); train side is
+    one map pass (shingle + explode) into a broadcast left-semi join, then
+    a distinct on ids. Zero corpus shuffles at any scale; if the benchmark
+    side ever outgrows broadcast, the same plan downgrades to a hash
+    semi-join on the gram key."""
+    from web_analytics_on_aws_spark.operators.dedup import with_shingles
+
+    bg = (
+        with_shingles(benchmark, text_col, n, "__g")
+        .select(F.explode("__g").alias("gram"))
+        .distinct()
+    )
+    tg = with_shingles(train, text_col, n, "__g").select(
+        id_col, F.explode("__g").alias("gram")
+    )
+    return tg.join(F.broadcast(bg), "gram", "left_semi").select(id_col).distinct()
+
+
+def repetition_scores(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate/repetition quality signal: per document, the share of
+    k-gram occurrences taken by the single most repeated k-gram
+    (``max_gram_count / n_grams``) — high values mark templated or
+    degenerate text that quality filters drop before training.
+
+    Non-distinct k-grams by construction (repetition is the point), via
+    array expressions over a tokenized-once column; one (doc, gram) count
+    aggregate then a per-doc max — both partial-aggregated map-side.
+    Documents with fewer than k tokens emit no row (no k-grams to score)."""
+    from web_analytics_on_aws_spark.functions import token_split
+
+    gram = (
+        "transform(sequence(1, size(__toks) - {m}), "
+        "i -> concat_ws(' ', {parts}))"
+    ).format(
+        m=k - 1,
+        parts=", ".join(f"element_at(__toks, i + {j})" for j in range(k)),
+    )
+    grams = (
+        df.select(F.col(id_col), token_split(F.col(text_col)).alias("__toks"))
+        .filter(F.size("__toks") >= k)
+        .select(id_col, F.explode(F.expr(gram)).alias("gram"))
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("__c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("__c").alias("n_grams"),
+        F.max("__c").alias("max_gram_count"),
+    ).select(
+        id_col,
+        "n_grams",
+        "max_gram_count",
+        F.round(F.col("max_gram_count") / F.col("n_grams"), 6).alias("rep_score"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-vocabulary build step: the top-k corpus tokens by total
+    occurrence count, ranked deterministically (count desc, token asc).
+
+    One token-count aggregate (map-side combined — the shuffle carries
+    |vocab| partial counts, not token instances) and one global sort of the
+    |vocab|-row result; at 100 TB |vocab| is millions of rows — the sort is
+    trivial next to the scan."""
+    from pyspark.sql import Window
+
+    from web_analytics_on_aws_spark.functions import token_split
+
+    counts = (
+        df.select(F.explode(token_split(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "tok", "cnt")
+    )
