@@ -246,3 +246,45 @@ def test_salted_join_spreads_and_iqr_broadcasts(spark):
     assert "__salt" not in salted.split("Output")[0]  # salt never escapes
     iqr = _explain(spark, "events_value_iqr_outliers")
     assert "BroadcastHashJoin" in iqr  # fence table must broadcast
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set must broadcast (eval sets are tiny); the train
+    corpus must reach the semi-join without its own shuffle — the only
+    exchanges are the gram/doc distincts and the final source aggregate."""
+    plan = _explain(spark, "pipeline_decontaminate_stats")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_cascade_dedups_on_digest_before_blocking(spark):
+    """The registered fuzzy query must contain the exact-dedup stage: a
+    16-byte md5 digest aggregate feeding a LeftSemi survivor filter BEFORE
+    the block self-join (the cascade that removes the Σ block² blowup)."""
+    plan = _explain(spark, "dedup_fuzzy_head_pairs")
+    assert "md5" in plan and "LeftSemi" in plan
+    assert "partial_min(doc_id" in plan  # survivor = min id per digest
+
+
+def test_capped_cosine_filters_tokens_before_pair_join(spark):
+    """The df-cap semi-join must prune the tf table before the inverted-
+    index self-join, and the doc-count scalar must ride a broadcast."""
+    plan = _explain(spark, "text_sparse_cosine_pairs_capped")
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_topk_partial_aggregates_token_counts(spark):
+    """Token counting must map-side combine (the shuffle carries |vocab|
+    partial counts, not token instances)."""
+    plan = _explain(spark, "pipeline_vocab_top500")
+    assert "partial_count" in plan
+
+
+def test_cooccurrence_reduces_users_before_self_join(spark):
+    """The pair self-join must run over the distinct (user, type) reduction,
+    and the singles/total sides must broadcast onto the pair aggregate."""
+    plan = _explain(spark, "events_type_cooccurrence")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
