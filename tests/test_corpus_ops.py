@@ -1,0 +1,213 @@
+"""Planted-case oracles for the round-2 corpus operators: SemDeDup
+semantic pruning, PQ-ADC top-k, exact-substring window dedup, Gopher
+quality flags, BPE pair counts, and the SCD2 history build."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from web_analytics_on_aws_spark.operators.cdc import scd2_history
+from web_analytics_on_aws_spark.operators.similarity import (
+    brute_force_topk,
+    pq_adc_topk,
+    semantic_prune,
+)
+from web_analytics_on_aws_spark.operators.text import (
+    bpe_pair_counts,
+    duplicated_window_stats,
+    gopher_flags,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --------------------------------------------------------------------- SemDeDup
+
+
+def test_semantic_prune_drops_higher_id_near_dups(spark):
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0]),     # centroid of cluster 0
+            (1, [0.0, 1.0]),     # centroid of cluster 1
+            (2, [1.0, 0.01]),    # cluster 0, ~dup of 0 → pruned
+            (3, [0.01, 1.0]),    # cluster 1, ~dup of 1 → pruned
+            (4, [-1.0, 0.2]),    # cluster 1 (less anti-aligned with 1 than 0)
+        ],
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_prune(emb, threshold=0.99, num_centroids=2).collect()
+    }
+    assert len(out) == 5
+    assert out[0]["pruned"] is False and out[0]["max_lower_sim"] is None
+    assert out[1]["pruned"] is False  # different cluster from 0
+    assert out[2]["pruned"] is True and out[2]["cluster_id"] == 0
+    assert out[3]["pruned"] is True and out[3]["cluster_id"] == 1
+    assert out[4]["pruned"] is False
+
+
+def test_semantic_prune_lowest_id_survives_each_group(spark):
+    # three mutual near-dups: only the lowest id survives
+    emb = _emb(
+        spark,
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        + [(i, [1.0, 0.001 * i]) for i in (10, 11, 12)],
+    )
+    out = semantic_prune(emb, threshold=0.999, num_centroids=2)
+    pruned = {r["vec_id"] for r in out.collect() if r["pruned"]}
+    assert pruned == {10, 11, 12}  # all near-dups of centroid 0 itself
+
+
+# ----------------------------------------------------------------------- PQ-ANN
+
+
+def test_pq_full_rerank_matches_brute_force(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((40, 16)).astype("float32")
+    emb = _emb(spark, [(i, [float(x) for x in vecs[i]]) for i in range(40)])
+    q = emb.filter("vec_id < 2").selectExpr("vec_id AS query_id", "embedding AS qv")
+    # rerank ≥ corpus ⇒ the ADC shortlist covers everything ⇒ exact result
+    approx = pq_adc_topk(emb, q, k=5, m=4, num_codewords=8, rerank=40)
+    exact = brute_force_topk(emb, q, k=5)
+    key = lambda r: (r["query_id"], r["rank"])
+    got = sorted(approx.collect(), key=key)
+    want = sorted(exact.collect(), key=key)
+    assert [(r["query_id"], r["vec_id"], r["sim"]) for r in got] == [
+        (r["query_id"], r["vec_id"], r["sim"]) for r in want
+    ]
+
+
+def test_pq_sims_are_exact_rerank_scores(spark):
+    """Whatever candidates PQ picks, the emitted sims must equal the exact
+    cosine for those (query, vec) pairs."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((30, 8)).astype("float32")
+    emb = _emb(spark, [(i, [float(x) for x in vecs[i]]) for i in range(30)])
+    q = emb.filter("vec_id = 0").selectExpr("vec_id AS query_id", "embedding AS qv")
+    approx = pq_adc_topk(emb, q, k=3, m=2, num_codewords=4, rerank=5)
+    for r in approx.collect():
+        a, b = vecs[0].astype("float64"), vecs[r["vec_id"]].astype("float64")
+        want = float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+        assert abs(r["sim"] - want) < 1e-6
+
+
+# ------------------------------------------------------------ substring windows
+
+
+def test_duplicated_windows_planted(spark):
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = _docs(
+        spark,
+        [
+            (1, shared + " tail1 tail2"),      # 3 windows, 1 shared
+            (2, "head0 " + shared),            # 2 windows, 1 shared
+            (3, "a b c d e f g h i j"),        # 1 window, unique
+            (4, "too short"),                  # 0 windows
+        ],
+    )
+    out = {r["doc_id"]: r for r in duplicated_window_stats(docs, k=10).collect()}
+    assert out[1]["n_windows"] == 3 and out[1]["n_dup_windows"] == 1
+    assert out[2]["n_windows"] == 2 and out[2]["n_dup_windows"] == 1
+    assert out[3]["n_windows"] == 1 and out[3]["n_dup_windows"] == 0
+    assert out[4]["n_windows"] == 0 and out[4]["dup_frac"] == 0.0
+    assert out[1]["dup_frac"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_duplicated_windows_within_doc_repeat_not_counted(spark):
+    # the same window twice in ONE doc is not cross-doc duplication
+    docs = _docs(
+        spark,
+        [
+            (1, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+            (2, "totally different words here padding out to ten tokens now yes"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in duplicated_window_stats(docs, k=10).collect()}
+    assert out[1]["n_dup_windows"] == 0
+
+
+# ----------------------------------------------------------------- gopher flags
+
+
+def test_gopher_flags_each_rule(spark):
+    ok = "the cat sat on the mat " + " ".join(f"word{i}" for i in range(20))
+    docs = _docs(
+        spark,
+        [
+            (1, ok),                                    # passes all
+            (2, "the a of"),                            # too few words
+            (3, ok + " " + "x" * 25),                   # max word len violated
+            (4, " ".join("zq" for _ in range(30))),     # no stopwords, mean len 2
+        ],
+    )
+    out = {r["doc_id"]: r for r in gopher_flags(docs).collect()}
+    assert out[1]["pass_all"] is True
+    assert out[2]["wc_ok"] is False and out[2]["pass_all"] is False
+    assert out[3]["mx_ok"] is False and out[3]["pass_all"] is False
+    assert out[4]["sw_ok"] is False and out[4]["ml_ok"] is False
+
+
+# -------------------------------------------------------------------- BPE pairs
+
+
+def test_bpe_pair_counts_planted(spark):
+    docs = _docs(spark, [(1, "abab ab"), (2, "ba")])
+    out = {r["pair"]: (r["rank"], r["cnt"]) for r in bpe_pair_counts(docs).collect()}
+    # "abab" → ab, ba, ab ; "ab" → ab ; "ba" → ba
+    assert out["ab"] == (1, 3)
+    assert out["ba"] == (2, 2)
+
+
+# ------------------------------------------------------------------------- SCD2
+
+
+def test_scd2_history_intervals(spark):
+    d = datetime.date
+    rows = [
+        (1, "A", d(2024, 1, 1), 10),
+        (1, "A", d(2024, 2, 1), 11),  # no change → collapsed
+        (1, "B", d(2024, 3, 1), 12),  # change
+        (1, "A", d(2024, 4, 1), 13),  # change back (new interval, not merged)
+        (2, "C", d(2024, 1, 5), 20),  # single-row key
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, status string, dt date, seq long"
+    )
+    out = sorted(
+        scd2_history(df, "k", "status", "dt", "seq").collect(),
+        key=lambda r: (r["k"], r["valid_from"]),
+    )
+    assert [
+        (r["k"], r["status"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out
+    ] == [
+        (1, "A", d(2024, 1, 1), d(2024, 3, 1), False),
+        (1, "B", d(2024, 3, 1), d(2024, 4, 1), False),
+        (1, "A", d(2024, 4, 1), None, True),
+        (2, "C", d(2024, 1, 5), None, True),
+    ]
+
+
+def test_scd2_same_day_changes_ordered_by_tiebreak(spark):
+    d = datetime.date
+    rows = [(1, "A", d(2024, 1, 1), 2), (1, "B", d(2024, 1, 1), 1)]
+    df = spark.createDataFrame(rows, "k long, status string, dt date, seq long")
+    out = sorted(
+        scd2_history(df, "k", "status", "dt", "seq").collect(),
+        key=lambda r: 0 if r["status"] == "B" else 1,
+    )
+    # seq=1 (B) comes first, then A; both share the same date
+    assert out[0]["is_current"] is False and out[1]["is_current"] is True

@@ -288,3 +288,43 @@ def test_cooccurrence_reduces_users_before_self_join(spark):
     plan = _explain(spark, "events_type_cooccurrence")
     assert "BroadcastHashJoin" in plan
     assert "partial_" in plan
+
+
+def test_substring_windows_digest_groupby_no_pairs(spark):
+    """Window dedup must be explode → digest groupBy → join-back; never a
+    doc×doc comparison."""
+    plan = _explain(spark, "dedup_substring_windows")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "md5" in plan
+    assert "partial_count" in plan  # distinct-doc census map-side combines
+
+
+def test_gopher_flags_single_shuffle(spark):
+    """All four Gopher rules fuse into one map pass: exactly one exchange
+    (the source rollup)."""
+    plan = _explain(spark, "text_gopher_quality_flags")
+    assert plan.count("hashpartitioning(") == 1
+    assert "partial_sum" in plan
+
+
+def test_scd2_single_exchange_for_both_windows(spark):
+    """Both SCD2 windows share the (key) partition spec — Catalyst must plan
+    ONE shuffle on the dimension key, not two."""
+    plan = _explain(spark, "scd2_customer_order_status")
+    assert plan.count("hashpartitioning(o_custkey") == 1
+
+
+def test_semantic_prune_no_global_pairs(spark):
+    """SemDeDup: map-only assignment + per-cluster Arrow kernel; the plan
+    must contain the grouped-pandas node and no corpus-level pair join."""
+    plan = _explain(spark, "dedup_semantic_prune")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_pq_topk_map_only_scan(spark):
+    """PQ-ADC: one MapInPandas corpus pass; the only exchange ranks the
+    per-partition shortlists (≤ rerank·partitions rows per query)."""
+    plan = _explain(spark, "ann_pq_topk_raw")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

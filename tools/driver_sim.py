@@ -61,7 +61,7 @@ def kind(series):
 
 
 def cell(v):
-    if v is None or (isinstance(v, float) and pd.isna(v)):
+    if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NaT:
         return "NULL"
     if isinstance(v, float):
         return repr(round(v, 9))

@@ -95,3 +95,38 @@ def snapshot_changelog(
     old = read_snapshot(spark, table, version=from_version)
     new = read_snapshot(spark, table, version=to_version)
     return table_diff(old, new, keys, compare_cols)
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    time_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """SCD2 (Kimball type-2 slowly-changing-dimension) history build:
+    collapse each key's attribute sequence into change rows with
+    [valid_from, valid_to) intervals and an is_current flag.
+
+    Ordering inside a key is (time_col, tiebreak_col) — fully deterministic.
+    One shuffle on the dimension key serves both windows (identical
+    partition spec → Catalyst plans a single exchange).
+    Output: (key_col, attr_col, valid_from, valid_to, is_current).
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(time_col, tiebreak_col)
+    changes = (
+        df.withColumn("__prev", F.lag(attr_col).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
+        .select(key_col, attr_col, time_col, tiebreak_col)
+    )
+    w2 = Window.partitionBy(key_col).orderBy(time_col, tiebreak_col)
+    return changes.select(
+        key_col,
+        attr_col,
+        F.col(time_col).alias("valid_from"),
+        F.lead(time_col).over(w2).alias("valid_to"),
+        F.lead(time_col).over(w2).isNull().alias("is_current"),
+    )

@@ -558,3 +558,178 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_prune(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): cluster the embedding
+    space with the coarse quantizer, then inside each cluster drop every
+    vector that has a LOWER-id neighbor with cosine ≥ ``threshold`` (the
+    deterministic keep-lowest-id form of the paper's keep-one-per-group).
+
+    Scale shape: assignment is the same map-only Arrow matmul as
+    ``ivf_assign`` (no corpus shuffle); the only shuffle is the
+    groupBy(cluster), and the within-cluster all-pairs is the algorithm's
+    contract — SemDeDup holds cluster size bounded by scaling k ∝ n
+    (paper uses k=50k–110k for web corpora), so each task scores a
+    bounded (|cluster| × |cluster|) block vectorized. No global all-pairs
+    ever exists.
+
+    Output: one row per corpus vector —
+    (vec_id, cluster_id, max_lower_sim double, pruned boolean); the
+    threshold compare runs JVM-side on round(sim, 6) (HALF_UP, matching
+    the SQL oracle's ROUND).
+    """
+    cents = deterministic_centroids(corpus, num_centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col).select(
+        id_col, vec_col, "centroid_id"
+    )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    cid_type = assigned.schema["centroid_id"].dataType.simpleString()
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        v = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64, copy=False)
+        dots = v @ v.T
+        n = np.sqrt((v * v).sum(axis=1))
+        sim = dots / (n[:, None] * n[None, :])
+        lower = np.tril(sim, k=-1)  # row i × columns j<i (lower ids)
+        best = lower.max(axis=1, initial=-np.inf)
+        # lowest id in the cluster has no lower neighbor → SQL NULL (never
+        # NaN: Spark orders NaN above every number, which would flip the
+        # threshold compare)
+        vals = pd.array([None] + [float(x) for x in best[1:]], dtype="Float64")
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "centroid_id": pdf["centroid_id"].iloc[0],
+                "__raw": vals,
+            }
+        )
+
+    scored = assigned.groupBy("centroid_id").applyInPandas(
+        _score, f"{id_col} {id_type}, centroid_id {cid_type}, __raw double"
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("centroid_id").alias("cluster_id"),
+        F.round("__raw", 6).alias("max_lower_sim"),
+        F.coalesce(F.round("__raw", 6) >= threshold, F.lit(False)).alias("pruned"),
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    num_codewords: int = 16,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Product-quantization ADC top-k with exact re-ranking (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+    ADC part; IVF composition is ``ivf_topk``).
+
+    Index: vectors are L2-normalized and split into ``m`` subspaces;
+    each subspace gets a ``num_codewords``-entry codebook taken from the
+    lowest-id corpus vectors' subvectors (deterministic, training-free —
+    the same contract as ``deterministic_centroids``; a production build
+    would k-means each codebook, machinery unchanged). A vector's code is
+    its nearest (L2) codeword per subspace → m small ints instead of dim
+    floats (here 8 bytes vs 256 — the 32× memory shrink is the point at
+    100 TB).
+
+    Query: ADC — each query precomputes an (m × num_codewords) lookup
+    table of subspace dot products; a vector's approximate cosine is the
+    sum of m table lookups, never a full-vector product. The kernel keeps
+    only the per-batch ADC top-``rerank`` candidates per query and scores
+    those EXACTLY (re-rank with originals — the standard shortlist
+    pattern), so emitted sims are exact cosines; only candidate *choice*
+    is approximate. Map-only over the corpus; the sole shuffle ranks
+    ≤ rerank·partitions rows per query.
+
+    Output: (query_id, vec_id, sim, rank 1..k), sims exact.
+    """
+    cb_src = sorted(
+        corpus.select(id_col, as_double_vec(vec_col).alias("__v"))
+        .orderBy(F.col(id_col))
+        .limit(num_codewords)
+        .collect(),
+        key=lambda r: r[id_col],
+    )
+    cbv = np.stack([np.asarray(r["__v"]) for r in cb_src]).astype(np.float64)
+    cbv = cbv / np.sqrt((cbv * cbv).sum(axis=1))[:, None]
+    dim = cbv.shape[1]
+    sub = dim // m
+    # codebooks[s]: (num_codewords × sub)
+    codebooks = [cbv[:, s * sub : (s + 1) * sub].copy() for s in range(m)]
+
+    qrows = sorted(
+        queries.select(query_id_col, as_double_vec("qv").alias("__q")).collect(),
+        key=lambda r: r[query_id_col],
+    )
+    qids = np.array([r[query_id_col] for r in qrows])
+    qv = np.stack([np.asarray(r["__q"]) for r in qrows]).astype(np.float64)
+    qn = qv / np.sqrt((qv * qv).sum(axis=1))[:, None]
+    # luts: (nq × m × num_codewords) subspace dot products
+    luts = np.stack(
+        [
+            np.stack([qn[:, s * sub : (s + 1) * sub] @ codebooks[s].T for s in range(m)], axis=1)
+        ]
+    )[0]
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+
+    def _scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            norms = np.sqrt((v * v).sum(axis=1))
+            vn = v / norms[:, None]
+            adc = np.zeros((len(v), len(qids)), dtype=np.float64)
+            for s in range(m):
+                vs = vn[:, s * sub : (s + 1) * sub]
+                # nearest codeword by L2 ≡ max (dot − ‖c‖²/2)
+                scores = vs @ codebooks[s].T - 0.5 * (codebooks[s] ** 2).sum(axis=1)
+                codes = np.argmax(scores, axis=1)
+                adc += luts[:, s, codes].T
+            out = []
+            for qi in range(len(qids)):
+                cand = np.argsort(-adc[:, qi])[: rerank + 1]
+                cand = cand[ids[cand] != qids[qi]][:rerank]
+                exact = (v[cand] @ qv[qi]) / (
+                    norms[cand] * np.sqrt((qv[qi] * qv[qi]).sum())
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: qids[qi],
+                            id_col: ids[cand],
+                            "__raw": exact,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        _scan, f"{query_id_col} {qid_type}, {id_col} {id_type}, __raw double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.select(query_id_col, id_col, F.round("__raw", 6).alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

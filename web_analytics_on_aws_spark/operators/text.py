@@ -258,3 +258,141 @@ def vocab_topk(
         .filter(F.col("rank") <= k)
         .select("rank", "tok", "cnt")
     )
+
+
+def duplicated_window_stats(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication census (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — the fixed
+    k-token-window form of their suffix-array pass): every k-token sliding
+    window is hashed; windows occurring in ≥2 distinct documents count as
+    duplicated text, and each document reports its covered fraction.
+
+    Scale shape: one generator explode (O(tokens) rows), one 16-byte-digest
+    groupBy to find cross-doc windows, one hash join back, one per-doc
+    aggregate — no doc×doc comparison anywhere, and keys are content
+    digests so the shuffle is skew-free.
+
+    Output: (id_col, n_windows, n_dup_windows, dup_frac), one row per
+    input document (short docs report zeros).
+    """
+    from web_analytics_on_aws_spark.functions import token_split
+
+    toks = token_split(F.col(text_col))
+    windows = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    w = df.select(id_col, F.explode(windows).alias("win")).select(
+        id_col, F.md5("win").alias("h")
+    )
+    dup = (
+        w.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    per_doc = (
+        w.join(dup.withColumn("__dup", F.lit(1)), "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_windows"),
+        F.round(
+            F.when(F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0.0)).otherwise(
+                F.col("n_dup_windows").cast("double") / F.col("n_windows")
+            ),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "that")
+
+
+def gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 1000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_word_len: int = 20,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-rule quality flags (Rae et al. 2021 §A1.1) as row-local JVM
+    expressions appended to the input: word-count bounds, mean-word-length
+    band, max-word-length cap, minimum stopword hits, and the conjunction
+    (pass_all). One map pass, no shuffle."""
+    from web_analytics_on_aws_spark.functions import token_split
+
+    toks = token_split(F.col(text_col))
+    lens = F.transform(toks, lambda w: F.length(w))
+    n_words = F.size(toks)
+    mean_len = (
+        F.aggregate(lens, F.lit(0).cast("bigint"), lambda a, x: a + x).cast(
+            "double"
+        )
+        / n_words
+    )
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*GOPHER_STOPWORDS)))
+    out = df.withColumn(
+        "wc_ok", n_words.between(min_words, max_words)
+    ).withColumn(
+        "ml_ok", (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    ).withColumn(
+        "mx_ok", F.array_max(lens) <= max_word_len
+    ).withColumn(
+        "sw_ok", stop_hits >= min_stop_hits
+    )
+    return out.withColumn(
+        "pass_all",
+        F.col("wc_ok") & F.col("ml_ok") & F.col("mx_ok") & F.col("sw_ok"),
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """BPE merge candidates (Sennrich et al., ACL 2016): frequency of every
+    adjacent character pair across all word occurrences — the statistic the
+    first BPE merge maximizes. Generator explode + one map-side-combined
+    shuffle on the pair key; the top-k rank is a single-partition window
+    over the ≤ alphabet²-row aggregate."""
+    from pyspark.sql import Window
+
+    from web_analytics_on_aws_spark.functions import token_split
+
+    words = df.select(F.explode(token_split(F.col(text_col))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").cast("bigint").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "pair", "cnt")
+    )

@@ -43,6 +43,7 @@ def load_all() -> None:
     """Import every plan module so registrations run."""
     from web_analytics_on_aws_spark.plans import (  # noqa: F401
         analytics,
+        corpus_ops,
         curation,
         dq_plans,
         pipeline,
