@@ -43,6 +43,13 @@ HEADLINE = [
     "funnel_purchase_within_7d",
     "events_weekly_revenue_wow",
     "dedup_fuzzy_head_pairs",
+    "dedup_semantic_prune",
+    "dedup_substring_windows",
+    "ann_pq_topk_raw",
+    "scd2_customer_order_status",
+    "events_rolling_active_users",
+    "events_session_path_trigrams",
+    "curation_source_mixing",
 ]
 
 

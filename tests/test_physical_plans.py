@@ -328,3 +328,19 @@ def test_pq_topk_map_only_scan(spark):
     plan = _explain(spark, "ann_pq_topk_raw")
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_active_users_reduces_to_user_days_first(spark):
+    """The 28× fan-out must happen AFTER the distinct user-day reduction
+    (partial-agg distinct over the raw log), never on raw events."""
+    plan = _explain(spark, "events_rolling_active_users")
+    assert "CartesianProduct" not in plan
+    # distinct (day, user) is a two-phase aggregate before the explode
+    assert plan.index("HashAggregate") < plan.index("Generate")
+
+
+def test_session_paths_single_user_shuffle(spark):
+    """Sessionization window + trigram window must share the user_id
+    exchange (subset partitioning satisfies the (user, sess) clustering)."""
+    plan = _explain(spark, "events_session_path_trigrams")
+    assert plan.count("hashpartitioning(user_id") == 1

@@ -1,0 +1,83 @@
+"""10x-replication scaling probe for SCALE.md: replicate the sf0.1 tables
+with disjoint id spaces, time a named set of queries at 1x vs 10x.
+
+Usage: python tools/scale_probe.py q1 q2 ...
+"""
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF = "/root/testdata/sf0.1"
+OUT = "/tmp/sf1x10"
+# id column + replication shift per table (disjoint id spaces per replica)
+TABLES = {
+    "events": ("event_id", 10_000_000, "user_id", 1_000_000),
+    "documents": ("doc_id", 10_000_000, None, 0),
+    "embeddings": ("vec_id", 10_000_000, None, 0),
+    "orders": ("o_orderkey", 100_000_000, "o_custkey", 10_000_000),
+}
+
+
+def build():
+    if os.path.isdir(OUT):
+        shutil.rmtree(OUT)
+    os.makedirs(OUT)
+    con = duckdb.connect()
+    for t, (idc, shift, idc2, shift2) in TABLES.items():
+        cols = con.sql(f"SELECT * FROM '{SF}/{t}.parquet' LIMIT 0").columns
+        sel = []
+        for c in cols:
+            if c == idc:
+                sel.append(f"{c} + r * {shift} AS {c}")
+            elif idc2 and c == idc2:
+                sel.append(f"{c} + r * {shift2} AS {c}")
+            else:
+                sel.append(c)
+        con.execute(
+            f"COPY (SELECT {', '.join(sel)} FROM '{SF}/{t}.parquet', "
+            f"(SELECT UNNEST(range(0, 10)) AS r)) TO '{OUT}/{t}.parquet'"
+        )
+    # untouched tables: copy through so load_table finds them
+    for t in ["region", "nation", "customer", "supplier", "part", "lineitem"]:
+        shutil.copy(f"{SF}/{t}.parquet", f"{OUT}/{t}.parquet")
+
+
+def main(names):
+    build()
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from web_analytics_on_aws_spark import plans
+
+    plans.load_all()
+    for name in names:
+        fn = plans.QUERIES[name]
+        fn(spark, SF).count()  # warm
+        t0 = time.perf_counter()
+        n1 = fn(spark, SF).count()
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n10 = fn(spark, OUT).count()
+        t10 = time.perf_counter() - t0
+        print(
+            f"{name}: sf0.1 {t1:.2f}s ({n1} rows) | 10x {t10:.2f}s ({n10} rows)"
+            f" | ratio {t10 / t1:.1f}x",
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

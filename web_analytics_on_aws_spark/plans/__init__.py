@@ -46,6 +46,7 @@ def load_all() -> None:
         corpus_ops,
         curation,
         dq_plans,
+        engagement,
         pipeline,
         pipeline_ops,
         sampling_plans,
