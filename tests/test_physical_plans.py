@@ -344,3 +344,13 @@ def test_session_paths_single_user_shuffle(spark):
     exchange (subset partitioning satisfies the (user, sess) clustering)."""
     plan = _explain(spark, "events_session_path_trigrams")
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    """The LATERAL ORDER BY+LIMIT subquery must decorrelate into a ranked
+    window with group-limit pushdown (partial top-k before the shuffle) and
+    a broadcast dim join — never 25 correlated re-scans of customer."""
+    plan = _explain(spark, "sql_lateral_top2_per_nation")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") <= 4  # nation + customer, tree+detail

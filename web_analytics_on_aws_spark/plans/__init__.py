@@ -51,6 +51,7 @@ def load_all() -> None:
         pipeline_ops,
         sampling_plans,
         sketches_plans,
+        sql_features,
         temporal,
         tpch,
         tpch2,

@@ -371,3 +371,107 @@ def source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("token_share"),
         F.round(smoothed / F.sum(smoothed).over(wall), 6).alias("mix_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram entropy — the information-density quality signal (low-entropy
+# docs are boilerplate/repetition; complements the Gopher gates above)
+# --------------------------------------------------------------------------
+
+@query(
+    "text_unigram_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents
+    ), per_tok AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 6) AS entropy
+    FROM per_tok GROUP BY doc_id
+    """,
+)
+def unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy (bits/token): H = log2(n) − Σc·log2(c)/n
+    over the doc's token counts — the information-density signal that
+    separates natural text from boilerplate. Two partial-agg shuffles, both
+    keyed on (doc, token) digests of bounded size; never a vocabulary-wide
+    state."""
+    docs = load_table(spark, sf_dir, "documents")
+    from web_analytics_on_aws_spark.functions import token_split
+
+    per_tok = (
+        docs.select("doc_id", F.explode(token_split(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.round(
+            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
+        ).alias("entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer application: vocab coverage / OOV census per source
+# --------------------------------------------------------------------------
+
+@query(
+    "pipeline_tokenize_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, UNNEST({_TOKS}) AS tok FROM documents
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rank
+        FROM tok GROUP BY tok
+      ) WHERE rank <= 500
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab ON tok.tok = vocab.tok
+    GROUP BY source
+    """,
+)
+def tokenize_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer coverage census: build the top-500 vocab in-plan
+    (`text.vocab_topk`), then measure per-source out-of-vocabulary token
+    rate — the metric that decides whether a vocab is big enough for a
+    source mix. The vocab (≤500 rows) broadcasts into the token stream, so
+    the corpus is scanned twice but shuffled only as partial counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    from web_analytics_on_aws_spark.functions import token_split
+    from web_analytics_on_aws_spark.operators import text as text_ops
+
+    toks = docs.select(
+        "source", F.explode(token_split(F.col("text"))).alias("tok")
+    )
+    vocab = text_ops.vocab_topk(docs, k=500).select(
+        "tok", F.lit(1).alias("__in_vocab")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(
+                F.sum(
+                    F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -1,0 +1,79 @@
+"""Advanced-SQL-surface registrations: recursive CTEs and LATERAL
+correlated subqueries — Trino/Athena engine-v3 features a reference user
+can type today (SURVEY §3.3: the declared query surface is full Trino
+SQL), executed here through Spark SQL's own implementations (recursive
+CTEs are new in Spark 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from web_analytics_on_aws_spark.plans import query
+
+
+# Spark's recursive CTE currently supports UNION ALL only (the UNION-
+# distinct form raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the
+# registered recursion is acyclic — the classic date-dimension build.
+_RECURSIVE_SPARK = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events
+), cal(day) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT date_add(day, 1) FROM cal WHERE day < (SELECT hi FROM bounds)
+), per_day AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+SELECT cal.day, CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(n_users, 0) AS BIGINT) AS n_users
+FROM cal LEFT JOIN per_day ON per_day.day = cal.day
+"""
+
+_RECURSIVE_DUCK = _RECURSIVE_SPARK.replace(
+    "date_add(day, 1)", "day + INTERVAL 1 DAY"
+).replace("SELECT lo FROM bounds", "SELECT CAST(lo AS DATE) FROM bounds")
+
+
+@query("sql_recursive_calendar_spine", oracle=_RECURSIVE_DUCK)
+def recursive_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE date-dimension build: the calendar spine is generated
+    by the recursion (one row per day between the data's bounds — engine
+    iterates the anchor + step, never scans data per day), then each day
+    left-joins its activity rollup. Covers the WITH RECURSIVE surface added
+    in Spark 4; the non-recursive generate/sequence twin of this plan is
+    `events_hourly_gapfill`."""
+    from web_analytics_on_aws_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SPARK)
+
+
+_LATERAL_STMT = """
+SELECT n.n_name, top.c_name, top.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 2
+) AS top
+"""
+
+
+@query("sql_lateral_top2_per_nation", oracle=_LATERAL_STMT)
+def lateral_top2_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT: top-2 customers
+    by balance per nation, identical SQL text on both engines. The outer
+    side is a dim (25 rows) so the dependent join is bounded by design;
+    the scale path for top-k-per-group over a FACT outer is the window
+    form (`window_top3_orders_per_customer`) — this registration covers
+    the SQL *surface*, and Catalyst decorrelates it into a ranked join
+    rather than 25 re-scans (pinned in plan tests)."""
+    from web_analytics_on_aws_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_STMT)
