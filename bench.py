@@ -50,6 +50,7 @@ HEADLINE = [
     "events_rolling_active_users",
     "events_session_path_trigrams",
     "curation_source_mixing",
+    "pipeline_curation_funnel",
 ]
 
 

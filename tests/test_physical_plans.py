@@ -354,3 +354,12 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
     assert plan.count("Scan parquet") <= 4  # nation + customer, tree+detail
+
+
+def test_curation_funnel_stages_fuse_without_materialization(spark):
+    """The three-stage cascade must compile into one plan: digest-keyed
+    shuffles only, no cartesian, and the source rollup map-side combines."""
+    plan = _explain(spark, "pipeline_curation_funnel")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan
+    assert "md5" in plan  # exact-dedup stage present in-plan

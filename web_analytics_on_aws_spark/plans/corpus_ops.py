@@ -475,3 +475,108 @@ def tokenize_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-2 curation funnel: exact dedup → Gopher gates → substring-dup
+# prune, reported as a per-source survival census in ONE declarative plan
+# --------------------------------------------------------------------------
+
+@query(
+    "pipeline_curation_funnel",
+    oracle=_WINDOWS_CTE.replace("FROM documents", "FROM documents", 1)
+    + f"""
+    , survivors AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), gopher AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                 / len(toks) AS mean_len,
+               list_max(list_transform(toks, x -> len(x))) AS max_len,
+               len(list_filter(toks, x -> x IN {_STOPWORDS})) AS stop_hits
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+      )
+      WHERE n_words BETWEEN 20 AND 1000
+        AND mean_len >= 3.0 AND mean_len <= 10.0
+        AND max_len <= 20 AND stop_hits >= 2
+    ), window_ok AS (
+      SELECT d.doc_id
+      FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+      WHERE COALESCE(CAST(p.n_dup_windows AS DOUBLE)
+                     / NULLIF(p.n_windows, 0), 0.0) <= 0.5
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after_exact,
+           CAST(SUM(CASE WHEN s.doc_id IS NOT NULL AND g.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_after_gopher,
+           CAST(SUM(CASE WHEN s.doc_id IS NOT NULL AND g.doc_id IS NOT NULL
+                              AND wo.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN s.doc_id IS NOT NULL AND g.doc_id IS NOT NULL
+                              AND wo.doc_id IS NOT NULL
+                         THEN len({_TOKS}) ELSE 0 END) AS BIGINT)
+             AS tokens_kept
+    FROM documents doc
+    LEFT JOIN survivors s ON s.doc_id = doc.doc_id
+    LEFT JOIN gopher g ON g.doc_id = doc.doc_id
+    LEFT JOIN window_ok wo ON wo.doc_id = doc.doc_id
+    GROUP BY source
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-2 curation cascade as one declarative plan: exact dedup
+    (min-id survivor per md5) → Gopher quality gates → duplicated-window
+    prune (≤50% covered by cross-doc 10-token windows), reported as a
+    per-source survival funnel with kept-token counts. Each stage is the
+    registered operator itself (`dedup.exact_dedup`, `text.gopher_flags`,
+    `text.duplicated_window_stats`) — composition costs three digest-keyed
+    shuffles + one source rollup; no stage materializes."""
+    from web_analytics_on_aws_spark.functions import token_count
+    from web_analytics_on_aws_spark.operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = dedup_ops.exact_dedup(docs).select("doc_id").withColumn(
+        "__s", F.lit(1)
+    )
+    gopher = (
+        text.gopher_flags(docs)
+        .filter(F.col("pass_all"))
+        .select("doc_id")
+        .withColumn("__g", F.lit(1))
+    )
+    window_ok = (
+        text.duplicated_window_stats(docs, k=10)
+        .filter(
+            F.coalesce(
+                F.col("n_dup_windows").cast("double")
+                / F.nullif(F.col("n_windows"), F.lit(0)),
+                F.lit(0.0),
+            )
+            <= 0.5
+        )
+        .select("doc_id")
+        .withColumn("__w", F.lit(1))
+    )
+    base = (
+        docs.select("source", "doc_id", token_count(F.col("text")).alias("__nt"))
+        .join(survivors, "doc_id", "left")
+        .join(gopher, "doc_id", "left")
+        .join(window_ok, "doc_id", "left")
+    )
+    keep = F.col("__s").isNotNull() & F.col("__g").isNotNull()
+    kept_all = keep & F.col("__w").isNotNull()
+    return base.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_raw"),
+        F.sum(F.when(F.col("__s").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_after_exact"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_after_gopher"),
+        F.sum(F.when(kept_all, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept_all, F.col("__nt")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
