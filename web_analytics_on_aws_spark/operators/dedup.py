@@ -81,10 +81,20 @@ def with_shingles(
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one representative (min id) per exact content hash."""
+    """Keep one representative (min id) per exact content hash.
+
+    One shuffle: groupBy(md5) with a partial-aggregated ``min_by`` carries
+    at most one candidate row per (partition, digest) into the exchange —
+    strictly less data than the previous min-id + semi-join-back form,
+    which re-shuffled the full rows for the join anyway once the keep set
+    outgrows broadcast."""
     h = F.md5(F.col(text_col))
-    keep = df.groupBy(h.alias("__h")).agg(F.min(id_col).alias(id_col)).drop("__h")
-    return df.join(keep, id_col, "left_semi")
+    cols = df.columns
+    return (
+        df.groupBy(h.alias("__h"))
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__s"))
+        .select(*[F.col(f"__s.{c}").alias(c) for c in cols])
+    )
 
 
 # ---------------------------------------------------------------------------
