@@ -91,3 +91,57 @@ def test_audit_queries_all_true(spark, name):
     assert rows
     flag = [c for c in df.columns if c.endswith("_tol") or c.endswith("_ok")][0]
     assert all(getattr(r, flag) for r in rows), rows
+
+
+# --------------------------------------------------------------- count-min
+
+
+def test_cms_never_undercounts_and_merges_linearly(spark):
+    import pyspark.sql.functions as F
+
+    from web_analytics_on_aws_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(i % 7,) for i in range(200)] + [(99,)] * 50
+    df = spark.createDataFrame(rows, "k long")
+    keys = df.select("k").distinct()
+    sk = cms_build(df, "k", depth=5, width=64)
+    est = {
+        r["k"]: r["cms_estimate"]
+        for r in cms_estimate(sk, keys, "k", depth=5, width=64).collect()
+    }
+    true = {r["k"]: r["c"] for r in df.groupBy("k").agg(F.count("*").alias("c")).collect()}
+    for k, t in true.items():
+        assert est[k] >= t  # CMS one-sided error
+
+    # linearity: cell-wise sum of the two half sketches == full sketch
+    a = df.filter(F.col("k") < 50)
+    b = df.filter(F.col("k") >= 50)
+    merged = (
+        cms_build(a, "k", depth=5, width=64)
+        .unionAll(cms_build(b, "k", depth=5, width=64))
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r["r"], r["c"]): r["cnt"] for r in sk.collect()}
+    got = {(r["r"], r["c"]): r["cnt"] for r in merged.collect()}
+    assert got == full
+
+
+def test_cms_unseen_key_estimates_bounded_by_eps(spark):
+    import math
+
+    from web_analytics_on_aws_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "k long")
+    sk = cms_build(df, "k", depth=5, width=1024)
+    probe = spark.createDataFrame([(10_000,)], "k long")
+    est = cms_estimate(sk, probe, "k", depth=5, width=1024).collect()[0][
+        "cms_estimate"
+    ]
+    assert 0 <= est <= math.ceil(math.e / 1024 * 300)

@@ -115,3 +115,61 @@ def within_tolerance(est: Column, exact: Column, rel: float) -> Column:
     when the sketch honors its error bound — the oracle side emits literal
     TRUE, so a drifting estimate hash-mismatches the driver compare)."""
     return F.abs(est - exact) <= F.lit(rel) * exact
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan, "An improved data stream
+# summary: the count-min sketch and its applications", J. Algorithms 2005)
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 5,
+    width: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """Count-min sketch as a tiny DataFrame of (r, c, cnt) cells.
+
+    Each input row increments ``depth`` cells (row r, col = xxhash64(key,
+    r+seed) mod width). The explode happens map-side and the groupBy
+    partial-aggregates, so the shuffle carries at most depth×width cells
+    per map partition — the sketch is O(depth·width) regardless of input
+    cardinality, and cell-wise SUM of two sketches equals the sketch of
+    the union (linearity; pinned in pytest)."""
+    cells = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+        F.col(key_col).alias("__k"),
+    ).select(
+        "r",
+        F.pmod(F.xxhash64(F.col("__k"), F.col("r") + F.lit(seed)), F.lit(width)).alias(
+            "c"
+        ),
+    )
+    return cells.groupBy("r", "c").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 5,
+    width: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """Point-estimate counts for ``keys`` from a CMS: min over the key's
+    depth cells. The sketch (≤ depth×width rows) broadcasts; estimates are
+    min-aggregated per key. CMS never undercounts; overcount ≤ e/width · N
+    with prob. 1−e^−depth per key."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    ).withColumn(
+        "c",
+        F.pmod(F.xxhash64(F.col(key_col), F.col("r") + F.lit(seed)), F.lit(width)),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "c"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
+    )

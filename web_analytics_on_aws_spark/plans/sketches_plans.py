@@ -225,3 +225,62 @@ def sketch_theta_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "view_only_within_tol"
         ),
     )
+
+
+@query(
+    "sketch_cms_topk_audit",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS INT)
+               AS rank
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, true_cnt, rank,
+           TRUE AS never_undercounts, TRUE AS within_eps
+    FROM counts WHERE rank <= 10
+    """,
+)
+def cms_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch audited on the exact top-10 users: the sketch is a
+    depth×width cell table (one partial-agg shuffle, O(d·w) state — never
+    per-key state), estimates broadcast-probe it, and the booleans pin the
+    CMS guarantees: estimates never undercount, and overcount stays within
+    the e/width · N bound (deterministic for the fixed seed). Exact
+    anchors (true_cnt, rank) hash-gate against DuckDB."""
+    from web_analytics_on_aws_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    depth, width = 5, 1024
+    sketch = cms_build(ev, "user_id", depth=depth, width=width)
+    counts = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("true_cnt")
+    )
+    w = Window.orderBy(F.desc("true_cnt"), F.asc("user_id"))
+    top = (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+    )
+    total = ev.agg(F.count("*").alias("__n"))
+    est = cms_estimate(sketch, top.select("user_id"), "user_id", depth=depth, width=width)
+    import math
+
+    eps = math.e / width
+    return (
+        top.join(est, "user_id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "true_cnt",
+            "rank",
+            (F.col("cms_estimate") >= F.col("true_cnt")).alias("never_undercounts"),
+            (
+                F.col("cms_estimate")
+                <= F.col("true_cnt") + F.ceil(F.col("__n") * F.lit(eps))
+            ).alias("within_eps"),
+        )
+    )
