@@ -47,6 +47,7 @@ def load_all() -> None:
         curation,
         dq_plans,
         engagement,
+        graph_ops,
         pipeline,
         pipeline_ops,
         sampling_plans,
