@@ -211,3 +211,36 @@ def test_scd2_same_day_changes_ordered_by_tiebreak(spark):
     )
     # seq=1 (B) comes first, then A; both share the same date
     assert out[0]["is_current"] is False and out[1]["is_current"] is True
+
+
+# ------------------------------------------------------------- epoch shuffle
+
+
+def test_epoch_shuffle_is_permutation_and_varies_by_epoch(spark):
+    from web_analytics_on_aws_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i, "s") for i in range(50)], "doc_id long, source string")
+    e0 = {r["doc_id"]: r["train_pos"] for r in epoch_shuffle(df, epoch=0).collect()}
+    e1 = {r["doc_id"]: r["train_pos"] for r in epoch_shuffle(df, epoch=1).collect()}
+    assert sorted(e0.values()) == list(range(1, 51))  # total order, no gaps
+    assert sorted(e1.values()) == list(range(1, 51))
+    assert e0 != e1  # different permutation per epoch
+    # deterministic under re-run
+    again = {r["doc_id"]: r["train_pos"] for r in epoch_shuffle(df, epoch=0).collect()}
+    assert again == e0
+
+
+def test_roundrobin_interleave_balances_sources(spark):
+    from web_analytics_on_aws_spark.operators.sampling import (
+        roundrobin_interleave,
+    )
+
+    rows = [(i, f"s{i % 4}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sorted(
+        roundrobin_interleave(df).collect(), key=lambda r: r["train_pos"]
+    )
+    # every consecutive block of 4 positions covers all 4 sources
+    for blk in range(10):
+        srcs = {r["source"] for r in out[blk * 4 : blk * 4 + 4]}
+        assert srcs == {"s0", "s1", "s2", "s3"}

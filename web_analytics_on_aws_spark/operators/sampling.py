@@ -159,3 +159,47 @@ def stratified_sample(
         )
     frac = frac.otherwise(F.lit(1.0)) if frac is not None else F.lit(1.0)
     return df.filter(hash_fraction(key) < frac)
+
+
+def epoch_shuffle_pos(key: Column | str, epoch: int = 0) -> Column:
+    """Deterministic per-epoch shuffle position for training-order
+    randomization: a different Knuth-hash permutation each epoch, exact
+    integer arithmetic (engine-portable, stable under re-runs and
+    repartitioning — the property torch-style dataloaders need from a
+    distributed corpus)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (c.cast("bigint") + F.lit(epoch) * F.lit(40503)) * F.lit(
+        KNUTH
+    ) % F.lit(MOD)
+
+
+def epoch_shuffle(
+    df: DataFrame, epoch: int = 0, key: str = "doc_id"
+) -> DataFrame:
+    """Assign each row its global training position for ``epoch``: rank of
+    the per-epoch hash (ties broken by key — a total order). One range
+    shuffle for the global sort; at 100 TB you'd materialize
+    ``repartitionByRange(pos)`` once per epoch and read partitions in
+    order."""
+    w = Window.orderBy(epoch_shuffle_pos(key, epoch), F.col(key))
+    return df.withColumn(
+        "train_pos", F.row_number().over(w).cast("bigint")
+    )
+
+
+def roundrobin_interleave(
+    df: DataFrame, source_col: str = "source", key: str = "doc_id", epoch: int = 0
+) -> DataFrame:
+    """Source-stratified training order: shuffle within each source (per-
+    epoch hash), then interleave sources round-robin — position = rank of
+    (within-source rank, source). Keeps every batch balanced across
+    sources without a weighted sampler. Two window passes; the per-source
+    pass shuffles on the source key, the global rank is a range sort."""
+    ws = Window.partitionBy(source_col).orderBy(
+        epoch_shuffle_pos(key, epoch), F.col(key)
+    )
+    ranked = df.withColumn("__r", F.row_number().over(ws))
+    wg = Window.orderBy(F.col("__r"), F.col(source_col))
+    return ranked.withColumn(
+        "train_pos", F.row_number().over(wg).cast("bigint")
+    ).drop("__r")

@@ -183,3 +183,68 @@ def stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+@query(
+    "pipeline_epoch_shuffle_head",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, source,
+             (doc_id + 1 * 40503) * 2654435761 % 4294967296 AS p
+      FROM documents
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY p, doc_id) AS BIGINT) AS train_pos,
+           doc_id, source
+    FROM pos
+    ORDER BY train_pos LIMIT 100
+    """,
+)
+def epoch_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle (epoch 1): every row gets a
+    training position from a Knuth-hash permutation — stable across
+    re-runs, repartitioning, and engines (exact integer arithmetic, no
+    rand()). First 100 positions shown; at 100 TB the positions become a
+    repartitionByRange materialization read in order."""
+    from web_analytics_on_aws_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        epoch_shuffle(docs.select("doc_id", "source"), epoch=1)
+        .filter(F.col("train_pos") <= 100)
+        .select("train_pos", "doc_id", "source")
+    )
+
+
+@query(
+    "pipeline_interleave_roundrobin",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, source,
+             (doc_id + 0 * 40503) * 2654435761 % 4294967296 AS p
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY p, doc_id) AS r
+      FROM pos
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY r, source) AS BIGINT) AS train_pos,
+           doc_id, source
+    FROM ranked
+    ORDER BY train_pos LIMIT 100
+    """,
+)
+def interleave_roundrobin_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-balanced training order: per-source deterministic shuffle,
+    then round-robin interleave across sources — every consecutive
+    |sources| positions contain one doc per source (batch balance without
+    a weighted sampler). First 100 positions."""
+    from web_analytics_on_aws_spark.operators.sampling import (
+        roundrobin_interleave,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        roundrobin_interleave(docs.select("doc_id", "source"), epoch=0)
+        .filter(F.col("train_pos") <= 100)
+        .select("train_pos", "doc_id", "source")
+    )
