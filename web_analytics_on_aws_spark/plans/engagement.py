@@ -143,3 +143,100 @@ def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("rank", "path", "cnt")
     )
+
+
+@query(
+    "events_hourly_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY date_trunc('hour', ts)
+    ), scored AS (
+      SELECT hr, cnt,
+             AVG(cnt) OVER w AS mu,
+             STDDEV_SAMP(cnt) OVER w AS sd
+      FROM hourly
+      WINDOW w AS (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hr, cnt,
+           ROUND(mu, 6) AS trailing_mean,
+           ROUND((cnt - mu) / sd, 6) AS zscore,
+           (ABS(ROUND((cnt - mu) / sd, 6)) >= 2.0) AS is_anomaly
+    FROM scored WHERE sd IS NOT NULL AND sd > 0
+    """,
+)
+def hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly detection on the event stream: hourly counts
+    z-scored against the trailing 24-hour window (mean/sample-stddev over
+    a ROWS frame that excludes the current hour). The raw log reduces to
+    |hours| rows first — the window runs over the tiny hourly series, so
+    the detector costs one partial-agg shuffle regardless of event
+    volume."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.orderBy("hr").rowsBetween(-24, -1)
+    scored = hourly.select(
+        "hr",
+        "cnt",
+        F.avg("cnt").over(w).alias("mu"),
+        F.stddev_samp("cnt").over(w).alias("sd"),
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.col("sd")
+    return scored.filter(F.col("sd").isNotNull() & (F.col("sd") > 0)).select(
+        "hr",
+        "cnt",
+        F.round("mu", 6).alias("trailing_mean"),
+        F.round(z, 6).alias("zscore"),
+        (F.abs(F.round(z, 6)) >= 2.0).alias("is_anomaly"),
+    )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    ), converting AS (
+      SELECT date_diff('second', first_view, first_purchase) / 60.0 AS minutes
+      FROM per_user
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase > first_view
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converting,
+           ROUND(quantile_cont(minutes, 0.50), 6) AS p50_minutes,
+           ROUND(quantile_cont(minutes, 0.90), 6) AS p90_minutes
+    FROM converting
+    """,
+)
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, minutes from first view
+    to first purchase (conditional MINs — one reduce over the log), exact
+    interpolated p50/p90 over the converting-user series. The percentile
+    sorts |converting users| values, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    minutes = (
+        F.col("first_purchase").cast("long") - F.col("first_view").cast("long")
+    ) / F.lit(60.0)
+    conv = per_user.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_view"))
+    ).select(minutes.alias("minutes"))
+    return conv.agg(
+        F.count("*").cast("bigint").alias("n_converting"),
+        F.round(F.percentile("minutes", 0.50), 6).alias("p50_minutes"),
+        F.round(F.percentile("minutes", 0.90), 6).alias("p90_minutes"),
+    )
