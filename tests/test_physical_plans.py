@@ -335,8 +335,9 @@ def test_rolling_active_users_reduces_to_user_days_first(spark):
     (partial-agg distinct over the raw log), never on raw events."""
     plan = _explain(spark, "events_rolling_active_users")
     assert "CartesianProduct" not in plan
-    # distinct (day, user) is a two-phase aggregate before the explode
-    assert plan.index("HashAggregate") < plan.index("Generate")
+    # tree prints root-first: the distinct (day, user) aggregate must sit
+    # BELOW the explode (i.e. execute before the 28× fan-out)
+    assert "HashAggregate" in plan[plan.index("Generate") :]
 
 
 def test_session_paths_single_user_shuffle(spark):
@@ -363,3 +364,28 @@ def test_curation_funnel_stages_fuse_without_materialization(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "partial_sum" in plan
     assert "md5" in plan  # exact-dedup stage present in-plan
+
+
+def test_cms_sketch_partial_aggregates_and_broadcast_probes(spark):
+    """CMS: the cell table must partial-aggregate (map-side combine to
+    ≤ depth×width cells per partition) and the probe side must broadcast
+    the sketch, never shuffle the key stream against it."""
+    plan = _explain(spark, "sketch_cms_topk_audit")
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_hourly_anomaly_reduces_before_window(spark):
+    """The z-score window must run over the reduced hourly series — the
+    aggregate appears below the window in the plan."""
+    plan = _explain(spark, "events_hourly_anomaly")
+    assert "partial_count" in plan
+    # tree prints root-first: the Window node sits ABOVE (executes after)
+    # the hourly HashAggregate reduction
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_epoch_shuffle_is_single_global_sort(spark):
+    plan = _explain(spark, "pipeline_epoch_shuffle_head")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
