@@ -52,3 +52,40 @@ def test_vocab_topk_rank_is_deterministic(spark):
     got = [(r["rank"], r["tok"], r["cnt"]) for r in vocab_topk(df, k=2).collect()]
     # counts: a=3, b=3, c=2 → ties break token-ascending
     assert got == [(1, "a", 3), (2, "b", 3)]
+
+
+def test_bloom_decontamination_equals_exact_overlap(spark):
+    from web_analytics_on_aws_spark.operators.text import bloom_ngram_overlap
+
+    bench = _docs(spark, [(100, "one two three four five six seven eight tail")])
+    train = _docs(
+        spark,
+        [
+            (1, "prefix one two three four five six seven eight suffix"),
+            (2, "eight seven six five four three two one tail tail tail"),
+            (3, "one two three"),
+            (4, "one two three four five six seven eight nine ten"),
+        ],
+    )
+    exact = {r["doc_id"] for r in benchmark_ngram_overlap(train, bench, n=8).collect()}
+    bloom = {r["doc_id"] for r in bloom_ngram_overlap(train, bench, n=8).collect()}
+    assert bloom == exact == {1, 4}
+
+
+def test_bloom_decontamination_tiny_filter_still_exact(spark):
+    """With num_bits forced tiny the Bloom saturates (every probe may pass)
+    — the exact confirm join must still remove all false positives."""
+    from web_analytics_on_aws_spark.operators.text import bloom_ngram_overlap
+
+    bench = _docs(spark, [(100, "a b c d e f g h")])
+    train = _docs(
+        spark,
+        [(1, "x a b c d e f g h y"), (2, "h g f e d c b a x y z w v u t s")],
+    )
+    out = {
+        r["doc_id"]
+        for r in bloom_ngram_overlap(
+            train, bench, n=8, num_bits=64, num_hashes=2
+        ).collect()
+    }
+    assert out == {1}

@@ -396,3 +396,70 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", k: int = 100) -> Data
         .filter(F.col("rank") <= k)
         .select("rank", "pair", "cnt")
     )
+
+
+def bloom_ngram_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decontamination for benchmark sets too big to broadcast raw: a
+    hand-rolled distributed Bloom filter over the benchmark shingles.
+
+    Build: benchmark grams fan out to ``num_hashes`` bit positions
+    (xxhash64 seeds), which bit-OR-aggregate into a SPARSE word table
+    ((pos >> 6) → 64-bit mask) — the table is ≤ num_bits/64 rows (KBs-MBs)
+    and broadcasts even when the raw gram set is GBs. Probe: each train
+    gram checks its ``num_hashes`` (word, bit) pairs against the broadcast
+    words (map-only); only Bloom survivors — true hits + the ~fp-rate
+    sliver — reach the exact gram join that removes false positives, so
+    the expensive shuffle moves candidates, never the corpus.
+
+    Output: distinct flagged train ids — EXACTLY equal to
+    ``benchmark_ngram_overlap`` (Bloom has no false negatives; positives
+    are exact-confirmed; pinned in pytest)."""
+    from web_analytics_on_aws_spark.operators.dedup import with_shingles
+
+    bg = (
+        with_shingles(benchmark, text_col, n, "__g")
+        .select(F.explode("__g").alias("gram"))
+        .distinct()
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("s")
+    pos = F.pmod(F.xxhash64(F.col("gram"), F.col("s")), F.lit(num_bits))
+    word = F.floor(F.col("__p") / 64).cast("long").alias("w")
+    mask = F.expr("shiftleft(1L, CAST(__p % 64 AS INT))").alias("m")
+    words = (
+        bg.select("gram", seeds)
+        .select(pos.alias("__p"))
+        .select(word, mask)
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    tg = with_shingles(train, text_col, n, "__g").select(
+        id_col, F.explode("__g").alias("gram")
+    )
+    probes = (
+        tg.select(id_col, "gram", seeds)
+        .select(id_col, "gram", pos.alias("__p"))
+        .select(id_col, "gram", word, mask)
+    )
+    checked = (
+        probes.join(F.broadcast(words), "w", "left")
+        .groupBy(id_col, "gram")
+        .agg(
+            F.bool_and(
+                (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m")))
+                == F.col("m")
+            ).alias("__maybe")
+        )
+        .filter(F.col("__maybe"))
+    )
+    # exact confirm: only Bloom survivors enter the gram join
+    return (
+        checked.join(bg, "gram", "left_semi").select(id_col).distinct()
+    )

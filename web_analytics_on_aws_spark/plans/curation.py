@@ -161,3 +161,44 @@ def type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("type_a", "type_b", "n_both", "n_a", "n_b", "n_users")
     )
+
+
+@query(
+    "pipeline_decontaminate_bloom",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ), bg AS (
+      SELECT DISTINCT UNNEST({_gram_sql(8)}) AS gram
+      FROM toks WHERE doc_id % 97 = 0
+    ), tg AS (
+      SELECT doc_id, UNNEST({_gram_sql(8)}) AS gram
+      FROM toks WHERE doc_id % 97 <> 0
+    ), hits AS (
+      SELECT DISTINCT doc_id FROM tg JOIN bg USING (gram)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+    FROM documents WHERE doc_id % 97 <> 0
+    GROUP BY source
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-filtered twin of `pipeline_decontaminate_stats` for
+    benchmark sets too big to broadcast raw: benchmark grams bit-OR into a
+    sparse Bloom word table (≤ num_bits/64 rows — broadcastable even when
+    the raw gram set is GBs), train grams probe it map-side, and only the
+    survivors reach the exact confirm join. No false negatives + exact
+    confirm ⇒ the SAME oracle as the broadcast variant, verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    hits = text.bloom_ngram_overlap(train, bench, n=8)
+    flagged = train.join(hits.withColumn("__hit", F.lit(1)), "doc_id", "left")
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_contaminated"),
+    )
