@@ -244,3 +244,15 @@ def test_roundrobin_interleave_balances_sources(spark):
     for blk in range(10):
         srcs = {r["source"] for r in out[blk * 4 : blk * 4 + 4]}
         assert srcs == {"s0", "s1", "s2", "s3"}
+
+
+def test_semantic_prune_reports_negative_max_sim(spark):
+    """Regression: a vector whose lower-id cluster neighbors are all
+    anti-correlated must report the true NEGATIVE max, not a 0.0 clamp
+    (np.tril's zeroed upper triangle must not enter the row max)."""
+    emb = _emb(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-0.5, -1.0])])
+    out = {r["vec_id"]: r for r in
+           semantic_prune(emb, threshold=0.99, num_centroids=2).collect()}
+    r2 = out[2]
+    assert r2["max_lower_sim"] is not None and r2["max_lower_sim"] < 0
+    assert r2["pruned"] is False

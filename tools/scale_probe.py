@@ -14,12 +14,18 @@ import duckdb
 
 SF = "/root/testdata/sf0.1"
 OUT = "/tmp/sf1x10"
-# id column + replication shift per table (disjoint id spaces per replica)
+# id column + replication shift per table (disjoint id spaces per replica).
+# Foreign keys shift consistently so replicated fact rows keep joining:
+# orders.o_custkey ↔ customer.c_custkey, lineitem.l_orderkey ↔
+# orders.o_orderkey (suppliers/parts stay shared — dims joined by
+# unshifted keys).
 TABLES = {
     "events": ("event_id", 10_000_000, "user_id", 1_000_000),
     "documents": ("doc_id", 10_000_000, None, 0),
     "embeddings": ("vec_id", 10_000_000, None, 0),
     "orders": ("o_orderkey", 100_000_000, "o_custkey", 10_000_000),
+    "lineitem": ("l_orderkey", 100_000_000, None, 0),
+    "customer": ("c_custkey", 10_000_000, None, 0),
 }
 
 
@@ -43,7 +49,7 @@ def build():
             f"(SELECT UNNEST(range(0, 10)) AS r)) TO '{OUT}/{t}.parquet'"
         )
     # untouched tables: copy through so load_table finds them
-    for t in ["region", "nation", "customer", "supplier", "part", "lineitem"]:
+    for t in ["region", "nation", "supplier", "part"]:
         shutil.copy(f"{SF}/{t}.parquet", f"{OUT}/{t}.parquet")
 
 

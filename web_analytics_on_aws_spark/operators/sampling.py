@@ -168,9 +168,13 @@ def epoch_shuffle_pos(key: Column | str, epoch: int = 0) -> Column:
     repartitioning — the property torch-style dataloaders need from a
     distributed corpus)."""
     c = F.col(key) if isinstance(key, str) else key
-    return (c.cast("bigint") + F.lit(epoch) * F.lit(40503)) * F.lit(
-        KNUTH
-    ) % F.lit(MOD)
+    # reduce the key domain to 2^31 BEFORE the Knuth multiply: the product
+    # then stays < 2^62, inside int64 on every engine (Spark would silently
+    # wrap larger keys while ANSI engines raise — the portability contract
+    # would break exactly when ids get web-scale). Keys colliding mod 2^31
+    # still get a total order from the (pos, key) tiebreak.
+    k31 = (c.cast("bigint") + F.lit(epoch) * F.lit(40503)) % F.lit(2**31)
+    return k31 * F.lit(KNUTH) % F.lit(MOD)
 
 
 def epoch_shuffle(

@@ -601,8 +601,11 @@ def semantic_prune(
         dots = v @ v.T
         n = np.sqrt((v * v).sum(axis=1))
         sim = dots / (n[:, None] * n[None, :])
-        lower = np.tril(sim, k=-1)  # row i × columns j<i (lower ids)
-        best = lower.max(axis=1, initial=-np.inf)
+        # row i × columns j<i (lower ids); mask with -inf, never 0 — a
+        # tril() of the sim matrix would clamp all-negative neighbor rows
+        # to 0.0 and diverge from the oracle's true MAX
+        mask = np.tril(np.ones_like(sim, dtype=bool), k=-1)
+        best = np.where(mask, sim, -np.inf).max(axis=1, initial=-np.inf)
         # lowest id in the cluster has no lower neighbor → SQL NULL (never
         # NaN: Spark orders NaN above every number, which would flip the
         # threshold compare)
@@ -684,10 +687,9 @@ def pq_adc_topk(
     qn = qv / np.sqrt((qv * qv).sum(axis=1))[:, None]
     # luts: (nq × m × num_codewords) subspace dot products
     luts = np.stack(
-        [
-            np.stack([qn[:, s * sub : (s + 1) * sub] @ codebooks[s].T for s in range(m)], axis=1)
-        ]
-    )[0]
+        [qn[:, s * sub : (s + 1) * sub] @ codebooks[s].T for s in range(m)],
+        axis=1,
+    )
     id_type = corpus.schema[id_col].dataType.simpleString()
     qid_type = queries.schema[query_id_col].dataType.simpleString()
 

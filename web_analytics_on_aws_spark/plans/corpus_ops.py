@@ -339,12 +339,14 @@ def source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight used to rebalance a multi-source corpus. Everything reduces to
     two partial-agg shuffles (md5 dup census + source rollup); the final
     share/weight normalization runs over ≤|sources| rows."""
+    from web_analytics_on_aws_spark.functions import token_count
+
     docs = load_table(spark, sf_dir, "documents")
     per_doc = docs.select(
         "source",
         "doc_id",
         F.md5("text").alias("h"),
-        F.size(F.split(F.trim(F.col("text")), " +")).alias("n_toks"),
+        token_count(F.col("text")).alias("n_toks"),
     )
     dup_h = per_doc.groupBy("h").agg(F.count("*").alias("c")).filter(
         F.col("c") >= 2
@@ -484,7 +486,7 @@ def tokenize_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pipeline_curation_funnel",
-    oracle=_WINDOWS_CTE.replace("FROM documents", "FROM documents", 1)
+    oracle=_WINDOWS_CTE
     + f"""
     , survivors AS (
       SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)

@@ -111,6 +111,10 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(_DAMP * dangling / n)
             ).alias("r"),
         )
+        # truncate lineage each round: without this the per-round dangling
+        # collect and the final job re-execute every prior round's joins
+        # (O(iters²) recomputation)
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("node").alias("nationkey"), F.round("r", 6).alias("pagerank")
     )

@@ -190,7 +190,7 @@ def stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pos AS (
       SELECT doc_id, source,
-             (doc_id + 1 * 40503) * 2654435761 % 4294967296 AS p
+             (doc_id + 1 * 40503) % 2147483648 * 2654435761 % 4294967296 AS p
       FROM documents
     )
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY p, doc_id) AS BIGINT) AS train_pos,
@@ -220,7 +220,7 @@ def epoch_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pos AS (
       SELECT doc_id, source,
-             (doc_id + 0 * 40503) * 2654435761 % 4294967296 AS p
+             (doc_id + 0 * 40503) % 2147483648 * 2654435761 % 4294967296 AS p
       FROM documents
     ), ranked AS (
       SELECT doc_id, source,

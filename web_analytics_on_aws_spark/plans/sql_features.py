@@ -33,7 +33,9 @@ FROM cal LEFT JOIN per_day ON per_day.day = cal.day
 """
 
 _RECURSIVE_DUCK = _RECURSIVE_SPARK.replace(
-    "date_add(day, 1)", "day + INTERVAL 1 DAY"
+    # CAST back to DATE: DuckDB promotes DATE + INTERVAL to TIMESTAMP,
+    # which would emit a datetime column where Spark emits date
+    "date_add(day, 1)", "CAST(day + INTERVAL 1 DAY AS DATE)"
 ).replace("SELECT lo FROM bounds", "SELECT CAST(lo AS DATE) FROM bounds")
 
 
