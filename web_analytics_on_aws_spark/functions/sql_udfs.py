@@ -33,7 +33,7 @@ SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "hash_fraction": (
         "k BIGINT",
         "DOUBLE",
-        f"(k * {KNUTH} % {MOD}) / CAST({MOD} AS DOUBLE)",
+        f"(k % 2147483648 * {KNUTH} % {MOD}) / CAST({MOD} AS DOUBLE)",
     ),
     "redact_pii": (
         "s STRING",

@@ -5,7 +5,9 @@ Everything here must be **reproducible across runs, engines, and cluster
 layouts** — a training-data pipeline that samples differently on re-run
 poisons experiment comparisons. So no ``rand()``: selection is a pure
 function of the row key via a Knuth multiplicative hash —
-``(key * 2654435761) mod 2^32`` — exact BIGINT arithmetic any engine
+``((key mod 2^31) * 2654435761) mod 2^32`` — exact BIGINT arithmetic
+(the 2^31 pre-mask keeps the product inside int64 for web-scale keys,
+so no engine wraps or raises) that any engine
 reproduces bit-for-bit (and therefore DuckDB-oracle-checkable).
 
 Scale notes: sampling/splitting are stateless row-local predicates (pure
@@ -27,7 +29,9 @@ def hash_fraction(key: Column | str) -> Column:
     """Uniform-ish [0,1) value derived from an integer key — deterministic,
     engine-portable (exact integer arithmetic)."""
     c = F.col(key) if isinstance(key, str) else key
-    return (c.cast("bigint") * F.lit(KNUTH) % F.lit(MOD)) / F.lit(float(MOD))
+    return (c.cast("bigint") % F.lit(2**31) * F.lit(KNUTH) % F.lit(MOD)) / F.lit(
+        float(MOD)
+    )
 
 
 def deterministic_sample(
@@ -126,7 +130,7 @@ def sample_k_per_group(
     per-group reservoir, reproducible across runs, engines, and partition
     layouts. One shuffle on the group columns; ordering uses the exact
     BIGINT hash, never floats or rand()."""
-    h = F.col(key).cast("bigint") * F.lit(KNUTH) % F.lit(MOD)
+    h = F.col(key).cast("bigint") % F.lit(2**31) * F.lit(KNUTH) % F.lit(MOD)
     w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key).asc())
     return (
         df.withColumn("_rn", F.row_number().over(w))

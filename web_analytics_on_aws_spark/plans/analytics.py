@@ -628,7 +628,7 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                '[PHONE]', 'g'),
                '[0-9]{7,}', '[NUM]', 'g')) AS redacted_len
     FROM documents
-    WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.5
+    WHERE ((doc_id % 2147483648 * 2654435761) % 4294967296) / 4294967296.0 < 0.5
     """,
 )
 def sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -774,9 +774,9 @@ _QUALITY_SQL = """ROUND((
     ), kept AS (
       SELECT * FROM scored WHERE quality >= 0.85
     )
-    SELECT CASE WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.1
+    SELECT CASE WHEN ((doc_id % 2147483648 * 2654435761) % 4294967296) / 4294967296.0 < 0.1
                      THEN 'test'
-                WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < 0.2
+                WHEN ((doc_id % 2147483648 * 2654435761) % 4294967296) / 4294967296.0 < 0.2
                      THEN 'val'
                 ELSE 'train' END AS split,
            COUNT(*) AS n_docs,

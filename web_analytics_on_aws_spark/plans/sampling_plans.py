@@ -20,7 +20,7 @@ from web_analytics_on_aws_spark.operators.sampling import (
 from web_analytics_on_aws_spark.plans import query
 from web_analytics_on_aws_spark.sources.tables import load_table
 
-_HASH_SQL = f"((doc_id * {KNUTH}) % {MOD}) / {float(MOD)}"
+_HASH_SQL = f"((doc_id % 2147483648 * {KNUTH}) % {MOD}) / {float(MOD)}"
 
 
 @query(
@@ -116,10 +116,10 @@ def pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH thin AS (
       SELECT doc_id, source, 0 AS mixture_source FROM documents
-      WHERE (doc_id * {sampling.KNUTH}) % {sampling.MOD} < 0.8 * {sampling.MOD}
+      WHERE (doc_id % 2147483648 * {sampling.KNUTH}) % {sampling.MOD} < 0.8 * {sampling.MOD}
       UNION ALL
       SELECT doc_id, source, 1 AS mixture_source FROM documents
-      WHERE (doc_id * {sampling.KNUTH}) % {sampling.MOD} < 0.25 * {sampling.MOD}
+      WHERE (doc_id % 2147483648 * {sampling.KNUTH}) % {sampling.MOD} < 0.25 * {sampling.MOD}
     )
     SELECT mixture_source, source, COUNT(*) AS cnt
     FROM thin GROUP BY mixture_source, source
@@ -143,7 +143,7 @@ def weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
     FROM (SELECT lang, doc_id,
                  ROW_NUMBER() OVER (PARTITION BY lang
-                                    ORDER BY (doc_id * {KNUTH}) % {MOD}, doc_id) AS rn
+                                    ORDER BY (doc_id % 2147483648 * {KNUTH}) % {MOD}, doc_id) AS rn
           FROM documents)
     WHERE rn <= 20
     GROUP BY lang
