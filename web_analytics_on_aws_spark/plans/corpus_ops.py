@@ -582,3 +582,107 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate census: the most widely-shared 10-token windows
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_top_duplicated_windows",
+    oracle=_WINDOWS_CTE
+    + """
+    SELECT win, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT doc_id) DESC, win)
+                AS INT) AS rank
+    FROM w GROUP BY win
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY rank LIMIT 20
+    """,
+)
+def top_duplicated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate identification: the 20 most widely-shared 10-token
+    windows (headers, footers, licence blocks at web scale) with document
+    reach and occurrence counts — what you review before deciding a
+    removal list. Same explode + digest-group shape as the per-doc census;
+    the top-20 is a window over the already-aggregated duplicated-window
+    set."""
+    from web_analytics_on_aws_spark.functions import token_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 10
+    toks = token_split(F.col("text"))
+    windows = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    w = docs.select("doc_id", F.explode(windows).alias("win"))
+    agg = (
+        w.groupBy("win")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    rw = Window.orderBy(F.desc("n_docs"), F.asc("win"))
+    return (
+        agg.withColumn("rank", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("win", "n_docs", "n_occurrences", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram log-prob scoring — the perplexity-filter stand-in (docs whose
+# tokens are improbable under the corpus unigram LM are outliers/noise)
+# --------------------------------------------------------------------------
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents
+    ), freqs AS (
+      SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freqs
+    ), scored AS (
+      SELECT tok.doc_id, -LOG2(freqs.c / tot.n) AS bits
+      FROM tok JOIN freqs USING (tok), tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(bits) / COUNT(*), 6) AS avg_bits_per_token
+    FROM scored GROUP BY doc_id
+    """,
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter stand-in: each document's mean surprisal
+    (−log2 p) under the corpus unigram LM, trained in-plan. Documents full
+    of rare tokens score high (noise/garble candidates), boilerplate
+    scores low — the cheap first-pass LM quality signal. The LM is the
+    token-frequency table (|vocab| rows) and broadcasts into the token
+    stream; everything else is two partial-agg shuffles."""
+    from web_analytics_on_aws_spark.functions import token_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(token_split(F.col("text"))).alias("tok"))
+    freqs = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freqs.agg(F.sum("c").cast("double").alias("n"))
+    # no broadcast hint on freqs: Catalyst/AQE broadcasts it while the
+    # vocab fits and falls back to a hash join on the token key when a
+    # web-scale vocab outgrows the threshold
+    scored = (
+        tok.join(freqs, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (-F.log2(F.col("c") / F.col("n"))).alias("bits"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("bits") / F.count("*"), 6).alias("avg_bits_per_token"),
+    )
