@@ -686,3 +686,146 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_tokens"),
         F.round(F.sum("bits") / F.count("*"), 6).alias("avg_bits_per_token"),
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic decontamination: eval-set neighbors in embedding space
+# --------------------------------------------------------------------------
+
+@query(
+    "pipeline_decontaminate_semantic",
+    oracle="""
+    WITH ev AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id % 97 = 0
+    ), tr AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id % 97 <> 0
+    ), flagged AS (
+      SELECT DISTINCT tr.vec_id
+      FROM tr JOIN ev
+        ON ROUND(list_cosine_similarity(tr.v, ev.v), 6) >= 0.35
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN tr.vec_id IN (SELECT vec_id FROM flagged)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+    FROM tr GROUP BY label
+    """,
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: training vectors whose cosine to ANY
+    eval-set vector (every ~97th id stands in for a held-out benchmark)
+    reaches 0.35 are flagged, tallied per label. The eval side broadcasts
+    (benchmarks are tiny next to a corpus), so the corpus is scanned once
+    map-only — the same zero-corpus-shuffle shape as `brute_force_topk`;
+    the n-gram twin is `pipeline_decontaminate_stats`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = similarity._with_prep(
+        emb.filter(F.col("vec_id") % 97 == 0), "embedding", "__edv", "__enrm"
+    ).select(F.col("vec_id").alias("__eid"), "__edv", "__enrm")
+    tr = similarity._with_prep(
+        emb.filter(F.col("vec_id") % 97 != 0), "embedding", "__dv", "__nrm"
+    )
+    sim = F.round(
+        F.aggregate(
+            F.zip_with("__dv", "__edv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("__nrm") * F.col("__enrm")),
+        6,
+    )
+    flagged = (
+        tr.select("vec_id", "__dv", "__nrm")
+        .join(F.broadcast(ev))
+        .filter(sim >= 0.35)
+        .select("vec_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        tr.select("vec_id", "label")
+        .join(flagged, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Source drift: chi-square of per-source token-length histograms vs corpus
+# --------------------------------------------------------------------------
+
+@query(
+    "dq_source_length_drift",
+    oracle=f"""
+    WITH lens AS (
+      SELECT source,
+             LEAST(len({_TOKS}) // 10, 9) AS bucket
+      FROM documents
+    ), per AS (
+      SELECT source, bucket, CAST(COUNT(*) AS DOUBLE) AS o
+      FROM lens GROUP BY source, bucket
+    ), src_tot AS (
+      SELECT source, SUM(o) AS n FROM per GROUP BY source
+    ), corpus AS (
+      SELECT bucket, SUM(o) AS c FROM per GROUP BY bucket
+    ), grand AS (
+      SELECT SUM(o) AS g FROM per
+    ), ex AS (
+      SELECT per.source, per.bucket, per.o,
+             src_tot.n * corpus.c / grand.g AS e
+      FROM per
+      JOIN src_tot USING (source)
+      JOIN corpus USING (bucket), grand
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2
+    FROM ex GROUP BY source
+    """,
+)
+def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: chi-square statistic of each source's
+    token-length histogram (10-wide buckets, capped at 90+) against the
+    corpus-wide expectation — the DQ check that catches a source whose
+    scraper started truncating. The log reduces to |sources|×10 histogram
+    cells before any statistic; expected counts come from two broadcast
+    rollups of that tiny table."""
+    from web_analytics_on_aws_spark.functions import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source",
+        F.least(
+            F.floor(token_count(F.col("text")) / 10), F.lit(9)
+        ).alias("bucket"),
+    )
+    per = lens.groupBy("source", "bucket").agg(
+        F.count("*").cast("double").alias("o")
+    )
+    src_tot = per.groupBy("source").agg(F.sum("o").alias("n"))
+    corpus = per.groupBy("bucket").agg(F.sum("o").alias("c"))
+    grand = per.agg(F.sum("o").alias("g"))
+    ex = (
+        per.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(corpus), "bucket")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "o",
+            (F.col("n") * F.col("c") / F.col("g")).alias("e"),
+        )
+    )
+    return ex.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            6,
+        ).alias("chi2"),
+    )
