@@ -78,22 +78,34 @@ def main() -> None:
     # scans resolve to the InMemoryRelation), plus one full pass over the
     # headline queries (JIT, codegen, broadcast machinery). We measure
     # steady-state engine throughput, not JVM cold-start.
+    from web_analytics_on_aws_spark.sources import tables
     from web_analytics_on_aws_spark.sources.tables import TABLE_NAMES, load_table
 
+    # The testdata is one parquet file with ONE row group per table —
+    # unsplittable, so without a repartition floor every map-heavy stage
+    # runs on a single core regardless of cluster size. Production tables
+    # are many files; this knob only compensates for the toy layout.
+    tables.INPUT_PARTITIONS = int(os.environ.get('SPARK_GRAFT_INPUT_PARTS', cpus))
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).cache().count()
 
+    def run(name: str) -> None:
+        # noop sink, not count(): count() lets Catalyst prune joins/columns
+        # that don't affect cardinality, timing a cheaper plan than the
+        # query's real output
+        plans.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     names = [n for n in HEADLINE if n in plans.QUERIES]
     for name in names:
-        plans.QUERIES[name](spark, sf_dir).count()
+        run(name)
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        df = plans.QUERIES[name](spark, sf_dir)
-        n = df.count()
+        run(name)
         timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
 
     freshness = _measure_freshness(spark)
 

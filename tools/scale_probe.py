@@ -12,7 +12,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
-SF = "/root/testdata/sf0.1"
+SF_SRC = "/root/testdata/sf0.1"
+SF = "/tmp/sf1x1"   # 1x copy, re-written with splittable row groups
 OUT = "/tmp/sf1x10"
 # id column + replication shift per table (disjoint id spaces per replica).
 # Foreign keys shift consistently so replicated fact rows keep joining:
@@ -30,12 +31,20 @@ TABLES = {
 
 
 def build():
-    if os.path.isdir(OUT):
-        shutil.rmtree(OUT)
-    os.makedirs(OUT)
+    for d in (SF, OUT):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        os.makedirs(d)
     con = duckdb.connect()
+    # 1x side: identical data, but re-chunked — ratios must compare
+    # parallel-vs-parallel, not one single-row-group task vs 50 splits
+    for t in list(TABLES) + ["region", "nation", "supplier", "part"]:
+        con.execute(
+            f"COPY (SELECT * FROM '{SF_SRC}/{t}.parquet') TO "
+            f"'{SF}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2000)"
+        )
     for t, (idc, shift, idc2, shift2) in TABLES.items():
-        cols = con.sql(f"SELECT * FROM '{SF}/{t}.parquet' LIMIT 0").columns
+        cols = con.sql(f"SELECT * FROM '{SF_SRC}/{t}.parquet' LIMIT 0").columns
         sel = []
         for c in cols:
             if c == idc:
@@ -44,9 +53,14 @@ def build():
                 sel.append(f"{c} + r * {shift2} AS {c}")
             else:
                 sel.append(c)
+        # small row groups: parquet splits only at row-group boundaries, and
+        # DuckDB's default single giant group would serialize every Spark
+        # scan of the replica into ONE task (measured: map-heavy queries
+        # then report single-thread time, not scaling)
         con.execute(
-            f"COPY (SELECT {', '.join(sel)} FROM '{SF}/{t}.parquet', "
-            f"(SELECT UNNEST(range(0, 10)) AS r)) TO '{OUT}/{t}.parquet'"
+            f"COPY (SELECT {', '.join(sel)} FROM '{SF_SRC}/{t}.parquet', "
+            f"(SELECT UNNEST(range(0, 10)) AS r)) TO '{OUT}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 2000)"
         )
     # untouched tables: copy through so load_table finds them
     for t in ["region", "nation", "supplier", "part"]:
@@ -62,21 +76,35 @@ def main(names):
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # DuckDB's COPY writes one big row group per table; without a
+        # smaller split size the whole 10x file becomes ONE scan task and
+        # every map-heavy query measures single-thread time, not scaling.
+        # openCostInBytes must drop too — the split size is effectively
+        # max(openCost, …), so the 4 MB default still yields one task for
+        # small-but-dense files.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "64k")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
     from web_analytics_on_aws_spark import plans
 
     plans.load_all()
+    def run(fn, sf):
+        # noop sink, not count(): count() lets Catalyst prune joins that
+        # don't affect cardinality, timing a cheaper plan than the query
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
+
     for name in names:
         fn = plans.QUERIES[name]
-        fn(spark, SF).count()  # warm
+        run(fn, SF)  # warm
         t0 = time.perf_counter()
-        n1 = fn(spark, SF).count()
+        run(fn, SF)
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        n10 = fn(spark, OUT).count()
+        run(fn, OUT)
         t10 = time.perf_counter() - t0
+        n1, n10 = fn(spark, SF).count(), fn(spark, OUT).count()
         print(
             f"{name}: sf0.1 {t1:.2f}s ({n1} rows) | 10x {t10:.2f}s ({n10} rows)"
             f" | ratio {t10 / t1:.1f}x",

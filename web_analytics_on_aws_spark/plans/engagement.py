@@ -54,14 +54,17 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.date_add(F.col("d"), F.col("off")).alias("day"), "user_id", "off"
     )
-    counts = expanded.groupBy("day").agg(
-        F.count_distinct(
-            F.when(F.col("off") == 0, F.col("user_id"))
-        ).alias("dau"),
-        F.count_distinct(
-            F.when(F.col("off") <= 6, F.col("user_id"))
-        ).alias("wau_7d"),
-        F.count_distinct("user_id").alias("mau_28d"),
+    # reduce to one row per (day, user) carrying the smallest supporting
+    # offset FIRST — the dau/wau/mau tallies then need only plain counts
+    # (min_off == 0 ⇔ active that day, ≤ 6 ⇔ active in the last week),
+    # instead of three COUNT(DISTINCT)s each expanding the fan-out 3×
+    per_user = expanded.groupBy("day", "user_id").agg(
+        F.min("off").alias("mo")
+    )
+    counts = per_user.groupBy("day").agg(
+        F.sum(F.when(F.col("mo") == 0, 1).otherwise(0)).alias("dau"),
+        F.sum(F.when(F.col("mo") <= 6, 1).otherwise(0)).alias("wau_7d"),
+        F.count("*").alias("mau_28d"),
     )
     days = daily.select(F.col("d").alias("day")).distinct()
     return counts.join(days, "day").select("day", "dau", "wau_7d", "mau_28d")

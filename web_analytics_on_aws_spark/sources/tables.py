@@ -34,6 +34,11 @@ TABLE_NAMES = [
 ]
 
 
+# when set (>0), load_table round-robins each table into this many
+# partitions — see the comment at the use site. Bench-only knob.
+INPUT_PARTITIONS = 0
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing nano-timestamps to TimestampType."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -49,6 +54,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # bit-identical to the DuckDB oracle's naive-UTC interpretation
             # while restoring the epoch-math surface (unix_micros etc.).
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if INPUT_PARTITIONS:
+        # Scan-parallelism floor for single-row-group inputs: parquet can
+        # split only at row-group boundaries, and the bench testdata is one
+        # file with ONE row group per table — without this every map-heavy
+        # stage (window explodes, normalization) runs on a single core. A
+        # real deployment's tables are many files/row groups and never set
+        # this. Round-robin, no key assumptions; enabled by bench.py only.
+        df = df.repartition(INPUT_PARTITIONS)
     return df
 
 
