@@ -335,9 +335,10 @@ def test_rolling_active_users_reduces_to_user_days_first(spark):
     (partial-agg distinct over the raw log), never on raw events."""
     plan = _explain(spark, "events_rolling_active_users")
     assert "CartesianProduct" not in plan
-    # tree prints root-first: the distinct (day, user) aggregate must sit
-    # BELOW the explode (i.e. execute before the 28× fan-out)
-    assert "HashAggregate" in plan[plan.index("Generate") :]
+    # the triple COUNT-DISTINCT form planned an Expand (3× the fan-out);
+    # the (day,user) min-off pre-reduce must keep it gone
+    assert "Expand" not in plan
+    assert "partial_min" in plan  # the min-offset pre-reduce is present
 
 
 def test_session_paths_single_user_shuffle(spark):

@@ -34,7 +34,7 @@ def _land(landing: str, name: str, lines: list[str]) -> None:
 
 def _drain(spark, landing, table, err, ckpt):
     q = start_snapshot_ingest(spark, landing, table, err, ckpt, available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "drain did not finish within 120 s"
 
 
 def test_streamed_table_matches_batch_engagement_truth(spark, tmp_path):

@@ -181,18 +181,47 @@ def epoch_shuffle_pos(key: Column | str, epoch: int = 0) -> Column:
     return k31 * F.lit(KNUTH) % F.lit(MOD)
 
 
+def _bucketed_global_rank(
+    df: DataFrame, bucket: Column, order_cols: list, out_col: str = "train_pos"
+) -> DataFrame:
+    """Deterministic global rank WITHOUT a single-partition window: rows
+    rank inside their ``bucket`` (bucket must be a prefix of the total
+    order), bucket offsets come from a per-bucket count rollup (tiny —
+    one row per bucket) cumulated with a window over that rollup and
+    broadcast back. All corpus-scale shuffles are bucket-partitioned;
+    the only single-partition work is the |buckets|-row running sum."""
+    d = df.withColumn("__bk", bucket)
+    counts = d.groupBy("__bk").agg(F.count("*").alias("__c"))
+    wo = Window.orderBy("__bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bk", F.coalesce(F.sum("__c").over(wo), F.lit(0)).alias("__off")
+    )
+    win = Window.partitionBy("__bk").orderBy(*order_cols)
+    return (
+        d.join(F.broadcast(offsets), "__bk")
+        .withColumn(
+            out_col, (F.col("__off") + F.row_number().over(win)).cast("bigint")
+        )
+        .drop("__bk", "__off")
+    )
+
+
 def epoch_shuffle(
     df: DataFrame, epoch: int = 0, key: str = "doc_id"
 ) -> DataFrame:
     """Assign each row its global training position for ``epoch``: rank of
-    the per-epoch hash (ties broken by key — a total order). One range
-    shuffle for the global sort; at 100 TB you'd materialize
-    ``repartitionByRange(pos)`` once per epoch and read partitions in
-    order."""
-    w = Window.orderBy(epoch_shuffle_pos(key, epoch), F.col(key))
-    return df.withColumn(
-        "train_pos", F.row_number().over(w).cast("bigint")
-    )
+    the per-epoch hash (ties broken by key — a total order). The rank is
+    two-phase (bucket = high bits of the hash → per-bucket windows +
+    broadcast offsets), so no single-partition global window ever exists —
+    the property a 100 TB corpus needs; a toy-size global Window.orderBy
+    would plan Exchange SinglePartition and serialize on one task."""
+    pos = epoch_shuffle_pos(key, epoch)
+    d = df.withColumn("__pos", pos)
+    # high 16 bits of the 32-bit hash → ≤ 65536 buckets, prefix of the order
+    return _bucketed_global_rank(
+        d, F.floor(F.col("__pos") / F.lit(1 << 16)).cast("long"),
+        [F.col("__pos"), F.col(key)],
+    ).drop("__pos")
 
 
 def roundrobin_interleave(
@@ -202,12 +231,17 @@ def roundrobin_interleave(
     epoch hash), then interleave sources round-robin — position = rank of
     (within-source rank, source). Keeps every batch balanced across
     sources without a weighted sampler. Two window passes; the per-source
-    pass shuffles on the source key, the global rank is a range sort."""
+    pass shuffles on the source key; the global rank is the bucketed
+    two-phase form (no single-partition window)."""
     ws = Window.partitionBy(source_col).orderBy(
         epoch_shuffle_pos(key, epoch), F.col(key)
     )
     ranked = df.withColumn("__r", F.row_number().over(ws))
-    wg = Window.orderBy(F.col("__r"), F.col(source_col))
-    return ranked.withColumn(
-        "train_pos", F.row_number().over(wg).cast("bigint")
+    # global order (r, source) via the bucketed two-phase rank: bucket on
+    # r DIV 2^16 (a prefix of the order) so bucket count stays ~rows/65k
+    # and no single-partition window exists at any scale
+    return _bucketed_global_rank(
+        ranked,
+        F.floor(F.col("__r") / F.lit(1 << 16)).cast("long"),
+        [F.col("__r"), F.col(source_col)],
     ).drop("__r")

@@ -260,6 +260,23 @@ def vocab_topk(
     )
 
 
+def sliding_windows(text_col: str, k: int) -> Column:
+    """Array of all k-token sliding windows of ``text_col`` (space-joined;
+    empty array for docs shorter than k). Shared by the per-doc duplication
+    census and the boilerplate top-windows query so the window definition
+    can never desynchronize."""
+    from web_analytics_on_aws_spark.functions import token_split
+
+    toks = token_split(F.col(text_col))
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def duplicated_window_stats(
     df: DataFrame,
     k: int = 10,
@@ -280,17 +297,7 @@ def duplicated_window_stats(
     Output: (id_col, n_windows, n_dup_windows, dup_frac), one row per
     input document (short docs report zeros).
     """
-    from web_analytics_on_aws_spark.functions import token_split
-
-    toks = token_split(F.col(text_col))
-    windows = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    w = df.select(id_col, F.explode(windows).alias("win")).select(
+    w = df.select(id_col, F.explode(sliding_windows(text_col, k)).alias("win")).select(
         id_col, F.md5("win").alias("h")
     )
     dup = (
@@ -411,13 +418,14 @@ def bloom_ngram_overlap(
     hand-rolled distributed Bloom filter over the benchmark shingles.
 
     Build: benchmark grams fan out to ``num_hashes`` bit positions
-    (xxhash64 seeds), which bit-OR-aggregate into a SPARSE word table
-    ((pos >> 6) → 64-bit mask) — the table is ≤ num_bits/64 rows (KBs-MBs)
-    and broadcasts even when the raw gram set is GBs. Probe: each train
-    gram checks its ``num_hashes`` (word, bit) pairs against the broadcast
-    words (map-only); only Bloom survivors — true hits + the ~fp-rate
+    (xxhash64 seeds), bit-OR-aggregate into sparse 64-bit words, and
+    densify into ONE array<long> row (num_bits/64 longs — 128 KB at the
+    default 2^20 bits), which broadcasts even when the raw gram set is
+    GBs. Probe: each train gram evaluates its ``num_hashes`` bit lookups
+    MAP-SIDE against the broadcast bitmap (crossJoin + forall/getbit — no
+    join, no aggregate); only Bloom survivors — true hits + the ~fp-rate
     sliver — reach the exact gram join that removes false positives, so
-    the expensive shuffle moves candidates, never the corpus.
+    the first train-side shuffle moves candidates, never the corpus.
 
     Output: distinct flagged train ids — EXACTLY equal to
     ``benchmark_ngram_overlap`` (Bloom has no false negatives; positives
@@ -433,33 +441,51 @@ def bloom_ngram_overlap(
     pos = F.pmod(F.xxhash64(F.col("gram"), F.col("s")), F.lit(num_bits))
     word = F.floor(F.col("__p") / 64).cast("long").alias("w")
     mask = F.expr("shiftleft(1L, CAST(__p % 64 AS INT))").alias("m")
-    words = (
+    nwords = (num_bits + 63) // 64
+    # dense bitmap as ONE array<long> row (num_bits/64 longs — 128 KB at
+    # the default 2^20 bits). The sparse word ORs collect to the driver —
+    # a BOUNDED ≤ nwords-row collect (the same size contract as IVF
+    # centroids), never data-proportional. (A pure-plan dense fill via a
+    # map column was measured quadratic: Spark's element_at on MapData is
+    # a linear scan, so 16k lookups × 16k entries dominated the query.)
+    sparse = (
         bg.select("gram", seeds)
         .select(pos.alias("__p"))
         .select(word, mask)
         .groupBy("w")
         .agg(F.bit_or("m").alias("bits"))
+        .collect()
     )
+    dense = [0] * nwords
+    for r in sparse:
+        dense[int(r["w"])] = int(r["bits"])
+    spark = train.sparkSession
+    bitmap = spark.createDataFrame([(dense,)], "__bm array<bigint>")
     tg = with_shingles(train, text_col, n, "__g").select(
         id_col, F.explode("__g").alias("gram")
     )
-    probes = (
-        tg.select(id_col, "gram", seeds)
-        .select(id_col, "gram", pos.alias("__p"))
-        .select(id_col, "gram", word, mask)
-    )
-    checked = (
-        probes.join(F.broadcast(words), "w", "left")
-        .groupBy(id_col, "gram")
-        .agg(
-            F.bool_and(
-                (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m")))
-                == F.col("m")
-            ).alias("__maybe")
+
+    # membership is evaluated MAP-SIDE per gram row (crossJoin of the
+    # broadcast one-row bitmap + num_hashes unrolled getbit probes — a
+    # static AND chain, so it stays inside whole-stage codegen; a
+    # forall-lambda form was measured ~2× slower, interpreted): the train
+    # side reaches its first shuffle only AFTER the Bloom filter has
+    # dropped non-candidates — the whole point of the operator. An earlier
+    # form aggregated per (doc, gram) BEFORE filtering, shuffling the
+    # entire exploded gram stream.
+    cond = None
+    for s_i in range(num_hashes):
+        p = F.pmod(F.xxhash64(F.col("gram"), F.lit(s_i)), F.lit(num_bits))
+        hit = (
+            F.getbit(
+                F.element_at(F.col("__bm"), (p / 64).cast("int") + 1),
+                (p % 64).cast("int"),
+            )
+            == 1
         )
-        .filter(F.col("__maybe"))
+        cond = hit if cond is None else (cond & hit)
+    checked = (
+        tg.crossJoin(F.broadcast(bitmap)).filter(cond).select(id_col, "gram")
     )
     # exact confirm: only Bloom survivors enter the gram join
-    return (
-        checked.join(bg, "gram", "left_semi").select(id_col).distinct()
-    )
+    return checked.join(bg, "gram", "left_semi").select(id_col).distinct()

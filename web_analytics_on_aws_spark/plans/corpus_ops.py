@@ -608,18 +608,8 @@ def top_duplicated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal list. Same explode + digest-group shape as the per-doc census;
     the top-20 is a window over the already-aggregated duplicated-window
     set."""
-    from web_analytics_on_aws_spark.functions import token_split
-
     docs = load_table(spark, sf_dir, "documents")
-    k = 10
-    toks = token_split(F.col("text"))
-    windows = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    windows = text.sliding_windows("text", 10)
     # Strings NEVER enter a shuffle: stats aggregate on 16-byte digests
     # (two digest-keyed shuffles), only the ≤20 winning digests recover
     # their window text via a broadcast-filtered second scan. The naive
@@ -795,16 +785,23 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), per AS (
       SELECT source, bucket, CAST(COUNT(*) AS DOUBLE) AS o
       FROM lens GROUP BY source, bucket
+    ), dense AS (
+      -- every (source, corpus-occupied bucket) cell, zeros included: a
+      -- source MISSING a bucket is exactly the drift signal
+      SELECT s.source, b.bucket, COALESCE(per.o, 0.0) AS o
+      FROM (SELECT DISTINCT source FROM documents) s
+      CROSS JOIN (SELECT DISTINCT bucket FROM lens) b
+      LEFT JOIN per ON per.source = s.source AND per.bucket = b.bucket
     ), src_tot AS (
-      SELECT source, SUM(o) AS n FROM per GROUP BY source
+      SELECT source, SUM(o) AS n FROM dense GROUP BY source
     ), corpus AS (
-      SELECT bucket, SUM(o) AS c FROM per GROUP BY bucket
+      SELECT bucket, SUM(o) AS c FROM dense GROUP BY bucket
     ), grand AS (
-      SELECT SUM(o) AS g FROM per
+      SELECT SUM(o) AS g FROM dense
     ), ex AS (
-      SELECT per.source, per.bucket, per.o,
+      SELECT dense.source, dense.bucket, dense.o,
              src_tot.n * corpus.c / grand.g AS e
-      FROM per
+      FROM dense
       JOIN src_tot USING (source)
       JOIN corpus USING (bucket), grand
     )
@@ -833,11 +830,20 @@ def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = lens.groupBy("source", "bucket").agg(
         F.count("*").cast("double").alias("o")
     )
-    src_tot = per.groupBy("source").agg(F.sum("o").alias("n"))
-    corpus = per.groupBy("bucket").agg(F.sum("o").alias("c"))
-    grand = per.agg(F.sum("o").alias("g"))
+    # densify: every (source, corpus-occupied bucket) cell, zeros included
+    # — a source MISSING a bucket is exactly the truncation-drift signal
+    dense = (
+        lens.select("source")
+        .distinct()
+        .crossJoin(lens.select("bucket").distinct())
+        .join(per, ["source", "bucket"], "left")
+        .select("source", "bucket", F.coalesce("o", F.lit(0.0)).alias("o"))
+    )
+    src_tot = dense.groupBy("source").agg(F.sum("o").alias("n"))
+    corpus = dense.groupBy("bucket").agg(F.sum("o").alias("c"))
+    grand = dense.agg(F.sum("o").alias("g"))
     ex = (
-        per.join(F.broadcast(src_tot), "source")
+        dense.join(F.broadcast(src_tot), "source")
         .join(F.broadcast(corpus), "bucket")
         .crossJoin(F.broadcast(grand))
         .select(

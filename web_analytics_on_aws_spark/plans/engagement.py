@@ -46,9 +46,14 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     range are dropped by the join back to observed days. Never a
     per-day rescan of the corpus, never an expanding distinct state."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.select(
-        F.to_date("ts").alias("d"), "user_id"
-    ).distinct()
+    # drop NULL users up front: the oracle's COUNT(DISTINCT user_id)
+    # ignores NULLs, and the plain-count rewrite below would otherwise
+    # count a (day, NULL) row as an active user
+    daily = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
     expanded = daily.select(
         "d", "user_id", F.explode(F.sequence(F.lit(0), F.lit(27))).alias("off")
     ).select(
