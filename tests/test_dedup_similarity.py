@@ -7,6 +7,7 @@ from __future__ import annotations
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
 from web_analytics_on_aws_spark.operators import dedup, multimodal, similarity
@@ -263,3 +264,88 @@ def test_trigram_lang_id_accuracy_and_edges(spark):
     acc = sum(preds[i] == l for i, l in
               [(1, "en"), (2, "es"), (3, "fr"), (4, "en"), (5, "es"), (6, "fr")])
     assert acc == 6, preds
+
+
+def test_multimodal_decode_audit_matches_hashlib(spark, corpus):
+    """The integer audit columns recovered from the REAL mapInPandas decode
+    equal a direct hashlib recomputation (what the DuckDB oracle does)."""
+    import hashlib
+
+    df, _, _ = corpus
+    df = df.limit(8)
+    with_blob = multimodal.attach_blob(df)
+    dec = multimodal.decode_media(with_blob, fake=True)
+    got = {
+        r["doc_id"]: r
+        for r in dec.select(
+            "doc_id", "width", "height", "channels",
+            F.aggregate(
+                "features", F.lit(0).cast("long"),
+                lambda acc, x: acc + F.round(x.cast("double") * 255.0).cast("long"),
+            ).alias("feat_byte_sum"),
+        ).collect()
+    }
+    for row in df.select("doc_id", "text").collect():
+        d = hashlib.sha256(row["text"].encode()).digest()
+        g = got[row["doc_id"]]
+        assert g["width"] == 16 + d[0] % 64
+        assert g["height"] == 16 + d[1] % 64
+        assert g["channels"] == 1 + d[2] % 3
+        assert g["feat_byte_sum"] == sum(d[:8])
+
+
+def test_multimodal_knn_audit_tracks_float_pipeline(spark, corpus):
+    """The integer-exact audit ranking reproduces the float32 Arrow
+    pipeline's neighbor sets (cosine over z = 2*byte-255 is mathematically
+    identical to the extractor's cosine; only float rounding can differ, so
+    overlap must be near-total)."""
+    from web_analytics_on_aws_spark.operators.similarity import brute_force_topk
+    from web_analytics_on_aws_spark.plans.pipeline_ops import _zvec
+
+    docs, _, _ = corpus
+    feats = multimodal.extract_features(multimodal.attach_blob(docs), fake=True)
+    queries = feats.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    float_topk = brute_force_topk(feats, queries, k=10, id_col="doc_id")
+    float_sets = {}
+    for r in float_topk.collect():
+        float_sets.setdefault(r["query_id"], set()).add(r["doc_id"])
+
+    z = docs.select("doc_id", _zvec("text").alias("z")).withColumn(
+        "norm2", F.aggregate("z", F.lit(0).cast("long"), lambda a, x: a + x * x)
+    )
+    q = z.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("z").alias("zq"),
+        F.col("norm2").alias("qn"),
+    )
+    pairs = (
+        z.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with("z", "zq", lambda a, b: a * b),
+                F.lit(0).cast("long"), lambda a, x: a + x,
+            ),
+        )
+        .withColumn(
+            "key",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("norm2").cast("double") * F.col("qn").cast("double")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("key"), F.asc("doc_id"))
+    audit = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .collect()
+    )
+    audit_sets = {}
+    for r in audit:
+        audit_sets.setdefault(r["query_id"], set()).add(r["doc_id"])
+    for qid, fset in float_sets.items():
+        # float32 rounding may flip a near-tie at the top-k boundary, no more
+        assert len(fset & audit_sets[qid]) >= 9, (qid, fset, audit_sets[qid])
