@@ -1,0 +1,106 @@
+"""Access-policy layer (LakeFormation-grant analog, SURVEY §2.6 D8):
+grants, permission checks, column allow-lists, cell masks, row filters —
+and the plan-rewrite property that the row filter reaches the scan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_analytics_on_aws_spark.sources.policy import Grant, PolicyCatalog
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(
+        [(1, "alice@example.com", "view", 10.0),
+         (2, "bob@example.com", "purchase", 99.0),
+         (3, None, "click", 5.0),
+         (1, "alice@example.com", "view", 7.0)],
+        "user_id long, email string, event_type string, value double",
+    )
+
+
+def test_no_grant_raises(spark, df):
+    cat = PolicyCatalog()
+    with pytest.raises(PermissionError, match="no grant"):
+        cat.apply(df, "intern", "events")
+
+
+def test_missing_permission_raises(spark, df):
+    cat = PolicyCatalog()
+    cat.grant("writer", "events", permissions={"INSERT"})
+    with pytest.raises(PermissionError, match="lacks SELECT"):
+        cat.apply(df, "writer", "events")
+    # DESCRIBE is implied by any grant (LF behavior)
+    cat.check("writer", "events", "DESCRIBE")
+
+
+def test_column_allow_list_prunes(spark, df):
+    cat = PolicyCatalog()
+    cat.grant("analyst", "events", columns=("event_type", "value"))
+    out = cat.apply(df, "analyst", "events")
+    assert out.columns == ["event_type", "value"]
+
+
+def test_row_filter_and_masks(spark, df):
+    cat = PolicyCatalog()
+    cat.grant(
+        "analyst", "events",
+        columns=("user_id", "email", "event_type"),
+        masked={"user_id": "sha256", "email": "partial"},
+        row_filter="event_type <> 'purchase'",
+    )
+    rows = cat.apply(df, "analyst", "events").collect()
+    assert {r["event_type"] for r in rows} == {"view", "click"}
+    by_user = {r["email"]: r["user_id"] for r in rows}
+    assert by_user["al***"] is not None and len(by_user["al***"]) == 64
+    # deterministic: the two alice rows mask to the same pseudonym
+    hashes = [r["user_id"] for r in rows if r["email"] == "al***"]
+    assert len(hashes) == 2 and hashes[0] == hashes[1]
+    # NULL input masks to NULL (no phantom pseudonym), non-null cols intact
+    null_rows = [r for r in rows if r["event_type"] == "click"]
+    assert null_rows[0]["email"] is None
+    assert null_rows[0]["user_id"] is not None
+
+
+def test_null_mask_kind(spark, df):
+    cat = PolicyCatalog()
+    cat.grant("restricted", "events", columns=("email", "value"),
+              masked={"email": "null"})
+    rows = cat.apply(df, "restricted", "events").collect()
+    assert all(r["email"] is None for r in rows)
+    assert rows[0]["value"] is not None
+
+
+def test_revoke(spark, df):
+    cat = PolicyCatalog()
+    cat.grant("analyst", "events")
+    cat.apply(df, "analyst", "events")
+    cat.revoke("analyst", "events")
+    with pytest.raises(PermissionError):
+        cat.apply(df, "analyst", "events")
+
+
+def test_bad_grant_rejected(spark):
+    with pytest.raises(ValueError, match="unknown permissions"):
+        Grant("p", "t", frozenset({"TELEPORT"}))
+    with pytest.raises(ValueError, match="unknown mask"):
+        Grant("p", "t", frozenset({"SELECT"}), masked=(("c", "rot13"),))
+    cat = PolicyCatalog()
+    with pytest.raises(ValueError, match="non-granted"):
+        cat.grant("p", "t", columns=("a",), masked={"b": "sha256"})
+
+
+def test_row_filter_pushed_to_scan(spark, tmp_path):
+    """The policy is a plan rewrite: the row filter must reach the parquet
+    scan as a pushed filter (policies are free at scale)."""
+    p = str(tmp_path / "t")
+    spark.range(100).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 2 == 0, "view").otherwise("purchase").alias("event_type"),
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    cat = PolicyCatalog()
+    cat.grant("analyst", "t", columns=("user_id", "event_type"),
+              masked={"user_id": "sha256"}, row_filter="event_type = 'view'")
+    plan = cat.apply(df, "analyst", "t")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)]" in plan

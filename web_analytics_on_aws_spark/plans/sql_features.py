@@ -79,3 +79,51 @@ def lateral_top2_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_STMT)
+
+
+@query(
+    "acl_masked_events_rollup",
+    oracle="""
+    WITH policy_view AS (
+      SELECT sha256(CAST(user_id AS VARCHAR)) AS user_id, event_type, value
+      FROM events
+      WHERE event_type <> 'purchase'
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM policy_view
+    GROUP BY event_type
+    """,
+)
+def acl_masked_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LakeFormation-analog governance surface (SURVEY §2.6 D8, reference
+    web-analytics-iceberg/cdk_stacks/lake_formation.py:28-73): an 'analyst'
+    principal is granted column-level SELECT on events with user_id
+    sha256-masked (deterministic pseudonymization — distinct counts still
+    work) and a row filter hiding purchase events; the rollup runs entirely
+    through the policy view. Enforcement is a plan rewrite, so the row
+    filter is pushed to the parquet scan and unselected columns are pruned
+    — the policy costs nothing at 100 TB beyond the mask hash."""
+    import pyspark.sql.functions as F
+
+    from web_analytics_on_aws_spark.sources.policy import PolicyCatalog
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    cat = PolicyCatalog()
+    cat.grant(
+        "analyst",
+        "events",
+        permissions={"SELECT"},
+        columns=("user_id", "event_type", "value"),
+        masked={"user_id": "sha256"},
+        row_filter="event_type <> 'purchase'",
+    )
+    view = cat.apply(events, "analyst", "events")
+    return view.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
