@@ -1,0 +1,73 @@
+"""k-anonymity / l-diversity audit (operators/privacy.py) — planted
+equivalence classes with known k and l."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_analytics_on_aws_spark.operators import privacy
+
+
+@pytest.fixture()
+def people(spark):
+    # classes by (zip3, age_bucket): A=3 rows (2 diseases), B=1 row
+    # (singleton), C=2 rows (1 disease → l=1 attribute disclosure)
+    rows = [
+        ("021", 3, "flu"), ("021", 3, "flu"), ("021", 3, "cold"),   # A k=3 l=2
+        ("946", 5, "flu"),                                          # B k=1 l=1
+        ("100", 2, "covid"), ("100", 2, "covid"),                   # C k=2 l=1
+    ]
+    return spark.createDataFrame(rows, "zip3 string, age_bucket int, disease string")
+
+
+def test_equivalence_classes(spark, people):
+    cls = {
+        (r["zip3"], r["age_bucket"]): (r["class_size"], r["l_distinct"])
+        for r in privacy.equivalence_classes(
+            people, ["zip3", "age_bucket"], "disease"
+        ).collect()
+    }
+    assert cls[("021", 3)] == (3, 2)
+    assert cls[("946", 5)] == (1, 1)
+    assert cls[("100", 2)] == (2, 1)
+
+
+def test_k_anonymity_report(spark, people):
+    r = privacy.k_anonymity_report(
+        people, ["zip3", "age_bucket"], sensitive_col="disease",
+        k_thresholds=(2, 3),
+    ).collect()[0]
+    assert r["n_rows"] == 6 and r["n_classes"] == 3
+    assert r["min_k"] == 1
+    assert r["rows_below_k2"] == 1          # the singleton row
+    assert r["rows_below_k3"] == 3          # singleton + the k=2 class
+    assert r["min_l"] == 1
+    assert r["classes_l1"] == 2             # B and C
+
+
+def test_generalization_raises_k(spark, people):
+    # coarsening zip3 -> zip1 merges nothing here except '021'/'100'? no —
+    # prefixes 0/9/1 stay distinct; bucket ages to width 10 merges all ages
+    gen = people.select(
+        privacy.generalize_prefix("zip3", 1).alias("zip1"),
+        privacy.generalize_numeric("age_bucket", 10).alias("age10"),
+        "disease",
+    )
+    r0 = privacy.k_anonymity_report(people, ["zip3", "age_bucket"]).collect()[0]
+    r1 = privacy.k_anonymity_report(gen, ["zip1", "age10"]).collect()[0]
+    assert r1["n_classes"] <= r0["n_classes"]
+    assert r1["min_k"] >= r0["min_k"]
+
+
+def test_generalize_time(spark):
+    df = spark.createDataFrame(
+        [("2026-03-02 13:45:17",), ("2026-03-02 13:59:59",), ("2026-03-03 00:00:01",)],
+        "ts string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    hours = df.select(privacy.generalize_time("ts", "hour").alias("h")).distinct()
+    days = df.select(privacy.generalize_time("ts", "day").alias("d")).distinct()
+    assert hours.count() == 2 and days.count() == 2
+
+
+def test_report_without_sensitive_has_no_l_columns(spark, people):
+    rep = privacy.k_anonymity_report(people, ["zip3"])
+    assert "min_l" not in rep.columns and "classes_l1" not in rep.columns

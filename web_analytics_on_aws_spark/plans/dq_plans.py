@@ -98,3 +98,107 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             dq.expect_references(orders, "o_custkey", customer, "c_custkey")
         )
     )
+
+
+# --- Privacy risk audits (operators/privacy.py) ---------------------------
+
+_PRIV_CLASSES = """
+      SELECT COUNT(*) AS class_size, COUNT(DISTINCT user_id) AS l_distinct
+      FROM events
+      GROUP BY event_type, CAST(ts AS DATE), CAST(FLOOR(value / 50) AS BIGINT)
+"""
+
+
+@query(
+    "privacy_k_anon_events",
+    oracle=f"""
+    WITH classes AS ({_PRIV_CLASSES})
+    SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS min_k,
+           CAST(SUM(CASE WHEN class_size < 2 THEN class_size ELSE 0 END)
+                AS BIGINT) AS rows_below_k2,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS rows_below_k5,
+           CAST(MIN(l_distinct) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l_distinct <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_l1
+    FROM classes
+    """,
+)
+def privacy_k_anon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of events under the quasi-identifier
+    (event_type, day, value-bucket-of-50) with user_id as the sensitive
+    attribute: worst-case k, re-identifiable row counts below k=2/5,
+    worst-case l, and single-sensitive-value classes. One quasi-key shuffle
+    + a scalar reduce — the release-audit loop's measurement half (the
+    policy layer in sources/policy.py is the enforcement half)."""
+    from web_analytics_on_aws_spark.operators import privacy
+
+    events = load_table(spark, sf_dir, "events")
+    return privacy.k_anonymity_report(
+        events,
+        [
+            F.col("event_type"),
+            F.to_date("ts").alias("day"),
+            privacy.generalize_numeric("value", 50).alias("value_bucket"),
+        ],
+        sensitive_col="user_id",
+        k_thresholds=(2, 5),
+    )
+
+
+def _priv_level_sql(grain: str, width: int) -> str:
+    return f"""
+    SELECT '{grain}/{width}' AS level,
+           COUNT(*) AS n_classes,
+           CAST(MIN(class_size) AS BIGINT) AS min_k,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS rows_below_k5
+    FROM (
+      SELECT COUNT(*) AS class_size FROM events
+      GROUP BY event_type, date_trunc('{grain}', ts),
+               CAST(FLOOR(value / {width}) AS BIGINT)
+    )
+    """
+
+
+@query(
+    "privacy_generalization_ladder",
+    oracle=" UNION ALL ".join(
+        [_priv_level_sql("hour", 10), _priv_level_sql("day", 50),
+         _priv_level_sql("week", 200)]
+    ),
+)
+def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generalize → re-measure loop: k-anonymity at three successive
+    coarsenings of the quasi-identifiers (hour/10-unit buckets → day/50 →
+    week/200), showing worst-case k rise and the sub-k=5 population shrink.
+    Three independent class-groupBys (different keys — no reuse possible);
+    each is one shuffle over the reduced class table."""
+    from web_analytics_on_aws_spark.operators import privacy
+
+    events = load_table(spark, sf_dir, "events")
+    outs = []
+    for grain, width in (("hour", 10), ("day", 50), ("week", 200)):
+        rep = privacy.k_anonymity_report(
+            events,
+            [
+                F.col("event_type"),
+                privacy.generalize_time("ts", grain).alias("t"),
+                privacy.generalize_numeric("value", width).alias("value_bucket"),
+            ],
+            k_thresholds=(5,),
+        )
+        outs.append(
+            rep.select(
+                F.lit(f"{grain}/{width}").alias("level"),
+                "n_classes",
+                "min_k",
+                "rows_below_k5",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
