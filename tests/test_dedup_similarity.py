@@ -349,3 +349,46 @@ def test_multimodal_knn_audit_tracks_float_pipeline(spark, corpus):
     for qid, fset in float_sets.items():
         # float32 rounding may flip a near-tie at the top-k boundary, no more
         assert len(fset & audit_sets[qid]) >= 9, (qid, fset, audit_sets[qid])
+
+
+def test_ivfpq_full_probe_full_rerank_is_brute_force(spark):
+    """nprobe = num_centroids and unbounded rerank must reproduce the exact
+    brute-force top-k — the approximation comes ONLY from cell pruning and
+    shortlist choice."""
+    df = load_table(spark, SF_SMOKE, "embeddings")
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in similarity.brute_force_topk(df, q, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in similarity.ivfpq_adc_topk(
+            df, q, k=5, num_centroids=8, nprobe=8, m=8, num_codewords=8,
+            rerank=10**6,
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_ivfpq_sims_are_exact_cosines(spark):
+    """Every reported sim must equal the exact cosine of that pair (re-rank
+    contract) even when candidate choice is approximate."""
+    df = load_table(spark, SF_SMOKE, "embeddings")
+    q = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = similarity.ivfpq_adc_topk(
+        df, q, k=5, num_centroids=8, nprobe=2, m=8, num_codewords=8, rerank=20
+    )
+    vecs = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    import math
+
+    for r in out.collect():
+        a, b = vecs[r["query_id"]], vecs[r["vec_id"]]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        assert abs(r["sim"] - round(dot / (na * nb), 6)) < 1e-9

@@ -735,3 +735,137 @@ def pq_adc_topk(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    num_codewords: int = 16,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the composed production ANN stack (Jégou et al., TPAMI 2011
+    — inverted file coarse quantizer + product-quantization ADC, with exact
+    shortlist re-rank). IVF routes each query to its ``nprobe`` nearest
+    coarse cells so only ~nprobe/num_centroids of the corpus is scored;
+    within probed cells, scoring is ADC lookup sums over m-subspace codes
+    (32× memory shrink); the per-batch top-``rerank`` shortlist is scored
+    exactly, so emitted sims are exact cosines — only candidate choice is
+    approximate, bounded by cell recall × ADC shortlist recall.
+
+    Plan shape: ``ivf_assign``'s map-only Arrow matmul stamps cell ids; the
+    scan kernel masks each Arrow batch per query to its probed cells and
+    scores via the LUT — still map-only over the corpus, no join, no
+    explosion; the sole shuffle ranks ≤ rerank·partitions rows per query.
+    Queries and centroids are driver-side by the same broadcast-small
+    contract as ``pq_adc_topk`` (LUT construction needs them in one place);
+    at 100 TB the corpus side would additionally be written
+    ``partitionBy(centroid_id)`` so probes prune at the FILE level and the
+    non-probed ~ (1 − nprobe/num_centroids) of the corpus is never read.
+
+    Output: (query_id, vec_id, sim, rank 1..k), sims exact.
+    """
+    cents_df = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(corpus, num_centroids, id_col, vec_col)
+    )
+    cent_rows = sorted(cents_df.collect(), key=lambda r: r["centroid_id"])
+    cmat = np.stack([np.asarray(r["cv"]) for r in cent_rows]).astype(np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cids = np.array([r["centroid_id"] for r in cent_rows])
+
+    assigned = ivf_assign(corpus, cents_df, id_col, vec_col)
+
+    # Codebooks: lowest-id corpus vectors' subvectors (same training-free
+    # contract as pq_adc_topk; kmeans_refine slots in unchanged).
+    cb_src = sorted(
+        corpus.select(id_col, as_double_vec(vec_col).alias("__v"))
+        .orderBy(F.col(id_col))
+        .limit(num_codewords)
+        .collect(),
+        key=lambda r: r[id_col],
+    )
+    cbv = np.stack([np.asarray(r["__v"]) for r in cb_src]).astype(np.float64)
+    cbv = cbv / np.sqrt((cbv * cbv).sum(axis=1))[:, None]
+    dim = cbv.shape[1]
+    sub = dim // m
+    codebooks = [cbv[:, s * sub : (s + 1) * sub].copy() for s in range(m)]
+
+    qrows = sorted(
+        queries.select(query_id_col, as_double_vec("qv").alias("__q")).collect(),
+        key=lambda r: r[query_id_col],
+    )
+    qids = np.array([r[query_id_col] for r in qrows])
+    qv = np.stack([np.asarray(r["__q"]) for r in qrows]).astype(np.float64)
+    qnorms = np.sqrt((qv * qv).sum(axis=1))
+    qn = qv / qnorms[:, None]
+    luts = np.stack(
+        [qn[:, s * sub : (s + 1) * sub] @ codebooks[s].T for s in range(m)],
+        axis=1,
+    )
+    # Per-query probe sets: top-nprobe cells by centroid cosine (ties to
+    # the lower centroid_id, matching ivf_topk's ordering).
+    csims = (qn @ cmat.T) / cnorm[None, :]
+    probe_sets = []
+    for qi in range(len(qids)):
+        order = np.lexsort((cids, -csims[qi]))[:nprobe]
+        probe_sets.append(np.sort(cids[order]))
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+
+    def _scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            cell = pdf["centroid_id"].to_numpy()
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            norms = np.sqrt((v * v).sum(axis=1))
+            vn = v / norms[:, None]
+            # PQ codes once per batch row (shared across queries)
+            codes = np.empty((len(v), m), dtype=np.int64)
+            for s in range(m):
+                vs = vn[:, s * sub : (s + 1) * sub]
+                scores = vs @ codebooks[s].T - 0.5 * (codebooks[s] ** 2).sum(axis=1)
+                codes[:, s] = np.argmax(scores, axis=1)
+            out = []
+            for qi in range(len(qids)):
+                mask = np.isin(cell, probe_sets[qi]) & (ids != qids[qi])
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                adc = np.zeros(len(idx), dtype=np.float64)
+                for s in range(m):
+                    adc += luts[qi, s, codes[idx, s]]
+                cand = idx[np.argsort(-adc)[:rerank]]
+                exact = (v[cand] @ qv[qi]) / (norms[cand] * qnorms[qi])
+                out.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: qids[qi],
+                            id_col: ids[cand],
+                            "__raw": exact,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = assigned.select(id_col, vec_col, "centroid_id").mapInPandas(
+        _scan, f"{query_id_col} {qid_type}, {id_col} {id_type}, __raw double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.select(query_id_col, id_col, F.round("__raw", 6).alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
