@@ -51,6 +51,9 @@ HEADLINE = [
     "events_session_path_trigrams",
     "curation_source_mixing",
     "pipeline_curation_funnel",
+    "ann_ivfpq_topk_raw",
+    "acl_masked_events_rollup",
+    "privacy_k_anon_events",
 ]
 
 

@@ -822,16 +822,27 @@ def ivfpq_adc_topk(
     id_type = corpus.schema[id_col].dataType.simpleString()
     qid_type = queries.schema[query_id_col].dataType.simpleString()
 
+    probed_union = np.unique(np.concatenate(probe_sets)) if probe_sets else None
+
     def _scan(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy()
             cell = pdf["centroid_id"].to_numpy()
-            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            # rows in no query's probe set are never decoded or encoded —
+            # the in-kernel analog of the partitionBy(centroid_id) file
+            # prune a materialized index gets
+            keep = np.nonzero(np.isin(cell, probed_union))[0]
+            if len(keep) == 0:
+                continue
+            ids, cell = ids[keep], cell[keep]
+            v = np.stack(pdf[vec_col].to_numpy()[keep]).astype(
+                np.float64, copy=False
+            )
             norms = np.sqrt((v * v).sum(axis=1))
             vn = v / norms[:, None]
-            # PQ codes once per batch row (shared across queries)
+            # PQ codes once per surviving batch row (shared across queries)
             codes = np.empty((len(v), m), dtype=np.int64)
             for s in range(m):
                 vs = vn[:, s * sub : (s + 1) * sub]
@@ -846,7 +857,11 @@ def ivfpq_adc_topk(
                 adc = np.zeros(len(idx), dtype=np.float64)
                 for s in range(m):
                     adc += luts[qi, s, codes[idx, s]]
-                cand = idx[np.argsort(-adc)[:rerank]]
+                if len(adc) > rerank:
+                    short = np.argpartition(-adc, rerank - 1)[:rerank]
+                else:
+                    short = np.arange(len(adc))
+                cand = idx[short]
                 exact = (v[cand] @ qv[qi]) / (norms[cand] * qnorms[qi])
                 out.append(
                     pd.DataFrame(
