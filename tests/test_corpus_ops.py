@@ -19,6 +19,7 @@ from web_analytics_on_aws_spark.operators.text import (
     duplicated_window_stats,
     gopher_flags,
 )
+from web_analytics_on_aws_spark.operators import text
 
 
 def _emb(spark, rows):
@@ -256,3 +257,63 @@ def test_semantic_prune_reports_negative_max_sim(spark):
     r2 = out[2]
     assert r2["max_lower_sim"] is not None and r2["max_lower_sim"] < 0
     assert r2["pruned"] is False
+
+
+def _ref_bpe(corpus_text: str, n: int, min_pair_count: int = 2):
+    """Pure-Python reference BPE (Sennrich et al.): greedy left-to-right
+    merge apply, ties by (count desc, left asc, right asc)."""
+    import collections
+
+    words = collections.Counter(corpus_text.split())
+    vocab = {tuple(w): c for w, c in words.items()}
+    merges = []
+    for rnd in range(1, n + 1):
+        pc = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        m = max(pc.values())
+        if m < min_pair_count:
+            break
+        best = sorted(p for p, c in pc.items() if c == m)[0]
+        merges.append((rnd, best[0], best[1], best[0] + best[1], m))
+        newv = {}
+        for syms, c in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == best[0] and s == best[1]:
+                    out[-1] = best[0] + best[1]
+                else:
+                    out.append(s)
+            newv[tuple(out)] = newv.get(tuple(out), 0) + c
+        vocab = newv
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    corpus = "low lower lowest low low newer new news widest wide wider"
+    df = spark.createDataFrame([(corpus,)], "text string")
+    got = [tuple(r) for r in text.bpe_train(df, n_merges=8).collect()]
+    assert got == _ref_bpe(corpus, 8)
+
+
+def test_bpe_train_overlapping_pairs_greedy(spark):
+    # 'aaaa' with merge (a,a): greedy left-to-right → [aa, aa], so the
+    # second round's top pair is (aa, aa)
+    df = spark.createDataFrame([("aaaa aaaa aaaa",)], "text string")
+    got = [tuple(r) for r in text.bpe_train(df, n_merges=2).collect()]
+    assert got == _ref_bpe("aaaa aaaa aaaa", 2)
+    assert got[0][1:4] == ("a", "a", "aa")
+    assert got[1][1:4] == ("aa", "aa", "aaaa")
+
+
+def test_bpe_train_early_stop_and_determinism(spark):
+    df = spark.createDataFrame([("ab cd ef",)], "text string")  # all pairs count 1
+    assert text.bpe_train(df, n_merges=5).count() == 0
+    corpus = "the cat the hat the bat a cat a hat"
+    df2 = spark.createDataFrame([(corpus,)], "text string")
+    a = [tuple(r) for r in text.bpe_train(df2, n_merges=6).collect()]
+    b = [tuple(r) for r in text.bpe_train(df2.repartition(7), n_merges=6).collect()]
+    assert a == b == _ref_bpe(corpus, 6)

@@ -489,3 +489,97 @@ def bloom_ngram_overlap(
     )
     # exact confirm: only Bloom survivors enter the gram join
     return checked.join(bg, "gram", "left_semi").select(id_col).distinct()
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Iterative BPE tokenizer training (Sennrich et al., ACL 2016):
+    learn ``n_merges`` merge rules by repeatedly merging the most frequent
+    adjacent symbol pair. ``bpe_pair_counts`` is round 1's statistic; this
+    runs the whole loop.
+
+    Scale design — the shape every production BPE trainer uses: the corpus
+    is reduced ONCE to the (word, count) vocabulary table (the only
+    corpus-scale shuffle; everything after is |vocab|-bound, independent of
+    corpus size). Each round then costs one map-side-combined pair-count
+    aggregate over the vocab table plus a 1-row argmax collect; the merge
+    is applied as a JVM-side left fold over the symbol arrays (greedy
+    left-to-right non-overlapping, the reference semantics) — no Python
+    UDF anywhere. ``localCheckpoint`` truncates lineage each round so the
+    plan stays one round deep regardless of n_merges (the connected-
+    components pattern from dedup.py).
+
+    Ties break by (count DESC, left ASC, right ASC) — deterministic across
+    partitionings and engines. Stops early when no pair reaches
+    ``min_pair_count``.
+
+    Output: (round, left, right, merged, pair_count), one row per learned
+    merge, round 1-based in learning order.
+    """
+    from web_analytics_on_aws_spark.functions import token_split
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(token_split(F.col(text_col))).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ).alias("syms"),
+            "cnt",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        pair_rows = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("syms") - 2),
+                        lambda i: F.struct(
+                            F.element_at("syms", i + 1).alias("l"),
+                            F.element_at("syms", i + 2).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pair_rows or pair_rows[0]["pc"] < min_pair_count:
+            break
+        a, b, pc = pair_rows[0]["l"], pair_rows[0]["r"], int(pair_rows[0]["pc"])
+        merged = a + b
+        merges.append((rnd, a, b, merged, pc))
+        la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
+        words = words.select(
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == la)
+                    & (s == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(lm)
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ).alias("syms"),
+            "cnt",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, merged string, pair_count bigint"
+    )

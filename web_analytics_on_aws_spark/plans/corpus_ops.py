@@ -891,3 +891,20 @@ def ann_ivfpq_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, _ann_queries(emb), k=5, num_centroids=16, nprobe=4, m=8,
         num_codewords=16, rerank=50,
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative BPE training — the full merge loop (rows-only: genuinely
+# iterative, the driver-contract carve-out; exactness pinned in pytest
+# against a pure-Python reference BPE)
+# --------------------------------------------------------------------------
+
+@query("pipeline_bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 20 BPE merges over the documents corpus (Sennrich et
+    al. 2016). Corpus reduces once to the (word, count) vocab table; each
+    round is a |vocab|-bound pair-count aggregate + 1-row argmax + JVM fold
+    merge apply — see text.bpe_train. Deterministic tie-breaks, so output
+    is stable across runs/partitionings."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_train(docs, n_merges=20)
