@@ -908,3 +908,22 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     is stable across runs/partitionings."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_train(docs, n_merges=20)
+
+
+@query("text_quality_model_scores")
+def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (CCNet/GPT-3-style): distill the
+    Gopher rule gates into a logistic-regression quality probability —
+    train on the rules' verdicts as weak supervision, score every document
+    map-only. Rows-only check (L-BFGS is iterative); separation and plan
+    shape pinned in tests/test_quality_model.py."""
+    from web_analytics_on_aws_spark.operators import quality_model
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.join(
+        text.gopher_flags(docs).select("doc_id", "pass_all"), "doc_id"
+    )
+    model = quality_model.train_quality_classifier(labeled, "pass_all")
+    return quality_model.score_quality(
+        labeled, model, keep_cols=["doc_id", "pass_all"]
+    )
