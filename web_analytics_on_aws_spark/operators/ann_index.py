@@ -1,0 +1,154 @@
+"""Materialized IVF index over snapshot tables — the production ANN
+deployment SCALE.md prescribes, as working code.
+
+`similarity.ivf_topk` / `ivfpq_adc_topk` re-assign cells on every run (fine
+for one-shot queries; linear in corpus). This module materializes the
+index once: vectors are stamped with their coarse cell
+(`similarity.ivf_assign`), laid out range-clustered on ``centroid_id`` so
+every data file covers a tight cell envelope, and committed to a snapshot
+table (ACID, exactly-once appendable from a stream via txn stamps). The
+trained quantizer persists in a sibling ``<table>__centroids`` snapshot
+table so build, append, and probe always agree on cell geometry.
+
+Probing reads through the ``snapshot`` Python DataSource with a
+``centroid_id IN (cells)`` predicate: file-level min/max skipping (now
+understanding ``In``) opens only the files whose envelope intersects a
+probed cell — at 100 TB a probe reads ~nprobe/num_centroids of the data
+FILES, not just of the rows, and appends never rewrite the index (new
+files carry their own envelopes).
+
+Cites: Jégou et al., TPAMI 2011 (IVF); the layout trick is the same
+cluster_rewrite/z-order envelope argument from operators/maintenance.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from web_analytics_on_aws_spark.operators.similarity import (
+    _pair_sim,
+    _with_prep,
+    as_double_vec,
+    cosine_similarity,
+    deterministic_centroids,
+    ivf_assign,
+    kmeans_refine,
+)
+from web_analytics_on_aws_spark.sources import snapshots
+
+
+def _centroids_table(table: str) -> str:
+    return table + "__centroids"
+
+
+def _layout(assigned: DataFrame, files_hint: int) -> DataFrame:
+    """Range-cluster on the cell id so each data file covers a tight
+    centroid envelope (what makes the probe's In-filter skip files)."""
+    return assigned.repartitionByRange(files_hint, "centroid_id").sortWithinPartitions(
+        "centroid_id"
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    table: str,
+    num_centroids: int = 16,
+    kmeans_iterations: int = 0,
+    files_hint: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Create (overwrite) the materialized index: train/seed the coarse
+    quantizer, persist it, assign + cluster + commit the corpus. Returns
+    the index table's snapshot version."""
+    cents = (
+        kmeans_refine(corpus, num_centroids, kmeans_iterations, id_col, vec_col)
+        if kmeans_iterations > 0
+        else deterministic_centroids(corpus, num_centroids, id_col, vec_col)
+    )
+    snapshots.commit_overwrite(cents, _centroids_table(table))
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    return snapshots.commit_overwrite(_layout(assigned, files_hint), table)
+
+
+def append_to_index(
+    batch_df: DataFrame,
+    table: str,
+    txn: tuple[str, int] | None = None,
+    files_hint: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Assign a new batch against the PERSISTED quantizer and append it —
+    the ``foreachBatch`` body of a streaming index maintainer. With
+    ``txn=(app_id, batch_id)`` the append is exactly-once under replay
+    (snapshot txn-stamp protocol); the index never rewrites existing
+    files."""
+    spark = batch_df.sparkSession
+    cents = snapshots.read_snapshot(spark, _centroids_table(table))
+    assigned = ivf_assign(batch_df, cents, id_col, vec_col)
+    return snapshots.commit_append(_layout(assigned, files_hint), table, txn=txn)
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k against the materialized index: pick each query's
+    ``nprobe`` nearest cells from the persisted quantizer, read the index
+    through the snapshot DataSource with ``centroid_id IN (probed)`` (file
+    skipping prunes non-probed cells at the FILE level), brute-force
+    exactly within. Output: (query_id, vec_id, sim, rank) — same contract
+    as ``similarity.ivf_topk``, and identical results for the same
+    quantizer and nprobe."""
+    from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotDataSource)
+    cents = snapshots.read_snapshot(spark, _centroids_table(table))
+    qscored = queries.join(F.broadcast(cents)).select(
+        query_id_col,
+        "qv",
+        "centroid_id",
+        cosine_similarity(as_double_vec("qv"), F.col("cv")).alias("csim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("csim"), F.asc("centroid_id"))
+    probes = (
+        qscored.withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id_col, "qv", "centroid_id")
+    )
+    # Bounded collect by the broadcast-small query contract (≤ |queries|·nprobe ids)
+    cells = sorted(
+        {r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()}
+    )
+    index = (
+        spark.read.format("snapshot")
+        .option("path", table)
+        .load()
+        .filter(F.col("centroid_id").isin(cells))
+    )
+    scored = (
+        _with_prep(index, vec_col, "__dv", "__nrm")
+        .join(F.broadcast(_with_prep(probes, "qv", "__qdv", "__qnrm")), "centroid_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            _pair_sim("__dv", "__nrm", "__qdv", "__qnrm").alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -42,6 +42,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
@@ -85,6 +86,9 @@ _COMPARES = {
     GreaterThanOrEqual: lambda lo, hi, v: hi >= v,
     LessThan: lambda lo, hi, v: lo < v,
     LessThanOrEqual: lambda lo, hi, v: lo <= v,
+    # In: keep the file if ANY listed value falls in [lo, hi] — the probe
+    # shape (`centroid_id IN (cells)`) an IVF index read pushes down.
+    In: lambda lo, hi, vs: any(lo <= v <= hi for v in vs),
 }
 
 
