@@ -51,3 +51,46 @@ def test_unmergeable_measure_rejected(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_incremental_join_equals_flat_recompute(spark):
+    from web_analytics_on_aws_spark.operators.incremental import (
+        incremental_join_delta,
+        maintain_join_view,
+    )
+
+    a_old = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z")], "k long, av string"
+    )
+    a_delta = spark.createDataFrame([(2, "w"), (3, "v")], "k long, av string")
+    b_old = spark.createDataFrame([(1, 10), (2, 20), (2, 21)], "k long, bv long")
+    b_delta = spark.createDataFrame([(2, 22), (3, 30)], "k long, bv long")
+
+    view_old = a_old.join(b_old, "k")
+    maintained = maintain_join_view(
+        view_old, a_old, a_delta, b_old, b_delta, "k"
+    )
+    flat = a_old.unionByName(a_delta).join(
+        b_old.unionByName(b_delta), "k"
+    )
+    got = sorted(tuple(r) for r in maintained.collect())
+    want = sorted(tuple(r) for r in flat.collect())
+    assert got == want and len(got) > len(view_old.collect())
+    # delta alone contains no old⋈old rows (cost ∝ |delta|)
+    dj = incremental_join_delta(a_old, a_delta, b_old, b_delta, "k").collect()
+    old_rows = {tuple(r) for r in view_old.collect()}
+    assert all(tuple(r) not in old_rows for r in dj)
+
+
+def test_incremental_join_multiset_duplicates(spark):
+    from web_analytics_on_aws_spark.operators.incremental import maintain_join_view
+
+    a_old = spark.createDataFrame([(1, "x"), (1, "x")], "k long, av string")
+    a_delta = spark.createDataFrame([(1, "x")], "k long, av string")
+    b_old = spark.createDataFrame([(1, 1)], "k long, bv long")
+    b_delta = spark.createDataFrame([(1, 1)], "k long, bv long")
+    maintained = maintain_join_view(
+        a_old.join(b_old, "k"), a_old, a_delta, b_old, b_delta, "k"
+    )
+    flat = a_old.unionByName(a_delta).join(b_old.unionByName(b_delta), "k")
+    assert maintained.count() == flat.count() == 6

@@ -58,3 +58,48 @@ def merge_rollups(
     unioned = base.unionByName(delta)
     aggs = [MERGE_FNS[fn](c).alias(c) for c, fn in measures.items()]
     return unioned.groupBy(*keys).agg(*aggs)
+
+
+def incremental_join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: Sequence[str] | str,
+) -> DataFrame:
+    """Insert-delta incremental JOIN maintenance (counting IVM, the
+    insert-only case): the new rows of ``(a_old ∪ Δa) ⋈ (b_old ∪ Δb)``
+    are exactly
+
+        ΔJ  =  Δa ⋈ b_old  ∪ᴬᴸᴸ  a_old ⋈ Δb  ∪ᴬᴸᴸ  Δa ⋈ Δb
+
+    so a materialized join view is maintained by appending ΔJ — cost
+    ∝ |Δ|·(join hit rate), never |a|+|b|. Each Δ-side join broadcasts the
+    delta when it is micro-batch-sized (AQE does this from runtime stats),
+    so the big tables are probed map-side and never reshuffled; this is
+    the table-granularity analog of ``merge_rollups`` for joins, and
+    composes with it (maintain join view → maintain rollup of the view).
+
+    Multiset-exact for inner equi-joins (duplicates included); deletes
+    need the counting generalization and are out of scope here.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    return (
+        a_delta.join(b_old, keys)
+        .unionByName(a_old.join(b_delta, keys))
+        .unionByName(a_delta.join(b_delta, keys))
+    )
+
+
+def maintain_join_view(
+    view_old: DataFrame,
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: Sequence[str] | str,
+) -> DataFrame:
+    """New view contents: old view ⊎ ΔJ (append-only maintenance)."""
+    return view_old.unionByName(
+        incremental_join_delta(a_old, a_delta, b_old, b_delta, on)
+    )

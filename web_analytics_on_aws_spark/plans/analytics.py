@@ -927,3 +927,64 @@ def funnel_within_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_cnt(in_window).alias("converted_7d"),
         as_cnt(late).alias("converted_late"),
     )
+
+
+@query(
+    "incremental_join_view_nations",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def incremental_join_view_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (insert-delta counting IVM): the
+    orders⋈customer view is maintained from a historical base plus an
+    order-date delta AND a customer-key delta (both Δ-sides exercised, plus
+    the Δ⋈Δ corner), then rolled up per nation. The oracle recomputes flat
+    from the full tables — maintained ≡ recomputed, the
+    `incremental_daily_rollup` contract lifted to joins. Maintenance cost
+    ∝ |Δ|: every Δ-join probes the big side via a broadcast of the
+    micro-batch-sized delta."""
+    from web_analytics_on_aws_spark.operators.incremental import maintain_join_view
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_custkey").alias("k"), "c_nationkey"
+    ).drop("k")
+    nation = load_table(spark, sf_dir, "nation")
+
+    o_old = orders.filter(F.col("o_orderdate") < "1997-01-01")
+    o_delta = orders.filter(F.col("o_orderdate") >= "1997-01-01")
+    c_old = cust.filter(F.col("c_custkey") % 10 != 0)
+    c_delta = cust.filter(F.col("c_custkey") % 10 == 0)
+
+    keyed_o = [
+        d.withColumnRenamed("o_custkey", "custkey") for d in (o_old, o_delta)
+    ]
+    keyed_c = [
+        d.withColumnRenamed("c_custkey", "custkey") for d in (c_old, c_delta)
+    ]
+    view_old = keyed_o[0].join(keyed_c[0], "custkey")
+    maintained = maintain_join_view(
+        view_old, keyed_o[0], keyed_o[1], keyed_c[0], keyed_c[1], "custkey"
+    )
+    return (
+        maintained.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
