@@ -390,3 +390,40 @@ def test_epoch_shuffle_is_single_global_sort(spark):
     plan = _explain(spark, "pipeline_epoch_shuffle_head")
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_acl_policy_row_filter_pushed(spark):
+    """The policy layer is a plan rewrite: its row filter must reach the
+    parquet scan as a pushed filter, and the masked rollup must still
+    partial-aggregate map-side."""
+    plan = _explain(spark, "acl_masked_events_rollup")
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "event_type" in pushed
+    assert "partial_count" in plan
+
+
+def test_privacy_k_anon_single_quasi_shuffle(spark):
+    """k-anonymity = one quasi-key groupBy + scalar reduce; no joins, no
+    extra exchanges beyond the two aggregates."""
+    plan = _explain(spark, "privacy_k_anon_events")
+    assert "Join" not in plan
+    # quasi-key agg, count-distinct expand, final single-partition reduce
+    assert plan.count(") Exchange") <= 3
+
+
+def test_ivfpq_map_only_scan(spark):
+    """IVF-PQ scoring is a map-only kernel: exactly one Arrow python
+    evaluation over the corpus (ivf_assign) feeding one mapInPandas; the
+    only exchange ranks the per-query shortlists."""
+    plan = _explain(spark, "ann_ivfpq_topk_raw")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_join_view_broadcasts_deltas(spark):
+    """Join-view maintenance must probe via broadcasts (cost ∝ Δ), never
+    sort-merge the big side for the delta joins at this size."""
+    plan = _explain(spark, "incremental_join_view_nations")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

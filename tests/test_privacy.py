@@ -71,3 +71,41 @@ def test_generalize_time(spark):
 def test_report_without_sensitive_has_no_l_columns(spark, people):
     rep = privacy.k_anonymity_report(people, ["zip3"])
     assert "min_l" not in rep.columns and "classes_l1" not in rep.columns
+
+
+# --- property-based: report must equal a Python brute force on arbitrary
+# small tables (fuzzed beyond the planted fixture) ---
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_qi = st.integers(min_value=0, max_value=3)
+_sens = st.integers(min_value=0, max_value=2)
+_rows = st.lists(st.tuples(_qi, _qi, _sens), min_size=1, max_size=30)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_rows)
+def test_k_anonymity_matches_python_bruteforce(spark, rows):
+    df = spark.createDataFrame(rows, "q1 int, q2 int, s int")
+    got = privacy.k_anonymity_report(
+        df, ["q1", "q2"], sensitive_col="s", k_thresholds=(2, 5)
+    ).collect()[0]
+
+    classes = Counter((a, b) for a, b, _ in rows)
+    sens = {}
+    for a, b, s in rows:
+        sens.setdefault((a, b), set()).add(s)
+    assert got["n_rows"] == len(rows)
+    assert got["n_classes"] == len(classes)
+    assert got["min_k"] == min(classes.values())
+    assert got["rows_below_k2"] == sum(c for c in classes.values() if c < 2)
+    assert got["rows_below_k5"] == sum(c for c in classes.values() if c < 5)
+    assert got["min_l"] == min(len(v) for v in sens.values())
+    assert got["classes_l1"] == sum(1 for v in sens.values() if len(v) == 1)
