@@ -48,3 +48,42 @@ def test_dynamic_partition_pruning_star_join(spark, parted):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     # correctness: only days 0-2 survive
     assert joined.select("day").distinct().count() == 3
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's skew-join handling is the default remedy SCALE.md leans on for
+    hot keys (salting is the manual fallback): a 95%-one-key fact joined
+    sort-merge must show skew-split partitions in the final adaptive plan."""
+    import pyspark.sql.functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, 7).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pad"),
+        )
+        dim = spark.range(0, 200_000).select(
+            F.col("id").alias("k"), F.lit("d").alias("dv")
+        )
+        joined = fact.join(dim, "k").select(F.count("*").alias("n"))
+        assert joined.collect()[0]["n"] == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

@@ -104,3 +104,44 @@ def test_row_filter_pushed_to_scan(spark, tmp_path):
               masked={"user_id": "sha256"}, row_filter="event_type = 'view'")
     plan = cat.apply(df, "analyst", "t")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)]" in plan
+
+
+# --- property-based: masked columns never leak a raw value ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_vals = st.lists(
+    st.text(alphabet="abcdefg0123456789@.", min_size=1, max_size=12),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=_vals)
+def test_masks_never_leak_raw_values(spark, vals):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, secret string")
+    cat = PolicyCatalog()
+    for kind in ("sha256", "null"):
+        cat.grant("p", "t", columns=("id", "secret"), masked={"secret": kind})
+        out = [r["secret"] for r in cat.apply(df, "p", "t").collect()]
+        assert all(v is None or v not in set(vals) or len(v) == 64 and v not in vals
+                   for v in out)
+        # raw values must be absent verbatim
+        assert not (set(out) & set(vals))
+    # partial mask reveals at most the declared 2-char prefix
+    cat.grant("p", "t", columns=("id", "secret"), masked={"secret": "partial"})
+    got_by_id = {
+        r["id"]: r["secret"] for r in cat.apply(df, "p", "t").collect()
+    }
+    for i, raw in enumerate(vals):
+        got = got_by_id[i]
+        if len(raw) > 5:  # longer than prefix+*** could collide only if short
+            assert got != raw
+        assert got == raw[:2] + "***"
