@@ -87,3 +87,29 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS populates row/size stats the
+    cost-based optimizer reads — the catalog half of stats-informed join
+    planning (the runtime half is AQE, pinned above)."""
+    import pyspark.sql.functions as F
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS statsdb")
+    try:
+        spark.range(5_000).select(
+            F.col("id"), (F.col("id") % 50).alias("grp")
+        ).write.mode("overwrite").saveAsTable("statsdb.fact")
+        spark.sql("ANALYZE TABLE statsdb.fact COMPUTE STATISTICS FOR COLUMNS id, grp")
+        stats_row = [
+            r for r in spark.sql("DESCRIBE TABLE EXTENDED statsdb.fact").collect()
+            if r["col_name"] == "Statistics"
+        ]
+        assert stats_row and "5000 rows" in stats_row[0]["data_type"]
+        col = spark.sql("DESCRIBE TABLE EXTENDED statsdb.fact grp").collect()
+        got = {r["info_name"]: r["info_value"] for r in col}
+        # column NDV is an HLL estimate — assert the right ballpark
+        assert 40 <= int(got["distinct_count"]) <= 60
+    finally:
+        spark.sql("DROP TABLE IF EXISTS statsdb.fact")
+        spark.sql("DROP DATABASE IF EXISTS statsdb")
