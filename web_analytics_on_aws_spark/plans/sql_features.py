@@ -127,3 +127,42 @@ def acl_masked_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+_TRINO_TEXT = """
+SELECT "event_type" AS etype,
+       count(*) AS n,
+       CAST(max(strpos("event_type", 'c')) AS BIGINT) AS max_pos,
+       CAST(min(date_diff('day', TIMESTAMP '2024-01-01 00:00:00',
+                CAST(CAST(ts AS DATE) AS TIMESTAMP))) AS BIGINT) AS first_day
+FROM events
+GROUP BY "event_type"
+"""
+
+
+@query(
+    "trino_dialect_surface",
+    oracle="""
+    SELECT event_type AS etype,
+           COUNT(*) AS n,
+           CAST(MAX(strpos(event_type, 'c')) AS BIGINT) AS max_pos,
+           CAST(MIN(date_diff('day', TIMESTAMP '2024-01-01 00:00:00',
+                    CAST(CAST(ts AS DATE) AS TIMESTAMP))) AS BIGINT) AS first_day
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def trino_dialect_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's interactive dialect, accepted verbatim: a Trino/
+    Athena-text query (double-quoted identifiers, strpos, date_diff with a
+    unit string — SURVEY §3.3's engine-v3 surface) rewritten to Spark SQL
+    by functions/trino_compat.py and executed against the session catalog.
+    The oracle runs DuckDB's native near-Trino dialect — the shim's output
+    must agree exactly. date_diff is anchored on whole-day timestamps where
+    Trino's complete-unit and DuckDB's boundary-crossing semantics
+    coincide (the delta is documented in the shim)."""
+    from web_analytics_on_aws_spark.functions.trino_compat import trino_sql
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return trino_sql(spark, _TRINO_TEXT)
