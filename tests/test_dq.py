@@ -47,3 +47,39 @@ def test_expect_unique_and_references(spark):
     assert (r["n_violations"], r["passed"]) == (2, False)  # both id=3 rows orphaned
     ok = dq.expect_unique(df.dropDuplicates(["id"]), ["id"]).first()
     assert ok["passed"] is True
+
+
+def test_reconcile_detects_planted_drift(spark):
+    from web_analytics_on_aws_spark.operators.dq import reconcile
+
+    src = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "k long, v double"
+    ).select("k", F.col("v").cast("decimal(18,2)").alias("v"))
+    # target: k=2 drifted by 5, k=4 missing, k=9 extra
+    tgt = spark.createDataFrame(
+        [(1, 4.0), (1, 6.0), (2, 25.0), (3, 30.0), (9, 1.0)], "k long, v double"
+    ).select("k", F.col("v").cast("decimal(18,2)").alias("v"))
+    row = reconcile(
+        src, tgt, ["k"], {"v": (F.sum("v"), F.sum("v"))}, tolerance=0.01
+    ).collect()[0]
+    assert row["measure"] == "v"
+    assert row["n_source_keys"] == 4 and row["n_target_keys"] == 4
+    assert row["n_matched_keys"] == 3
+    # mismatches: drifted k=2, missing k=4, extra k=9 → 3
+    assert row["n_value_mismatches"] == 3
+    assert abs(row["max_abs_diff"] - 5.0) < 1e-9
+
+
+def test_reconcile_clean_parity(spark):
+    from web_analytics_on_aws_spark.operators.dq import reconcile
+
+    src = spark.createDataFrame([(1, 7.0), (2, 9.0)], "k long, v double")
+    tgt = spark.createDataFrame(
+        [(1, 3.0), (1, 4.0), (2, 9.0)], "k long, v double"
+    )
+    row = reconcile(
+        src, tgt, ["k"],
+        {"v": (F.sum(F.col("v").cast("decimal(18,2)")),
+               F.sum(F.col("v").cast("decimal(18,2)")))},
+    ).collect()[0]
+    assert row["n_value_mismatches"] == 0 and row["max_abs_diff"] == 0.0

@@ -103,3 +103,79 @@ def expect_references(
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def reconcile(
+    source: DataFrame,
+    target: DataFrame,
+    key_cols: Sequence[str],
+    measures: dict[str, tuple[Column, Column]],
+    tolerance: float = 0.0,
+) -> DataFrame:
+    """Cross-table reconciliation — the ETL audit that proves a derived
+    table still adds up to its source (row parity per key + measure parity
+    within ``tolerance``). One row per measure:
+
+        (measure, n_source_keys, n_target_keys, n_matched_keys,
+         n_value_mismatches, max_abs_diff)
+
+    ``measures`` maps a name to (source_expr, target_expr); expressions are
+    aggregated per key on each side first (so either side may be at finer
+    grain than the key), then compared on a full outer join. Keep the
+    exprs decimal-typed for exact parity — float sums reconcile to noise.
+
+    Scale shape: two key-wise partial-agg shuffles (one per side) + one
+    key join; output is |measures| rows. The classic instance is
+    orders.o_totalprice vs SUM over its lineitems — pinned as the
+    registered query `dq_reconcile_orders_lineitem`.
+    """
+    keys = list(key_cols)
+    s = source.groupBy(*keys).agg(
+        *[expr.alias(f"__s_{name}") for name, (expr, _) in measures.items()]
+    )
+    t = target.groupBy(*keys).agg(
+        *[expr.alias(f"__t_{name}") for name, (_, expr) in measures.items()]
+    )
+    s = s.withColumn("__in_s", F.lit(1))
+    t = t.withColumn("__in_t", F.lit(1))
+    j = s.join(t, keys, "full_outer").select(
+        *[
+            F.struct(
+                F.col(f"__s_{name}").alias("s"), F.col(f"__t_{name}").alias("t")
+            ).alias(name)
+            for name in measures
+        ],
+        F.coalesce("__in_s", F.lit(0)).alias("__in_s"),
+        F.coalesce("__in_t", F.lit(0)).alias("__in_t"),
+    )
+    outs = []
+    for name in measures:
+        sm, tm = F.col(f"{name}.s"), F.col(f"{name}.t")
+        diff = F.abs(sm.cast("double") - tm.cast("double"))
+        outs.append(
+            j.agg(
+                F.lit(name).alias("measure"),
+                F.sum("__in_s").cast("bigint").alias("n_source_keys"),
+                F.sum("__in_t").cast("bigint").alias("n_target_keys"),
+                F.sum(
+                    F.when((F.col("__in_s") == 1) & (F.col("__in_t") == 1), 1)
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_matched_keys"),
+                F.sum(
+                    F.when(
+                        sm.isNull() | tm.isNull() | (diff > tolerance), 1
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_value_mismatches"),
+                F.round(F.max(F.coalesce(diff, F.lit(0.0))), 6).alias(
+                    "max_abs_diff"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -202,3 +202,56 @@ def privacy_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+@query(
+    "dq_reconcile_orders_lineitem",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey AS k,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      FROM orders
+    ),
+    t AS (
+      SELECT l_orderkey AS k,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS total
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT s.k AS sk, t.k AS tk, s.total AS st, t.total AS tt
+      FROM s FULL OUTER JOIN t ON s.k = t.k
+    )
+    SELECT 'gross_price' AS measure,
+           CAST(SUM(CASE WHEN sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_source_keys,
+           CAST(SUM(CASE WHEN tk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_target_keys,
+           CAST(SUM(CASE WHEN sk IS NOT NULL AND tk IS NOT NULL THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_matched_keys,
+           CAST(SUM(CASE WHEN st IS NULL OR tt IS NULL
+                          OR ABS(CAST(st AS DOUBLE) - CAST(tt AS DOUBLE)) > 0.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_value_mismatches,
+           ROUND(MAX(COALESCE(ABS(CAST(st AS DOUBLE) - CAST(tt AS DOUBLE)),
+                              0.0)), 6) AS max_abs_diff
+    FROM j
+    """,
+)
+def dq_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETL reconciliation audit: does each order's stored total still add up
+    from its line items? (The testdata generator prices orders as the sum of
+    extended prices rounded at order grain, so parity holds within 0.5 —
+    the audit PROVES it rather than assuming it.) Two key-wise partial-agg
+    shuffles + one full-outer key join; emits one summary row per measure."""
+    from web_analytics_on_aws_spark.operators.dq import reconcile
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return reconcile(
+        orders.select(F.col("o_orderkey").alias("k"),
+                      F.col("o_totalprice").cast("decimal(18,2)").alias("v")),
+        lineitem.select(F.col("l_orderkey").alias("k"),
+                        F.col("l_extendedprice").cast("decimal(18,2)").alias("v")),
+        ["k"],
+        {"gross_price": (F.first("v"), F.sum("v"))},
+        tolerance=0.5,
+    )
