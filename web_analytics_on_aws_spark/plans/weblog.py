@@ -414,3 +414,61 @@ def session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("sessions"), F.sum("depth").alias("events"))
     )
+
+
+@query(
+    "weblog_ip_network_rollup",
+    oracle="""
+    WITH logs AS (
+      SELECT user_id,
+             user_id % 256 AS o2
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT CASE WHEN o2 < 64 THEN 'zone-a'
+                WHEN o2 < 128 THEN 'zone-b'
+                WHEN o2 < 192 THEN 'zone-c'
+                ELSE 'zone-d' END AS net,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM logs
+    GROUP BY 1
+    """,
+)
+def weblog_ip_network_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP → network enrichment rollup (the reference record's `ip` field
+    joined to a network dim): client IPs derive deterministically from
+    user_id, the dim is four /10 CIDR zones, and the lookup runs through
+    `enrich.enrich_ip_ranges` — a bucketized EQUI join with a residual
+    BETWEEN (never a nested-loop range scan; the dim fans out to /16
+    buckets, fact rows never fan out). The oracle resolves the same zones
+    arithmetically — an independent path that agrees iff the CIDR math,
+    bucketing, and join residual are all correct."""
+    from web_analytics_on_aws_spark.operators import enrich
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    logs = ev.select(
+        "user_id",
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (F.col("user_id") % 256).cast("string"),
+            ((F.col("user_id") * 7) % 256).cast("string"),
+            ((F.col("user_id") * 13) % 256).cast("string"),
+        ).alias("ip"),
+    )
+    zones = spark.createDataFrame(
+        [("zone-a", "10.0.0.0/10"), ("zone-b", "10.64.0.0/10"),
+         ("zone-c", "10.128.0.0/10"), ("zone-d", "10.192.0.0/10")],
+        "net string, cidr string",
+    )
+    ranges = zones.select(
+        "net", enrich.cidr_to_range("cidr").alias("r")
+    ).select("net", "r.start", "r.end")
+    return (
+        enrich.enrich_ip_ranges(logs, ranges)
+        .groupBy("net")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
