@@ -76,15 +76,21 @@ def test_range_join_matches_bruteforce(spark):
 
 
 def test_range_join_is_hash_not_nested_loop(spark):
-    logs = spark.createDataFrame([("10.0.0.1",)], "ip string")
+    logs = spark.range(2000).select(
+        F.concat_ws(
+            ".", F.lit("10"), (F.col("id") % 250).cast("string"), F.lit("0"),
+            F.lit("1"),
+        ).alias("ip")
+    )
     dim = spark.createDataFrame([("n", "10.0.0.0/8")], "net string, cidr string").select(
         "net", enrich.cidr_to_range("cidr").alias("r")
     ).select("net", "r.start", "r.end")
     out = enrich.enrich_ip_ranges(logs, dim)
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "formatted"
-    )
-    assert "BroadcastHashJoin" in plan
+    assert len(out.collect()) == 2000  # collect: finalizes THIS df's plan
+    # final adaptive plan: the bucket equi-join runs as a (broadcast or
+    # shuffled) HASH join — never a nested-loop/cartesian over the ranges
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 

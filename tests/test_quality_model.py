@@ -63,3 +63,14 @@ def test_feature_values_sane(spark):
     assert abs(r1["f_upper_ratio"] - 2 / 15) < 1e-9
     assert r1["f_max_word_len"] == 3.0
     assert rows[2]["f_max_word_len"] == 4.0
+
+
+def test_null_text_scores_as_empty(spark):
+    docs = _mk_docs(spark, n=15)
+    with_null = docs.union(
+        spark.createDataFrame([(999, None, False)], docs.schema)
+    )
+    model = quality_model.train_quality_classifier(with_null, "is_good")
+    scored = quality_model.score_quality(with_null, model, keep_cols=["doc_id"])
+    rows = {r["doc_id"]: r["p_good"] for r in scored.collect()}
+    assert 999 in rows and 0.0 <= rows[999] <= 1.0

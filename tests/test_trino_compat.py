@@ -98,3 +98,23 @@ def test_reference_shaped_weblog_query(views):
     out = trino_sql(spark, sql).collect()
     assert [r["user_name"] for r in out] == ["alice", "bob", "carol"]
     assert [r["n"] for r in out] == [1, 1, 1]
+
+
+def test_exotic_identifiers_convert_not_mislex(views):
+    # hyphens / leading digits / "" escapes are legal Trino identifiers —
+    # they must become backticked identifiers, never string literals
+    assert trino_to_spark_sql('SELECT "user-agent" FROM t') == \
+        "SELECT `user-agent` FROM t"
+    assert trino_to_spark_sql('SELECT "2col" FROM t') == "SELECT `2col` FROM t"
+    assert trino_to_spark_sql('SELECT "we""ird" FROM t') == 'SELECT `we"ird` FROM t'
+    with pytest.raises(TrinoCompatError, match="backtick"):
+        trino_to_spark_sql('SELECT "a`b" FROM t')
+
+
+def test_truncate_not_silently_mismapped(views):
+    # Trino numeric truncate() has no exact Spark rename — it must pass
+    # through untouched (and fail loudly in Spark if unsupported) rather
+    # than silently becoming date trunc()
+    assert "trunc(" not in trino_to_spark_sql("SELECT truncate(v, 1) FROM t").replace(
+        "truncate(", ""
+    )

@@ -44,8 +44,6 @@ FUNCTION_RENAMES = {
     "to_unixtime": "unix_timestamp",
     "json_extract_scalar": "get_json_object",
     "contains": "array_contains",
-    "slice": "slice",  # same
-    "truncate": "trunc",
 }
 
 #: Constructs we refuse instead of guessing.
@@ -101,8 +99,24 @@ def trino_to_spark_sql(sql: str) -> str:
                 f"construct not in the curated Trino-compat surface: {pat}"
             )
 
-    # "identifier" → `identifier` (string literals are already tokenized out)
-    body = re.sub(r'"([A-Za-z_][A-Za-z0-9_$. ]*)"', r"`\1`", body)
+    # "identifier" → `identifier` (string literals are already tokenized
+    # out, so every remaining double quote IS identifier quoting; Trino
+    # allows any characters, with "" escaping a quote)
+    def _ident(m: re.Match) -> str:
+        # \x01 placeholder for escaped quotes so the stray-quote check below
+        # only sees quotes the regex did NOT consume
+        name = m.group(1).replace('""', "\x01")
+        if "`" in name:
+            raise TrinoCompatError(
+                f"identifier {name!r} contains a backtick — unrepresentable "
+                "as a Spark quoted identifier"
+            )
+        return f"`{name}`"
+
+    body = re.sub(r'"((?:[^"]|"")*)"', _ident, body)
+    if '"' in body:
+        raise TrinoCompatError("unbalanced double-quoted identifier")
+    body = body.replace("\x01", '"')
 
     # date_diff('unit', a, b) → timestampdiff(UNIT, a, b)
     def _datediff(m: re.Match) -> str:

@@ -61,14 +61,23 @@ def build_ivf_index(
 ) -> int:
     """Create (overwrite) the materialized index: train/seed the coarse
     quantizer, persist it, assign + cluster + commit the corpus. Returns
-    the index table's snapshot version."""
+    the index table's snapshot version.
+
+    Geometry consistency: the two tables commit separately (no cross-table
+    transaction in the snapshot layer), so every index ROW carries the
+    ``quantizer_version`` it was assigned under, and ``probe``/``append``
+    time-travel-read the centroids AT that version — a rebuild racing a
+    probe, or a crash between the two commits, can never pair rows with a
+    quantizer that didn't stamp them."""
     cents = (
         kmeans_refine(corpus, num_centroids, kmeans_iterations, id_col, vec_col)
         if kmeans_iterations > 0
         else deterministic_centroids(corpus, num_centroids, id_col, vec_col)
     )
-    snapshots.commit_overwrite(cents, _centroids_table(table))
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    qv = snapshots.commit_overwrite(cents, _centroids_table(table))
+    assigned = ivf_assign(corpus, cents, id_col, vec_col).withColumn(
+        "quantizer_version", F.lit(qv).cast("int")
+    )
     return snapshots.commit_overwrite(_layout(assigned, files_hint), table)
 
 
@@ -86,9 +95,30 @@ def append_to_index(
     (snapshot txn-stamp protocol); the index never rewrites existing
     files."""
     spark = batch_df.sparkSession
-    cents = snapshots.read_snapshot(spark, _centroids_table(table))
-    assigned = ivf_assign(batch_df, cents, id_col, vec_col)
+    qv = _index_quantizer_version(spark, table)
+    cents = snapshots.read_snapshot(spark, _centroids_table(table), version=qv)
+    assigned = ivf_assign(batch_df, cents, id_col, vec_col).withColumn(
+        "quantizer_version", F.lit(qv).cast("int")
+    )
     return snapshots.commit_append(_layout(assigned, files_hint), table, txn=txn)
+
+
+def _index_quantizer_version(spark: SparkSession, table: str) -> int:
+    """The single quantizer version the index's rows were stamped with
+    (raises if a half-migrated index mixes versions — that state is
+    unreachable through this module's API)."""
+    vs = (
+        snapshots.read_snapshot(spark, table)
+        .select("quantizer_version")
+        .distinct()
+        .collect()
+    )
+    if len(vs) != 1:
+        raise ValueError(
+            f"index {table} mixes quantizer versions "
+            f"{sorted(r[0] for r in vs)}; rebuild it"
+        )
+    return int(vs[0][0])
 
 
 def probe_ivf_index(
@@ -112,9 +142,14 @@ def probe_ivf_index(
         SnapshotDataSource,
     )
 
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # Registration is idempotent. File skipping additionally needs
+    # spark.sql.python.filterPushdown.enabled=true — set by the session
+    # factory (session.py), deliberately NOT flipped here: without it the
+    # probe stays correct (the In filter evaluates post-scan), just unpruned,
+    # and a caller's explicit disable is honored.
     spark.dataSource.register(SnapshotDataSource)
-    cents = snapshots.read_snapshot(spark, _centroids_table(table))
+    qv = _index_quantizer_version(spark, table)
+    cents = snapshots.read_snapshot(spark, _centroids_table(table), version=qv)
     qscored = queries.join(F.broadcast(cents)).select(
         query_id_col,
         "qv",

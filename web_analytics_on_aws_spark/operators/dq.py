@@ -148,34 +148,46 @@ def reconcile(
         F.coalesce("__in_s", F.lit(0)).alias("__in_s"),
         F.coalesce("__in_t", F.lit(0)).alias("__in_t"),
     )
-    outs = []
+    # ONE aggregation pass over the join for every measure (not one job per
+    # measure): all stats land in a single row, reshaped driver-side —
+    # bounded at |measures| values.
+    aggs = [
+        F.sum("__in_s").cast("bigint").alias("n_source_keys"),
+        F.sum("__in_t").cast("bigint").alias("n_target_keys"),
+        F.sum(
+            F.when((F.col("__in_s") == 1) & (F.col("__in_t") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_matched_keys"),
+    ]
     for name in measures:
         sm, tm = F.col(f"{name}.s"), F.col(f"{name}.t")
         diff = F.abs(sm.cast("double") - tm.cast("double"))
-        outs.append(
-            j.agg(
-                F.lit(name).alias("measure"),
-                F.sum("__in_s").cast("bigint").alias("n_source_keys"),
-                F.sum("__in_t").cast("bigint").alias("n_target_keys"),
-                F.sum(
-                    F.when((F.col("__in_s") == 1) & (F.col("__in_t") == 1), 1)
-                    .otherwise(0)
-                )
-                .cast("bigint")
-                .alias("n_matched_keys"),
-                F.sum(
-                    F.when(
-                        sm.isNull() | tm.isNull() | (diff > tolerance), 1
-                    ).otherwise(0)
-                )
-                .cast("bigint")
-                .alias("n_value_mismatches"),
-                F.round(F.max(F.coalesce(diff, F.lit(0.0))), 6).alias(
-                    "max_abs_diff"
-                ),
+        aggs.append(
+            F.sum(
+                F.when(sm.isNull() | tm.isNull() | (diff > tolerance), 1)
+                .otherwise(0)
             )
+            .cast("bigint")
+            .alias(f"__mm_{name}")
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        aggs.append(
+            F.round(F.max(F.coalesce(diff, F.lit(0.0))), 6).alias(f"__md_{name}")
+        )
+    row = j.agg(*aggs).collect()[0]
+    out_rows = [
+        (
+            name,
+            row["n_source_keys"],
+            row["n_target_keys"],
+            row["n_matched_keys"],
+            row[f"__mm_{name}"],
+            float(row[f"__md_{name}"]),
+        )
+        for name in measures
+    ]
+    return source.sparkSession.createDataFrame(
+        out_rows,
+        "measure string, n_source_keys bigint, n_target_keys bigint, "
+        "n_matched_keys bigint, n_value_mismatches bigint, max_abs_diff double",
+    )

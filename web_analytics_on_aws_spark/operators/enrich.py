@@ -86,7 +86,11 @@ def enrich_ip_ranges(
     keyed = logs.withColumn("__ipl", ip_to_long(ip_col)).withColumn(
         "__bucket", F.floor(F.col("__ipl") / width).cast("bigint")
     )
-    dim = F.broadcast(explode_range_buckets(ranges, start_col, end_col, bucket_bits))
+    # No forced broadcast: the bucketized dim is an ordinary equi-join side
+    # — small dims broadcast via the planner/AQE, GeoIP-scale dims (millions
+    # of ranges × bucket fanout) fall back to a shuffled hash join instead
+    # of dying at the broadcast limit.
+    dim = explode_range_buckets(ranges, start_col, end_col, bucket_bits)
     return (
         keyed.join(
             dim,

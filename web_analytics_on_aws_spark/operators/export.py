@@ -44,8 +44,12 @@ def write_training_shards(
         F.floor((F.col(pos_col) - 1) / F.lit(rows_per_shard)).cast("long"),
     )
     sharded.write.partitionBy("shard_id").mode("overwrite").parquet(path)
+    # Manifest stats come from the WRITTEN bytes (two-column partition-
+    # pruned read), not a recompute of the upstream lineage — half the job
+    # cost, and the manifest can never diverge from the data on disk.
+    written = sharded.sparkSession.read.parquet(path)
     stats = (
-        sharded.groupBy("shard_id")
+        written.groupBy("shard_id")
         .agg(
             F.count("*").alias("n_rows"),
             F.min(pos_col).alias("min_pos"),
@@ -96,6 +100,4 @@ def read_training_shards(
     df = spark.read.parquet(path)
     if shards is not None:
         df = df.filter(F.col("shard_id").isin([int(s) for s in shards]))
-    return df.sortWithinPartitions(manifest["pos_col"]).orderBy(
-        manifest["pos_col"]
-    )
+    return df.orderBy(manifest["pos_col"])

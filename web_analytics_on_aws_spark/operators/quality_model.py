@@ -38,7 +38,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     from web_analytics_on_aws_spark.functions import token_split
     from web_analytics_on_aws_spark.operators.text import GOPHER_STOPWORDS
 
-    t = F.col(text_col)
+    # NULL text scores as the empty document — VectorAssembler (error-on-
+    # invalid) would otherwise fail the whole job on one NULL row
+    t = F.coalesce(F.col(text_col), F.lit(""))
     toks = token_split(t)
     n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
     n_chars = F.greatest(F.length(t), F.lit(1)).cast("double")

@@ -956,9 +956,7 @@ def incremental_join_view_nations(spark: SparkSession, sf_dir: str) -> DataFrame
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
     )
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", F.col("c_custkey").alias("k"), "c_nationkey"
-    ).drop("k")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation")
 
     o_old = orders.filter(F.col("o_orderdate") < "1997-01-01")
