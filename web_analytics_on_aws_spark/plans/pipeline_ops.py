@@ -1047,3 +1047,80 @@ def multimodal_feature_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("norm2").alias("cand_norm2"),
         )
     )
+
+
+_HASH01 = "((doc_id % 2147483648 * 2654435761) % 4294967296) / 4294967296.0"
+
+
+@query(
+    "pipeline_quality_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, text, {_QUALITY_SQL} AS quality FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN {_HASH01} < quality THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN {_HASH01} < quality
+                         THEN len(string_split_regex(trim(text), ' +'))
+                         ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM scored GROUP BY source
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: keep-probability = the document's
+    quality score, realized deterministically (keep iff Knuth-hash(doc_id)
+    < quality — no rand(), stable under re-runs/repartitioning, exactly
+    the per-doc inclusion a weighted sampler converges to). Row-local
+    predicate → zero shuffles before the per-source rollup; composes the
+    sampling and quality operators without new machinery."""
+    from web_analytics_on_aws_spark.functions import token_count
+    from web_analytics_on_aws_spark.operators.sampling import hash_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = hash_fraction("doc_id") < text.quality_score("text")
+    return (
+        docs.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(keep, token_count(F.col("text"))).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+@query(
+    "pipeline_curriculum_head",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM documents
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, {_HASH01}, doc_id)
+                AS INT) AS pos,
+           doc_id, source, quality
+    FROM scored
+    ORDER BY pos LIMIT 50
+    """,
+)
+def curriculum_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: highest-quality documents first, ties
+    randomized deterministically by the epoch hash (quality-descending
+    curricula are the standard warm-start ordering). The top-50 head plans
+    as TakeOrderedAndProject — no global sort materializes at any scale;
+    a full curriculum export would use the bucketed two-phase rank from
+    sampling.epoch_shuffle instead."""
+    from web_analytics_on_aws_spark.operators.sampling import hash_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", text.quality_score("text").alias("quality"),
+        hash_fraction("doc_id").alias("__h"),
+    )
+    w = Window.orderBy(F.desc("quality"), F.asc("__h"), F.asc("doc_id"))
+    return (
+        scored.withColumn("pos", F.row_number().over(w).cast("int"))
+        .filter(F.col("pos") <= 50)
+        .select("pos", "doc_id", "source", "quality")
+    )
