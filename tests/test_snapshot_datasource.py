@@ -116,3 +116,42 @@ def test_reader_honors_explicit_schema_order_and_subset(registered, tmp_path):
     )
     assert only_v.columns == ["v"]
     assert sorted(r["v"] for r in only_v.collect()) == [i * 2 for i in range(10)]
+
+
+def test_all_files_pruned_returns_empty_not_crash(registered, tmp_path):
+    """When footer-stats skipping prunes EVERY file, the scan must return
+    an empty result (pyspark hands read() a None partition in that case)."""
+    spark = registered
+    t = str(tmp_path / "t")
+    commit_append(spark.range(0, 100).selectExpr("id", "id * 2 AS v"), t)
+    out = (
+        spark.read.format("snapshot")
+        .option("path", t)
+        .load()
+        .filter(F.col("id") > 10_000)
+    )
+    assert out.count() == 0
+
+
+def test_version_pinned_across_schema_and_reader(registered, tmp_path):
+    """The unpinned read resolves the snapshot version ONCE at source
+    construction — a commit landing after .load() must not leak into the
+    already-planned scan (snapshot isolation)."""
+    spark = registered
+    t = str(tmp_path / "t")
+    commit_append(spark.range(0, 10).selectExpr("id"), t)
+    df = spark.read.format("snapshot").option("path", t).load()
+    commit_append(spark.range(10, 30).selectExpr("id", "id AS extra"), t)
+    # planned against v1: old rows only, old schema only
+    assert df.count() == 10
+    assert "extra" not in df.columns
+
+
+def test_vacuum_refuses_retain_zero(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "t")
+    commit_append(spark.range(5).selectExpr("id"), t)
+    from web_analytics_on_aws_spark.sources.snapshots import vacuum
+
+    with pytest.raises(ValueError, match="retain_last"):
+        vacuum(t, retain_last=0)

@@ -106,19 +106,42 @@ def append_to_index(
 def _index_quantizer_version(spark: SparkSession, table: str) -> int:
     """The single quantizer version the index's rows were stamped with
     (raises if a half-migrated index mixes versions — that state is
-    unreachable through this module's API)."""
-    vs = (
-        snapshots.read_snapshot(spark, table)
-        .select("quantizer_version")
-        .distinct()
-        .collect()
-    )
-    if len(vs) != 1:
+    unreachable through this module's API).
+
+    Resolved from parquet FOOTER min/max of the constant
+    ``quantizer_version`` column — metadata-only reads over the manifest's
+    file list (the same cost class as scan planning), never a row scan:
+    probes and appends must not read the corpus to learn its geometry."""
+    import pyarrow.parquet as pq
+
+    cur = snapshots.current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no index snapshots at {table}")
+    files = snapshots._read_manifest(table, cur)["files"]
+    versions: set[int] = set()
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        idx = names["quantizer_version"]
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                # stats disabled on this file — fall back to scanning it
+                versions.update(
+                    int(r[0])
+                    for r in spark.read.parquet(f)
+                    .select("quantizer_version")
+                    .distinct()
+                    .collect()
+                )
+                break
+            versions.add(int(st.min))
+            versions.add(int(st.max))
+    if len(versions) != 1:
         raise ValueError(
-            f"index {table} mixes quantizer versions "
-            f"{sorted(r[0] for r in vs)}; rebuild it"
+            f"index {table} mixes quantizer versions {sorted(versions)}; rebuild it"
         )
-    return int(vs[0][0])
+    return versions.pop()
 
 
 def probe_ivf_index(

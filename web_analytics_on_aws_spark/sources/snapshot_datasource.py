@@ -161,6 +161,12 @@ class SnapshotReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if partition is None:
+            # every file was pruned by pushFilters → partitions() returned
+            # [] and pyspark substitutes a single None partition; an empty
+            # scan is a legitimate result, not an error
+            return
+
         want = self._want
         # column pruning at the file read: only the requested columns that
         # this file actually has are decoded; the rest are padded below
@@ -181,6 +187,20 @@ class SnapshotReader(DataSourceReader):
 
 class SnapshotDataSource(DataSource):
     """Register with ``spark.dataSource.register(SnapshotDataSource)``."""
+
+    def __init__(self, options):
+        super().__init__(options)
+        # Pin the snapshot version ONCE at source construction: schema()
+        # and reader() are separate calls, and a commit landing between
+        # them would otherwise mix version N's schema with version N+1's
+        # file list (a snapshot-isolation violation on unpinned reads).
+        if "version" not in self.options:
+            cur = current_version(self.options["path"])
+            if cur is None:
+                raise FileNotFoundError(
+                    f"no snapshots at {self.options['path']}"
+                )
+            self.options["version"] = str(cur)
 
     @classmethod
     def name(cls) -> str:

@@ -102,8 +102,8 @@ def _publish(
         try:
             txns = _manifest_txns(_read_manifest(table, version - 1))
         except FileNotFoundError:
-            # predecessor vacuumed under retain_last=0 — fall back to the
-            # newest surviving manifest's map
+            # predecessor manifest missing (e.g. manual cleanup outside
+            # vacuum's contract) — fall back to the
             vs = [v for v in _versions(table) if v < version]
             if vs:
                 txns = _manifest_txns(_read_manifest(table, vs[-1]))
@@ -223,7 +223,14 @@ def history(table: str) -> list[dict]:
 
 def vacuum(table: str, retain_last: int = 1) -> int:
     """Drop manifests older than the last ``retain_last`` and delete data
-    files no retained snapshot references. Returns files deleted."""
+    files no retained snapshot references. Returns files deleted.
+
+    ``retain_last`` must be ≥ 1: the head manifest carries the table's
+    current contents AND the per-app txn map the exactly-once streaming
+    sink depends on — removing every manifest would orphan all data files
+    (the `vs[-0:]` slice would also silently keep them all live)."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1 (the head manifest must survive)")
     vs = _versions(table)
     keep_vs = vs[-retain_last:]
     live: set[str] = set()
@@ -237,7 +244,7 @@ def vacuum(table: str, retain_last: int = 1) -> int:
             if f.endswith(".parquet") and p not in live:
                 os.remove(p)
                 deleted += 1
-    for v in vs[:-retain_last] if retain_last else vs:
+    for v in vs[:-retain_last]:
         os.remove(_manifest_path(table, v))
     return deleted
 
@@ -392,7 +399,8 @@ def optimize(
     small = [f for f in files if os.path.getsize(f) < cutoff]
     if len(small) < min_small_files:
         return {"version": cur, "rewritten": 0, "kept": len(files)}
-    kept = [f for f in files if f not in set(small)]
+    small_set = set(small)
+    kept = [f for f in files if f not in small_set]
     total = sum(os.path.getsize(f) for f in small)
     n_out = max(1, round(total / (target_file_mb * 1024 * 1024)))
     merged = spark.read.option("mergeSchema", "true").parquet(*small).coalesce(n_out)
