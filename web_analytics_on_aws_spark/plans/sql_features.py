@@ -166,3 +166,53 @@ def trino_dialect_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return trino_sql(spark, _TRINO_TEXT)
+
+
+@query(
+    "sql_not_in_null_semantics",
+    oracle="""
+    SELECT 'not_in_with_nulls' AS probe,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN
+                  (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
+                               ELSE c_custkey END
+                   FROM customer)) AS n_not_in,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE (CASE WHEN c.c_custkey % 100 = 0 THEN NULL
+                                          ELSE c.c_custkey END) = o.o_custkey))
+             AS n_not_exists,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN
+                  (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0))
+             AS n_not_in_clean
+    """,
+)
+def sql_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI three-valued-logic corner every engine must get right: a NULL
+    in a NOT IN subquery makes the predicate UNKNOWN for every non-matching
+    row (n_not_in = 0 whenever any NULL is present), while the NOT EXISTS
+    rewrite keeps matching — the pair documents why optimizers need the
+    null-aware anti join. The clean NOT IN column pins the non-degenerate
+    path. Identical text runs on both engines."""
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+    SELECT 'not_in_with_nulls' AS probe,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN
+                  (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
+                               ELSE c_custkey END
+                   FROM customer)) AS n_not_in,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE (CASE WHEN c.c_custkey % 100 = 0 THEN NULL
+                                          ELSE c.c_custkey END) = o.o_custkey))
+             AS n_not_exists,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN
+                  (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0))
+             AS n_not_in_clean
+    """)
