@@ -111,6 +111,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     freshness = _measure_freshness(spark)
+    compaction = _measure_compaction(spark)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
@@ -123,6 +124,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "freshness_sec": freshness,
+        "compaction_sec": compaction,
     }
     print(json.dumps(out))
     spark.stop()
@@ -162,6 +164,47 @@ def _measure_freshness(spark) -> float:
         elapsed = time.perf_counter() - t0
         assert n == 1000, n
         return round(elapsed + 60.0, 2)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _measure_compaction(spark) -> float:
+    """Hourly-CTAS parity figure: wall time to compact one ingested hour of
+    JSON-lines into curated parquet (the reference budgets 5 min for the
+    merge Lambda submit + Athena CTAS; BASELINE.md 'Compaction cadence')."""
+    import datetime as dt
+    import json as _json
+    import shutil
+    import tempfile
+    import time
+
+    from web_analytics_on_aws_spark.operators.compaction import compact_hour
+    from web_analytics_on_aws_spark.schema import WEB_LOG_WIRE_SCHEMA
+
+    work = tempfile.mkdtemp(prefix="bench-compact-")
+    try:
+        when = dt.datetime(2026, 3, 2, 13, 0, 0)
+        raw = os.path.join(
+            work, "raw", "year=2026", "month=03", "day=02", "hour=13"
+        )
+        os.makedirs(raw)
+        rec = {
+            "userId": "u1", "sessionId": "s" * 24, "referrer": None,
+            "userAgent": "UA", "ip": "10.0.0.1", "hostname": "h.example",
+            "os": "Linux", "timestamp": "2026-03-02T13:45:00Z", "uri": "/p/1",
+        }
+        for part in range(8):  # small-file shape the compactor exists to fix
+            with open(os.path.join(raw, f"part-{part}.jsonl"), "w") as f:
+                for i in range(2000):
+                    f.write(_json.dumps(rec | {"uri": f"/p/{part}/{i}"}) + "\n")
+        t0 = time.perf_counter()
+        n = compact_hour(
+            spark, os.path.join(work, "raw"), os.path.join(work, "curated"),
+            when, WEB_LOG_WIRE_SCHEMA,
+        )
+        elapsed = time.perf_counter() - t0
+        assert n == 16_000, n
+        return round(elapsed, 2)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
