@@ -118,3 +118,25 @@ def test_truncate_not_silently_mismapped(views):
     assert "trunc(" not in trino_to_spark_sql("SELECT truncate(v, 1) FROM t").replace(
         "truncate(", ""
     )
+
+
+# --- property-based: arbitrary identifier names survive the rewrite ---
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_names = st.text(
+    alphabet=st.characters(
+        codec="ascii", exclude_characters='`"\x00\x01',
+        exclude_categories=("Cc",),
+    ),
+    min_size=1, max_size=20,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(name=_names)
+def test_identifier_rewrite_roundtrips(name):
+    quoted = '"' + name.replace('"', '""') + '"'
+    out = trino_to_spark_sql(f"SELECT {quoted} FROM t")
+    assert out == f"SELECT `{name}` FROM t"

@@ -58,65 +58,67 @@ UNSUPPORTED = [
 _UNITS = {"second", "minute", "hour", "day", "week", "month", "quarter", "year"}
 
 
-def _tokenize_strings(sql: str) -> tuple[str, list[str]]:
-    """Replace single-quoted literals with placeholders so rewrites never
-    touch string contents. Handles '' escapes."""
-    out, lits = [], []
+def _scan_quoted(sql: str, i: int, q: str, what: str) -> int:
+    """Index of the closing quote ``q`` for the token opening at ``i``
+    (doubled-quote escapes consumed)."""
+    j = i + 1
+    while j < len(sql):
+        if sql[j] == q:
+            if j + 1 < len(sql) and sql[j + 1] == q:
+                j += 2
+                continue
+            return j
+        j += 1
+    raise TrinoCompatError(f"unterminated {what}")
+
+
+def _tokenize(sql: str) -> tuple[str, list[str], list[str]]:
+    """ONE left-to-right lex of both token kinds that shield their contents
+    from the rewrites: single-quoted string literals (kept verbatim) and
+    double-quoted identifiers (converted to backticks here — Trino allows
+    ANY character in them, including quotes that would otherwise open a
+    bogus string). Each becomes a placeholder restored after rewriting, so
+    no rename/unit regex can ever fire inside either."""
+    out, lits, idents = [], [], []
     i = 0
     while i < len(sql):
         c = sql[i]
         if c == "'":
-            j = i + 1
-            while j < len(sql):
-                if sql[j] == "'" and j + 1 < len(sql) and sql[j + 1] == "'":
-                    j += 2
-                    continue
-                if sql[j] == "'":
-                    break
-                j += 1
-            if j >= len(sql):
-                raise TrinoCompatError("unterminated string literal")
+            j = _scan_quoted(sql, i, "'", "string literal")
             lits.append(sql[i : j + 1])
             out.append(f"\x00{len(lits) - 1}\x00")
+            i = j + 1
+        elif c == '"':
+            j = _scan_quoted(sql, i, '"', "quoted identifier")
+            name = sql[i + 1 : j].replace('""', '"')
+            if "`" in name:
+                raise TrinoCompatError(
+                    f"identifier {name!r} contains a backtick — "
+                    "unrepresentable as a Spark quoted identifier"
+                )
+            idents.append(f"`{name}`")
+            out.append(f"\x02{len(idents) - 1}\x02")
             i = j + 1
         else:
             out.append(c)
             i += 1
-    return "".join(out), lits
+    return "".join(out), lits, idents
 
 
-def _restore_strings(sql: str, lits: list[str]) -> str:
-    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], sql)
+def _restore(sql: str, lits: list[str], idents: list[str]) -> str:
+    sql = re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], sql)
+    return re.sub(r"\x02(\d+)\x02", lambda m: idents[int(m.group(1))], sql)
 
 
 def trino_to_spark_sql(sql: str) -> str:
     """Rewrite a Trino/Athena query string into Spark SQL text."""
-    body, lits = _tokenize_strings(sql)
+    body, lits, idents = _tokenize(sql)
 
     for pat in UNSUPPORTED:
         if re.search(pat, body, flags=re.IGNORECASE):
             raise TrinoCompatError(
                 f"construct not in the curated Trino-compat surface: {pat}"
             )
-
-    # "identifier" → `identifier` (string literals are already tokenized
-    # out, so every remaining double quote IS identifier quoting; Trino
-    # allows any characters, with "" escaping a quote)
-    def _ident(m: re.Match) -> str:
-        # \x01 placeholder for escaped quotes so the stray-quote check below
-        # only sees quotes the regex did NOT consume
-        name = m.group(1).replace('""', "\x01")
-        if "`" in name:
-            raise TrinoCompatError(
-                f"identifier {name!r} contains a backtick — unrepresentable "
-                "as a Spark quoted identifier"
-            )
-        return f"`{name}`"
-
-    body = re.sub(r'"((?:[^"]|"")*)"', _ident, body)
-    if '"' in body:
-        raise TrinoCompatError("unbalanced double-quoted identifier")
-    body = body.replace("\x01", '"')
 
     # date_diff('unit', a, b) → timestampdiff(UNIT, a, b)
     def _datediff(m: re.Match) -> str:
@@ -159,7 +161,7 @@ def trino_to_spark_sql(sql: str) -> str:
     body = re.sub(r"\bvarchar\b", "string", body, flags=re.IGNORECASE)
     body = re.sub(r"\bdouble\s+precision\b", "double", body, flags=re.IGNORECASE)
 
-    return _restore_strings(body, lits)
+    return _restore(body, lits, idents)
 
 
 def trino_sql(spark: SparkSession, sql: str) -> DataFrame:
