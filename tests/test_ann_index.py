@@ -22,10 +22,6 @@ def test_probe_matches_one_shot_ivf(spark, tmp_path):
     t = str(tmp_path / "idx")
     ann_index.build_ivf_index(emb, t, num_centroids=8)
     q = _queries(emb)
-    got = {
-        (r["query_id"], r["vec_id"], r["rank"])
-        for r in ann_index.probe_ivf_index(spark, t, q, k=5, nprobe=3).collect()
-    }
     cents = snapshots.read_snapshot(spark, t + "__centroids")
     want = {
         (r["query_id"], r["vec_id"], r["rank"])
@@ -33,7 +29,14 @@ def test_probe_matches_one_shot_ivf(spark, tmp_path):
             emb, q, k=5, nprobe=3, centroids=cents
         ).collect()
     }
-    assert got == want and len(got) == 15
+    for reader in ("native", "datasource"):
+        got = {
+            (r["query_id"], r["vec_id"], r["rank"])
+            for r in ann_index.probe_ivf_index(
+                spark, t, q, k=5, nprobe=3, reader=reader
+            ).collect()
+        }
+        assert got == want and len(got) == 15, reader
 
 
 def test_probe_skips_unprobed_cell_files(spark, tmp_path):

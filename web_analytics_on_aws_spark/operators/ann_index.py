@@ -153,14 +153,23 @@ def probe_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    reader: str = "native",
 ) -> DataFrame:
     """Approximate top-k against the materialized index: pick each query's
-    ``nprobe`` nearest cells from the persisted quantizer, read the index
-    through the snapshot DataSource with ``centroid_id IN (probed)`` (file
-    skipping prunes non-probed cells at the FILE level), brute-force
-    exactly within. Output: (query_id, vec_id, sim, rank) — same contract
-    as ``similarity.ivf_topk``, and identical results for the same
-    quantizer and nprobe."""
+    ``nprobe`` nearest cells from the persisted quantizer, read only the
+    probed cells, brute-force exactly within. Output: (query_id, vec_id,
+    sim, rank) — same contract as ``similarity.ivf_topk``, and identical
+    results for the same quantizer and nprobe.
+
+    ``reader="native"`` (default) scans through the JVM parquet reader
+    with the ``centroid_id IN (probed)`` predicate pushed into the scan —
+    the range-clustered layout makes row-group min/max skip non-probed
+    cells natively, with none of the Python DataSource's per-file worker
+    overhead. ``reader="datasource"`` goes through
+    ``spark.read.format("snapshot")`` instead, where the same predicate
+    prunes at FILE level during planning (the path that also serves time
+    travel/evolution reads); measured at 10× bench scale the native path
+    is ~2× faster, and the gap shrinks as per-file data grows."""
     from web_analytics_on_aws_spark.sources.snapshot_datasource import (
         SnapshotDataSource,
     )
@@ -189,12 +198,17 @@ def probe_ivf_index(
     cells = sorted(
         {r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()}
     )
-    index = (
-        spark.read.format("snapshot")
-        .option("path", table)
-        .load()
-        .filter(F.col("centroid_id").isin(cells))
-    )
+    if reader == "native":
+        index = snapshots.read_snapshot(spark, table).filter(
+            F.col("centroid_id").isin(cells)
+        )
+    else:
+        index = (
+            spark.read.format("snapshot")
+            .option("path", table)
+            .load()
+            .filter(F.col("centroid_id").isin(cells))
+        )
     scored = (
         _with_prep(index, vec_col, "__dv", "__nrm")
         .join(F.broadcast(_with_prep(probes, "qv", "__qdv", "__qnrm")), "centroid_id")
