@@ -168,8 +168,10 @@ def probe_ivf_index(
     overhead. ``reader="datasource"`` goes through
     ``spark.read.format("snapshot")`` instead, where the same predicate
     prunes at FILE level during planning (the path that also serves time
-    travel/evolution reads); measured at 10× bench scale the native path
-    is ~2× faster, and the gap shrinks as per-file data grows."""
+    travel/evolution reads). At toy bench scale the two measure equal
+    (probe wall time is fixed overhead there — SCALE.md); the index's real
+    win is reading nprobe/num_centroids of the BYTES, which only shows
+    once per-file data dwarfs per-file constants."""
     from web_analytics_on_aws_spark.sources.snapshot_datasource import (
         SnapshotDataSource,
     )
