@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from web_analytics_on_aws_spark.sources.snapshots import (
     commit_append,
     delete_where,
@@ -258,3 +260,54 @@ def test_dml_on_table_path_with_spaces(spark, tmp_path):
     res = delete_where(spark, t, "id >= 5")
     assert res["rows_matched"] == 5
     assert sorted(r["id"] for r in read_snapshot(spark, t).collect()) == list(range(5))
+
+
+def test_check_constraints_block_bad_commits(spark, tmp_path):
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        ConstraintViolation,
+        commit_append,
+        commit_overwrite,
+        read_snapshot,
+        set_constraints,
+        table_constraints,
+        vacuum,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(spark.range(1, 10).selectExpr("id", "id * 2 AS v"), t)
+    set_constraints(spark, t, {"id_positive": "id > 0", "v_not_null": "v IS NOT NULL"})
+    assert set(table_constraints(t)) == {"id_positive", "v_not_null"}
+
+    # good commit passes and constraints carry forward
+    commit_append(spark.range(10, 15).selectExpr("id", "id * 2 AS v"), t)
+    assert set(table_constraints(t)) == {"id_positive", "v_not_null"}
+
+    # violating append blocked, table unchanged
+    before = read_snapshot(spark, t).count()
+    with pytest.raises(ConstraintViolation, match="id_positive \\(3 rows\\)"):
+        commit_append(spark.range(-2, 3).selectExpr("id", "id * 2 AS v"), t)
+    assert read_snapshot(spark, t).count() == before
+
+    # NULL predicate result counts as a violation (ANSI CHECK)
+    with pytest.raises(ConstraintViolation, match="v_not_null"):
+        commit_overwrite(
+            spark.sql("SELECT 5 AS id, CAST(NULL AS BIGINT) AS v"), t
+        )
+
+    # constraints survive vacuum (manifest carry-forward)
+    commit_append(spark.range(20, 22).selectExpr("id", "id * 2 AS v"), t)
+    vacuum(t, retain_last=1)
+    assert set(table_constraints(t)) == {"id_positive", "v_not_null"}
+
+
+def test_set_constraints_rejects_if_existing_data_violates(spark, tmp_path):
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        ConstraintViolation,
+        commit_append,
+        set_constraints,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(spark.range(-5, 5).selectExpr("id"), t)
+    with pytest.raises(ConstraintViolation, match="id_positive"):
+        set_constraints(spark, t, {"id_positive": "id > 0"})

@@ -90,9 +90,13 @@ def _publish(
     files: list[str],
     op: str,
     txn: tuple[str, int] | None = None,
+    constraints: dict[str, str] | None = None,
 ) -> None:
     os.makedirs(os.path.join(table, MANIFEST_DIR), exist_ok=True)
     body = {"version": version, "operation": op, "files": sorted(files)}
+    # Table-level CHECK constraints ride the manifest exactly like txns:
+    # carried forward on every commit, so the head always knows them.
+    prev_constraints: dict[str, str] = {}
     # Exactly-once stamps survive vacuum: every manifest carries the full
     # per-app txn map forward (merged from the predecessor), so replay
     # detection never depends on aged-out history. Rewrites (overwrite/DML/
@@ -100,18 +104,26 @@ def _publish(
     txns: dict[str, int] = {}
     if version > 1:
         try:
-            txns = _manifest_txns(_read_manifest(table, version - 1))
+            prev = _read_manifest(table, version - 1)
+            txns = _manifest_txns(prev)
+            prev_constraints = prev.get("constraints", {})
         except FileNotFoundError:
             # predecessor manifest missing (e.g. manual cleanup outside
             # vacuum's contract) — fall back to the
             vs = [v for v in _versions(table) if v < version]
             if vs:
-                txns = _manifest_txns(_read_manifest(table, vs[-1]))
+                prev = _read_manifest(table, vs[-1])
+                txns = _manifest_txns(prev)
+                prev_constraints = prev.get("constraints", {})
     if txn is not None:
         app, batch = txn[0], int(txn[1])
         txns[app] = max(txns.get(app, batch), batch)
     if txns:
         body["txns"] = txns
+    if constraints is not None:
+        body["constraints"] = dict(constraints)  # replace (set_constraints)
+    elif prev_constraints:
+        body["constraints"] = prev_constraints
     tmp = _manifest_path(table, version) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(body, f)
@@ -168,6 +180,7 @@ def commit_append(
         last = last_committed_batch(table, txn[0])
         if last is not None and int(txn[1]) <= last:
             return cur  # replayed batch — already durable, skip
+    check_constraints(df, table_constraints(table))
     new_files = _write_data_files(df, table)
     # An append's payload is position-independent, so a CAS loss is resolved
     # by re-reading the new head and re-publishing on top of it (data files
@@ -190,6 +203,7 @@ def commit_append(
 def commit_overwrite(df: DataFrame, table: str) -> int:
     """Replace the table contents atomically (readers of older versions are
     unaffected — their manifests still reference the old files)."""
+    check_constraints(df, table_constraints(table))
     new_files = _write_data_files(df, table)
     version = (current_version(table) or 0) + 1
     _publish(table, version, new_files, "overwrite")
@@ -408,3 +422,59 @@ def optimize(
     version = cur + 1
     _publish(table, version, kept + new_files, "optimize")
     return {"version": version, "rewritten": len(small), "kept": len(kept)}
+
+
+class ConstraintViolation(ValueError):
+    """A commit's data failed a table CHECK constraint."""
+
+
+def table_constraints(table: str) -> dict[str, str]:
+    """The table's CHECK constraints (name → SQL boolean expression), as
+    recorded in the head manifest."""
+    cur = current_version(table)
+    if cur is None:
+        return {}
+    return _read_manifest(table, cur).get("constraints", {})
+
+
+def set_constraints(spark: SparkSession, table: str, constraints: dict[str, str]) -> int:
+    """Attach / replace table-level CHECK constraints (Delta-style
+    ``ALTER TABLE ADD CONSTRAINT``): each is a SQL boolean expression every
+    row of every FUTURE commit must satisfy. The EXISTING data is validated
+    first — a constraint the current snapshot violates is rejected, so
+    ``table_constraints`` is always an invariant of the head, never an
+    aspiration. Stored in the manifest and carried forward like txn stamps
+    (vacuum-safe). Returns the new version."""
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    check_constraints(read_snapshot(spark, table), constraints)
+    files = _read_manifest(table, cur)["files"]
+    version = cur + 1
+    # one atomic metadata-only commit carrying the new constraint set
+    _publish(table, version, files, "set_constraints", constraints=constraints)
+    return version
+
+
+def check_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+    """Validate ``df`` against CHECK constraints in ONE aggregate pass;
+    raises ``ConstraintViolation`` naming each failed constraint with its
+    violating-row count. NULL predicate results count as violations
+    (ANSI CHECK semantics accept only TRUE)."""
+    import pyspark.sql.functions as F
+
+    if not constraints:
+        return
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(F.expr(expr), F.lit(False)), 0).otherwise(1)
+        ).alias(name)
+        for name, expr in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {name: int(row[name]) for name in constraints if row[name]}
+    if bad:
+        raise ConstraintViolation(
+            f"constraint(s) violated: "
+            + ", ".join(f"{n} ({c} rows)" for n, c in sorted(bad.items()))
+        )
