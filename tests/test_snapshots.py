@@ -311,3 +311,24 @@ def test_set_constraints_rejects_if_existing_data_violates(spark, tmp_path):
     commit_append(spark.range(-5, 5).selectExpr("id"), t)
     with pytest.raises(ConstraintViolation, match="id_positive"):
         set_constraints(spark, t, {"id_positive": "id > 0"})
+
+
+def test_update_where_blocked_by_constraints(spark, tmp_path):
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        ConstraintViolation,
+        commit_append,
+        read_snapshot,
+        set_constraints,
+        update_where,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(spark.range(1, 6).selectExpr("id", "id * 2 AS v"), t)
+    set_constraints(spark, t, {"v_positive": "v > 0"})
+    with pytest.raises(ConstraintViolation, match="v_positive"):
+        update_where(spark, t, "id = 3", {"v": "-1"})
+    # table unchanged; a valid update still goes through
+    assert read_snapshot(spark, t).filter("v <= 0").count() == 0
+    res = update_where(spark, t, "id = 3", {"v": "99"})
+    assert res["rows_matched"] == 1
+    assert read_snapshot(spark, t).filter("v = 99").count() == 1

@@ -323,6 +323,12 @@ def _rewrite_matched(
         n_matched = matched_scope.filter(hit).count()
         replacement = transform(matched_scope, hit)
         if replacement is not None:
+            # CHECK constraints: untouched files already satisfy them (the
+            # head is always constraint-valid), so validating only the
+            # replacement rows keeps the whole-table invariant without a
+            # full-table scan per DML (an UPDATE ... SET could otherwise
+            # write violating values).
+            check_constraints(replacement, table_constraints(table))
             new_files = _write_data_files(replacement, table)
     version = cur + 1
     _publish(table, version, kept + new_files, op)
