@@ -216,3 +216,32 @@ def sql_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0))
              AS n_not_in_clean
     """)
+
+
+@query(
+    "sql_agg_surface_extras",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv,
+           CAST(median(n.n_nationkey) AS DOUBLE) AS median_key,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def sql_agg_surface_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate surface parity: ordered LISTAGG (new in Spark 4 /
+    Trino listagg / DuckDB string_agg), exact median, and GROUP BY over a
+    dim join — the everyday reporting shapes an Athena user types."""
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    for t in ("nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+    SELECT r.r_name AS region,
+           listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations_csv,
+           CAST(median(n.n_nationkey) AS DOUBLE) AS median_key,
+           COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """)
