@@ -317,3 +317,46 @@ def test_bpe_train_early_stop_and_determinism(spark):
     a = [tuple(r) for r in text.bpe_train(df2, n_merges=6).collect()]
     b = [tuple(r) for r in text.bpe_train(df2.repartition(7), n_merges=6).collect()]
     assert a == b == _ref_bpe(corpus, 6)
+
+
+def test_remove_duplicated_spans_planted(spark):
+    shared = " ".join(f"s{i}" for i in range(10))  # one 10-token window
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c " + shared + " x y z"),
+            (2, "p q " + shared + " r"),
+            (3, "totally unrelated words only here nothing shared at all ok"),
+            (4, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.remove_duplicated_spans(docs, k=10).collect()
+    }
+    # the shared window is cut from both carriers; flanks survive
+    assert out[1]["cleaned_text"] == "a b c x y z"
+    assert out[1]["n_removed"] == 10
+    assert out[2]["cleaned_text"] == "p q r"
+    assert out[2]["n_removed"] == 10
+    # untouched docs pass through verbatim with zero removal
+    assert out[3]["n_removed"] == 0 and out[3]["cleaned_text"].startswith("totally")
+    assert out[4]["n_removed"] == 0 and out[4]["cleaned_text"] == "short doc"
+
+
+def test_remove_duplicated_spans_overlap_merge(spark):
+    # two docs share an 11-token run -> two overlapping 10-windows in each;
+    # removal must merge the overlap (11 tokens cut, not 20)
+    run = " ".join(f"w{i}" for i in range(11))
+    docs = spark.createDataFrame(
+        [(1, "pre " + run + " post"), (2, run + " tail")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.remove_duplicated_spans(docs, k=10).collect()
+    }
+    assert out[1]["n_removed"] == 11
+    assert out[1]["cleaned_text"] == "pre post"
+    assert out[2]["n_removed"] == 11
+    assert out[2]["cleaned_text"] == "tail"

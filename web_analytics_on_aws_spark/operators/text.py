@@ -583,3 +583,82 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "round int, left string, right string, merged string, pair_count bigint"
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level exact-substring dedup — the REMOVAL half of Lee et al.
+    (ACL 2022): every k-token window occurring in ≥2 distinct documents is
+    cut out of the text (overlapping duplicated windows merge naturally:
+    a token survives iff NO duplicated window covers it). The census half
+    is ``duplicated_window_stats``; this emits the cleaned corpus.
+
+    Plan: the same explode → digest-groupBy census finds cross-doc window
+    hashes; duplicated window START offsets come back to each doc as a
+    sorted array (bounded by windows-per-doc); the cut itself is a
+    row-local JVM expression (position filter against the start array) —
+    no Python, no second corpus shuffle beyond the census join-back.
+
+    Output: (id_col, n_tokens, n_removed, cleaned_text).
+    """
+    from web_analytics_on_aws_spark.functions import token_split
+
+    toks = df.select(id_col, token_split(F.col(text_col)).alias("__t"))
+    w = toks.select(
+        id_col,
+        "__t",
+        F.explode(
+            F.when(
+                F.size("__t") >= k,
+                F.sequence(F.lit(0), F.size("__t") - k),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
+    ).select(
+        id_col,
+        "__i",
+        F.md5(F.concat_ws(" ", F.slice("__t", F.col("__i") + 1, k))).alias("__h"),
+    )
+    dup = (
+        w.groupBy("__h")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    starts = (
+        w.join(dup, "__h")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("__i")).alias("__ss"))
+    )
+    cut = (
+        toks.join(starts, id_col, "left")
+        .withColumn("__ss", F.coalesce("__ss", F.array().cast("array<int>")))
+        .select(
+            id_col,
+            F.size("__t").cast("bigint").alias("n_tokens"),
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - 1),
+                    lambda j: F.struct(
+                        j.alias("j"),
+                        F.element_at("__t", j + 1).alias("tok"),
+                    ),
+                ),
+                lambda x: ~F.exists(
+                    F.col("__ss"),
+                    lambda s: (s <= x["j"]) & (x["j"] < s + k),
+                ),
+            ).alias("__kept"),
+        )
+    )
+    return cut.select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") - F.size("__kept")).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", F.transform("__kept", lambda x: x["tok"])).alias(
+            "cleaned_text"
+        ),
+    )

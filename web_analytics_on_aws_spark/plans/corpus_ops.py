@@ -927,3 +927,50 @@ def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_model.score_quality(
         labeled, model, keep_cols=["doc_id", "pass_all"]
     )
+
+
+@query(
+    "dedup_remove_spans_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i,
+             md5(array_to_string(t[i+1:i+10], ' ')) AS h
+      FROM toks, UNNEST(range(0, greatest(len(t) - 9, 0))) AS u(i)
+    ),
+    dup AS (
+      SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY h)
+      WHERE nd >= 2
+    ),
+    starts AS (
+      SELECT w.doc_id, list_sort(list(DISTINCT w.i)) AS ss
+      FROM w JOIN dup USING (h) GROUP BY w.doc_id
+    ),
+    cutout AS (
+      SELECT t.doc_id,
+             len(t.t) AS n_tokens,
+             [t.t[j+1] FOR j IN range(0, len(t.t))
+              IF len(list_filter(COALESCE(s.ss, []),
+                                 x -> x <= j AND j < x + 10)) = 0] AS kept
+      FROM toks t LEFT JOIN starts s ON s.doc_id = t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+           md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_md5
+    FROM cutout
+    """,
+)
+def remove_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al. 2022, the removal
+    action): cross-doc 10-token windows are cut from every document;
+    reports per-doc token counts, removed counts, and the md5 of the
+    cleaned text (hash-compared so the full corpus never rides the gate).
+    See text.remove_duplicated_spans for the plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.remove_duplicated_spans(docs, k=10)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed", F.md5("cleaned_text").alias("cleaned_md5")
+    )
