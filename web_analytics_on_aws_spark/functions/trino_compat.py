@@ -106,8 +106,14 @@ def _tokenize(sql: str) -> tuple[str, list[str], list[str]]:
 
 
 def _restore(sql: str, lits: list[str], idents: list[str]) -> str:
-    sql = re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], sql)
-    return re.sub(r"\x02(\d+)\x02", lambda m: idents[int(m.group(1))], sql)
+    # ONE pass for both placeholder kinds: re.sub never rescans its own
+    # replacements, so restored literal CONTENT (which may itself contain
+    # placeholder-looking bytes) can never be re-substituted.
+    return re.sub(
+        r"([\x00\x02])(\d+)\1",
+        lambda m: (lits if m.group(1) == "\x00" else idents)[int(m.group(2))],
+        sql,
+    )
 
 
 def trino_to_spark_sql(sql: str) -> str:

@@ -95,15 +95,24 @@ def append_to_index(
     (snapshot txn-stamp protocol); the index never rewrites existing
     files."""
     spark = batch_df.sparkSession
-    qv = _index_quantizer_version(spark, table)
+    iv = snapshots.current_version(table)
+    qv = _index_quantizer_version(spark, table, iv)
     cents = snapshots.read_snapshot(spark, _centroids_table(table), version=qv)
     assigned = ivf_assign(batch_df, cents, id_col, vec_col).withColumn(
         "quantizer_version", F.lit(qv).cast("int")
     )
-    return snapshots.commit_append(_layout(assigned, files_hint), table, txn=txn)
+    out = snapshots.commit_append(_layout(assigned, files_hint), table, txn=txn)
+    # A rebuild racing this append would change the quantizer under us
+    # (commit_append's CAS retry happily lands on the new head): verify the
+    # committed head is still single-version and fail LOUDLY if not — the
+    # mixed state is repairable by rebuilding, never silently probed.
+    _index_quantizer_version(spark, table, snapshots.current_version(table))
+    return out
 
 
-def _index_quantizer_version(spark: SparkSession, table: str) -> int:
+def _index_quantizer_version(
+    spark: SparkSession, table: str, version: int | None = None
+) -> int:
     """The single quantizer version the index's rows were stamped with
     (raises if a half-migrated index mixes versions — that state is
     unreachable through this module's API).
@@ -114,7 +123,7 @@ def _index_quantizer_version(spark: SparkSession, table: str) -> int:
     probes and appends must not read the corpus to learn its geometry."""
     import pyarrow.parquet as pq
 
-    cur = snapshots.current_version(table)
+    cur = version if version is not None else snapshots.current_version(table)
     if cur is None:
         raise FileNotFoundError(f"no index snapshots at {table}")
     files = snapshots._read_manifest(table, cur)["files"]
@@ -182,7 +191,13 @@ def probe_ivf_index(
     # probe stays correct (the In filter evaluates post-scan), just unpruned,
     # and a caller's explicit disable is honored.
     spark.dataSource.register(SnapshotDataSource)
-    qv = _index_quantizer_version(spark, table)
+    # Pin ONE index version for the whole probe: quantizer resolution and
+    # the data read must see the same snapshot, or a rebuild landing
+    # between them would pair rows with the wrong geometry.
+    iv = snapshots.current_version(table)
+    if iv is None:
+        raise FileNotFoundError(f"no index snapshots at {table}")
+    qv = _index_quantizer_version(spark, table, iv)
     cents = snapshots.read_snapshot(spark, _centroids_table(table), version=qv)
     qscored = queries.join(F.broadcast(cents)).select(
         query_id_col,
@@ -201,13 +216,14 @@ def probe_ivf_index(
         {r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()}
     )
     if reader == "native":
-        index = snapshots.read_snapshot(spark, table).filter(
+        index = snapshots.read_snapshot(spark, table, version=iv).filter(
             F.col("centroid_id").isin(cells)
         )
     else:
         index = (
             spark.read.format("snapshot")
             .option("path", table)
+            .option("version", str(iv))
             .load()
             .filter(F.col("centroid_id").isin(cells))
         )

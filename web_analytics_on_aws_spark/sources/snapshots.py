@@ -180,13 +180,33 @@ def commit_append(
         last = last_committed_batch(table, txn[0])
         if last is not None and int(txn[1]) <= last:
             return cur  # replayed batch — already durable, skip
-    check_constraints(df, table_constraints(table))
     new_files = _write_data_files(df, table)
+    # CHECK constraints validate the WRITTEN BYTES (not df's lineage, which
+    # the write already re-executed — validating the plan a second time
+    # would double cost AND let a nondeterministic input publish rows that
+    # were never the ones validated). On violation the files stay
+    # unreferenced — the same GC story lost CAS races rely on.
+    validated: dict[str, str] | None = None
+
+    def _validate(cons: dict[str, str]) -> None:
+        nonlocal validated
+        if cons and cons != validated:
+            check_constraints(
+                df.sparkSession.read.parquet(*new_files), cons
+            )
+        validated = cons
+
+    _validate(table_constraints(table))
     # An append's payload is position-independent, so a CAS loss is resolved
     # by re-reading the new head and re-publishing on top of it (data files
     # are already durable — only the manifest pointer moves).
     for _ in range(16):
-        prev = _read_manifest(table, cur)["files"] if cur is not None else []
+        prev_m = _read_manifest(table, cur) if cur is not None else {}
+        prev = prev_m.get("files", [])
+        # a racing set_constraints may have landed since validation —
+        # re-validate under the head's CURRENT constraint set before
+        # publishing on top of it (no-op when unchanged)
+        _validate(prev_m.get("constraints", {}))
         version = (cur or 0) + 1
         try:
             _publish(table, version, prev + new_files, "append", txn=txn)
@@ -203,8 +223,11 @@ def commit_append(
 def commit_overwrite(df: DataFrame, table: str) -> int:
     """Replace the table contents atomically (readers of older versions are
     unaffected — their manifests still reference the old files)."""
-    check_constraints(df, table_constraints(table))
     new_files = _write_data_files(df, table)
+    cons = table_constraints(table)
+    if cons:
+        # validate the written bytes (see commit_append)
+        check_constraints(df.sparkSession.read.parquet(*new_files), cons)
     version = (current_version(table) or 0) + 1
     _publish(table, version, new_files, "overwrite")
     return version
@@ -323,13 +346,16 @@ def _rewrite_matched(
         n_matched = matched_scope.filter(hit).count()
         replacement = transform(matched_scope, hit)
         if replacement is not None:
+            new_files = _write_data_files(replacement, table)
             # CHECK constraints: untouched files already satisfy them (the
             # head is always constraint-valid), so validating only the
             # replacement rows keeps the whole-table invariant without a
             # full-table scan per DML (an UPDATE ... SET could otherwise
-            # write violating values).
-            check_constraints(replacement, table_constraints(table))
-            new_files = _write_data_files(replacement, table)
+            # write violating values). Validated from the WRITTEN bytes;
+            # a violation leaves them unreferenced for GC.
+            cons = table_constraints(table)
+            if cons:
+                check_constraints(spark.read.parquet(*new_files), cons)
     version = cur + 1
     _publish(table, version, kept + new_files, op)
     return {

@@ -26,7 +26,11 @@ def with_validity_metrics(df: DataFrame, valid_col: str, name: str = "validity")
         obs,
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.when(F.col(valid_col), 1).otherwise(0)).alias("n_valid"),
-        F.sum(F.when(~F.col(valid_col), 1).otherwise(0)).alias("n_invalid"),
+        # NULL flags count as invalid (a validity column that failed to
+        # compute IS an invalid record) — n_valid + n_invalid == n_total
+        F.sum(
+            F.when(F.coalesce(F.col(valid_col), F.lit(False)), 0).otherwise(1)
+        ).alias("n_invalid"),
     )
     return observed, obs
 
