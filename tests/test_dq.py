@@ -83,3 +83,47 @@ def test_reconcile_clean_parity(spark):
                F.sum(F.col("v").cast("decimal(18,2)")))},
     ).collect()[0]
     assert row["n_value_mismatches"] == 0 and row["max_abs_diff"] == 0.0
+
+
+# --- property-based: reconcile vs Python brute force ---
+
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_kv = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(-20, 20)), min_size=0, max_size=20
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(src=_kv, tgt=_kv)
+def test_reconcile_matches_bruteforce(spark, src, tgt):
+    from web_analytics_on_aws_spark.operators.dq import reconcile
+
+    sdf = spark.createDataFrame(src or [(99, 0)], "k long, v long")
+    tdf = spark.createDataFrame(tgt or [(98, 0)], "k long, v long")
+    src_, tgt_ = src or [(99, 0)], tgt or [(98, 0)]
+    row = reconcile(
+        sdf, tdf, ["k"], {"v": (F.sum("v"), F.sum("v"))}
+    ).collect()[0]
+
+    ssum, tsum = defaultdict(int), defaultdict(int)
+    for k, v in src_:
+        ssum[k] += v
+    for k, v in tgt_:
+        tsum[k] += v
+    assert row["n_source_keys"] == len(ssum)
+    assert row["n_target_keys"] == len(tsum)
+    assert row["n_matched_keys"] == len(set(ssum) & set(tsum))
+    mism = sum(
+        1
+        for k in set(ssum) | set(tsum)
+        if k not in ssum or k not in tsum or ssum[k] != tsum[k]
+    )
+    assert row["n_value_mismatches"] == mism
