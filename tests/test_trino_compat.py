@@ -140,3 +140,129 @@ def test_identifier_rewrite_roundtrips(name):
     quoted = '"' + name.replace('"', '""') + '"'
     out = trino_to_spark_sql(f"SELECT {quoted} FROM t")
     assert out == f"SELECT `{name}` FROM t"
+
+
+# --- round-2 dialect widening: URL functions, ISO dow, MySQL datetime
+# patterns, UNNEST, lambdas, bitwise, float classification -------------------
+
+
+def test_day_of_week_iso_semantics(views):
+    # Trino day_of_week is ISO: Monday=1 … Sunday=7 (Spark dayofweek is
+    # Sunday=1 — the shim must re-map, not rename)
+    out = trino_sql(
+        views,
+        "SELECT day_of_week(TIMESTAMP '2024-01-01 12:00:00') AS mon, "
+        "dow(TIMESTAMP '2024-01-07 12:00:00') AS sun, "
+        "day_of_week(DATE '2024-01-03') AS wed",
+    ).collect()[0]
+    assert (out["mon"], out["sun"], out["wed"]) == (1, 7, 3)
+
+
+def test_url_extract_functions(views):
+    u = "'https://shop.example.com:8443/cart/item?uid=42&ref=mail#frag'"
+    out = trino_sql(
+        views,
+        f"SELECT url_extract_host({u}) AS h, url_extract_path({u}) AS p, "
+        f"url_extract_protocol({u}) AS pr, url_extract_query({u}) AS q, "
+        f"url_extract_fragment({u}) AS f, url_extract_port({u}) AS po, "
+        f"url_extract_parameter({u}, 'uid') AS uid, "
+        f"url_extract_parameter({u}, 'missing') AS miss",
+    ).collect()[0]
+    assert out["h"] == "shop.example.com"
+    assert out["p"] == "/cart/item"
+    assert out["pr"] == "https"
+    assert out["q"] == "uid=42&ref=mail"
+    assert out["f"] == "frag"
+    assert out["po"] == 8443
+    assert out["uid"] == "42"
+    assert out["miss"] is None
+
+
+def test_date_parse_and_format_mysql_patterns(views):
+    out = trino_sql(
+        views,
+        "SELECT date_parse('2024-03-05T07:08:09Z', '%Y-%m-%dT%H:%i:%sZ') AS ts, "
+        "date_format(TIMESTAMP '2024-03-05 07:08:09', '%Y/%m/%d %H:%i') AS s, "
+        "date_format(TIMESTAMP '2024-03-05 07:08:09', '%W %b') AS wd",
+    ).collect()[0]
+    assert str(out["ts"]) == "2024-03-05 07:08:09"
+    assert out["s"] == "2024/03/05 07:08"
+    assert out["wd"] == "Tuesday Mar"
+
+
+def test_date_parse_pattern_must_be_literal(views):
+    with pytest.raises(TrinoCompatError, match="literal"):
+        trino_to_spark_sql("SELECT date_parse(s, fmt_col) FROM t")
+    with pytest.raises(TrinoCompatError, match="unsupported"):
+        trino_to_spark_sql("SELECT date_parse(s, '%Q') FROM t")
+
+
+def test_bitwise_functions_to_operators(views):
+    out = trino_sql(
+        views,
+        "SELECT bitwise_and(12, 10) AS a, bitwise_or(12, 10) AS o, "
+        "bitwise_xor(12, 10) AS x, bitwise_not(0) AS n, "
+        "bitwise_and(12, bitwise_or(2, 1)) AS nested, "
+        "bitwise_left_shift(1, 4) AS ls",
+    ).collect()[0]
+    assert (out["a"], out["o"], out["x"], out["n"]) == (8, 14, 6, -1)
+    assert out["nested"] == 12 & (2 | 1) and out["ls"] == 16
+
+
+def test_float_classification(views):
+    out = trino_sql(
+        views,
+        "SELECT is_finite(v) AS f, is_infinite(v) AS i, is_nan(nan()) AS n, "
+        "is_finite(infinity()) AS inf_fin, is_infinite(infinity()) AS inf_inf, "
+        "is_finite(nan()) AS nan_fin FROM t WHERE id = 1",
+    ).collect()[0]
+    assert (out["f"], out["i"], out["n"]) == (True, False, True)
+    assert (out["inf_fin"], out["inf_inf"], out["nan_fin"]) == (False, True, False)
+
+
+def test_unnest_array_and_map(views):
+    out = trino_sql(
+        views,
+        "SELECT id, tag FROM t CROSS JOIN UNNEST(tags) AS u (tag) ORDER BY id, tag",
+    ).collect()
+    assert [(r["id"], r["tag"]) for r in out] == [(1, "a"), (1, "b"), (2, "b")]
+    out = trino_sql(
+        views,
+        "SELECT k, v FROM (SELECT map('x', 1) AS m) "
+        "CROSS JOIN UNNEST(m) AS kv (k, v)",
+    ).collect()
+    assert [(r["k"], r["v"]) for r in out] == [("x", 1)]
+    with pytest.raises(TrinoCompatError, match="UNNEST"):
+        trino_to_spark_sql("SELECT y FROM t, UNNEST(x) AS q (y)")
+
+
+def test_lambda_surface(views):
+    out = trino_sql(
+        views,
+        "SELECT reduce(sequence(1, 4), 0, (s, x) -> s + x, s -> s) AS tot, "
+        "any_match(tags, x -> x = 'a') AS has_a, "
+        "all_match(tags, x -> length(x) = 1) AS all1 "
+        "FROM t WHERE id = 1",
+    ).collect()[0]
+    assert out["tot"] == 10 and out["has_a"] is True and out["all1"] is True
+
+
+def test_misc_renames_execute(views):
+    out = trino_sql(
+        views,
+        "SELECT format('%s:%d', name, id) AS f, starts_with(name, 'al') AS sw, "
+        "levenshtein_distance(name, 'alice') AS lev, to_hex(CAST('A' AS BINARY)) AS hx, "
+        "week(TIMESTAMP '2024-01-10 00:00:00') AS wk, "
+        "day_of_year(DATE '2024-02-01') AS doy, "
+        "format_datetime(TIMESTAMP '2024-03-05 07:08:09', 'yyyy-MM-dd HH:mm') AS fd "
+        "FROM t WHERE id = 1",
+    ).collect()[0]
+    assert out["f"] == "alice:1" and out["sw"] is True and out["lev"] == 0
+    assert out["hx"] == "41" and out["wk"] == 2 and out["doy"] == 32
+    assert out["fd"] == "2024-03-05 07:08"
+
+
+def test_rand_rename_parses(views):
+    assert "rand()" in trino_to_spark_sql("SELECT random() FROM t")
+    # a column merely NAMED random must not be rewritten
+    assert trino_to_spark_sql("SELECT random FROM t") == "SELECT random FROM t"

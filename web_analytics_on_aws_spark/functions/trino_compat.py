@@ -41,9 +41,59 @@ FUNCTION_RENAMES = {
     "strpos": "instr",
     "codepoint": "ascii",
     "from_iso8601_timestamp": "to_timestamp",
+    "from_iso8601_date": "to_date",
     "to_unixtime": "unix_timestamp",
     "json_extract_scalar": "get_json_object",
     "contains": "array_contains",
+    # string / binary
+    "levenshtein_distance": "levenshtein",
+    "starts_with": "startswith",
+    "format": "format_string",
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
+    # math / misc
+    "random": "rand",
+    "is_nan": "isnan",
+    "bitwise_left_shift": "shiftleft",
+    "bitwise_right_shift": "shiftright",
+    # arrays / lambdas — Trino reduce(arr, init, merge, finish) is exactly
+    # Spark aggregate(arr, init, merge, finish); any/all_match are
+    # exists/forall with identical lambda syntax (`x -> pred`)
+    "reduce": "aggregate",
+    "any_match": "exists",
+    "all_match": "forall",
+    # datetime parts
+    "day_of_year": "dayofyear",
+    "doy": "dayofyear",
+    "day_of_month": "dayofmonth",
+    "week": "weekofyear",
+    "week_of_year": "weekofyear",
+    "last_day_of_month": "last_day",
+    # Joda patterns (format_datetime) use the same letters as JDK
+    # DateTimeFormatter for y/M/d/H/m/s/E — documented delta for exotic
+    # pattern letters, asserted for the common ones in tests
+    "format_datetime": "date_format",
+}
+
+#: Trino url_extract_* → Spark parse_url part names.
+_URL_PARTS = {
+    "url_extract_host": "HOST",
+    "url_extract_path": "PATH",
+    "url_extract_protocol": "PROTOCOL",
+    "url_extract_query": "QUERY",
+    "url_extract_fragment": "REF",
+}
+
+#: MySQL-style %-patterns (Trino date_parse/date_format) → JDK
+#: DateTimeFormatter patterns (Spark to_timestamp/date_format).
+_MYSQL_TO_JDK = {
+    "%Y": "yyyy", "%y": "yy", "%M": "MMMM", "%m": "MM", "%c": "M",
+    "%b": "MMM", "%d": "dd", "%e": "d", "%j": "DDD", "%H": "HH",
+    "%k": "H", "%h": "hh", "%I": "hh", "%i": "mm", "%s": "ss",
+    "%S": "ss", "%f": "SSSSSS", "%p": "a", "%T": "HH:mm:ss",
+    "%r": "hh:mm:ss a", "%W": "EEEE", "%a": "EEE", "%%": "%",
 }
 
 #: Constructs we refuse instead of guessing.
@@ -116,6 +166,127 @@ def _restore(sql: str, lits: list[str], idents: list[str]) -> str:
     )
 
 
+def _mysql_pattern_to_jdk(fmt: str) -> str:
+    """Convert a MySQL-style datetime pattern ('%Y-%m-%d') to the JDK
+    DateTimeFormatter pattern Spark expects ('yyyy-MM-dd'). Literal
+    alphabetic runs are single-quoted so they never parse as pattern
+    letters; an unmapped %-token refuses rather than mis-parsing."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            tok = fmt[i : i + 2]
+            if tok not in _MYSQL_TO_JDK:
+                raise TrinoCompatError(f"date pattern token {tok!r} unsupported")
+            out.append(_MYSQL_TO_JDK[tok])
+            i += 2
+        else:
+            j = i
+            while j < len(fmt) and fmt[j] != "%":
+                j += 1
+            run = fmt[i:j]
+            if any(c.isalpha() for c in run):
+                out.append("'" + run.replace("'", "''") + "'")
+            else:
+                out.append(run)
+            i = j
+    return "".join(out)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split an argument list on commas not nested in parens/brackets.
+    Safe because string literals were tokenized out before this runs."""
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+    tail = s[start:].strip()
+    if tail or parts:
+        parts.append(tail)
+    return parts
+
+
+def _rewrite_fn_calls(body: str, rules: dict) -> str:
+    """Rewrite every ``name(args)`` call for names in ``rules`` with
+    balanced-paren argument extraction (robust where a regex is not:
+    literals are already placeholders, so every paren is structural).
+    Inner args are rewritten first, and replacements are emitted straight
+    to the output — a rule may reuse its own name without rescanning."""
+    pattern = re.compile(
+        r"\b(" + "|".join(re.escape(n) for n in rules) + r")\s*\(",
+        re.IGNORECASE,
+    )
+    out: list[str] = []
+    i = 0
+    while True:
+        m = pattern.search(body, i)
+        if not m:
+            out.append(body[i:])
+            return "".join(out)
+        out.append(body[i : m.start()])
+        depth, j = 1, m.end()
+        while j < len(body) and depth:
+            if body[j] == "(":
+                depth += 1
+            elif body[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise TrinoCompatError(f"unbalanced parens after {m.group(1)}")
+        inner = _rewrite_fn_calls(body[m.end() : j - 1], rules)
+        out.append(rules[m.group(1).lower()](_split_top_level(inner)))
+        i = j
+
+
+def _nargs(name: str, args: list[str], n: int) -> list[str]:
+    if len(args) != n:
+        raise TrinoCompatError(f"{name} expects {n} args, got {len(args)}")
+    return args
+
+
+def _rewrite_unnest(body: str, idents: list[str]) -> str:
+    """``CROSS JOIN UNNEST(expr) AS t (c1[, c2])`` → ``LATERAL VIEW
+    explode(expr) t AS c1[, c2]`` (1 column: array element; 2 columns: map
+    key/value — the two forms Athena web-log queries actually use). Any
+    UNNEST left standing after this refuses rather than mis-running."""
+    pat = re.compile(r"\bCROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(body)
+        if not m:
+            return body
+        depth, j = 1, m.end()
+        while j < len(body) and depth:
+            if body[j] == "(":
+                depth += 1
+            elif body[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise TrinoCompatError("unbalanced parens in UNNEST")
+        expr = body[m.end() : j - 1]
+        alias = re.match(
+            r"\s*AS\s+([\w\x02]+)\s*\(([^)]*)\)", body[j:], re.IGNORECASE
+        )
+        if not alias:
+            raise TrinoCompatError(
+                "UNNEST requires an `AS alias (col[, col])` clause"
+            )
+        cols = [c.strip() for c in alias.group(2).split(",")]
+        if not 1 <= len(cols) <= 2:
+            raise TrinoCompatError("UNNEST supports 1 (array) or 2 (map) columns")
+        body = (
+            body[: m.start()]
+            + f" LATERAL VIEW explode({expr}) {alias.group(1)} AS "
+            + ", ".join(cols)
+            + body[j + alias.end() :]
+        )
+
+
 def trino_to_spark_sql(sql: str) -> str:
     """Rewrite a Trino/Athena query string into Spark SQL text."""
     body, lits, idents = _tokenize(sql)
@@ -153,6 +324,69 @@ def trino_to_spark_sql(sql: str) -> str:
         body,
         flags=re.IGNORECASE,
     )
+
+    def _mklit(text: str) -> str:
+        """Shield generated SQL text as a literal placeholder so later
+        rewrite passes can never touch it."""
+        lits.append("'" + text.replace("'", "''") + "'")
+        return f"\x00{len(lits) - 1}\x00"
+
+    def _conv_pattern(name: str, arg: str) -> str:
+        m = re.fullmatch(r"\x00(\d+)\x00", arg.strip())
+        if not m:
+            raise TrinoCompatError(f"{name} pattern must be a string literal")
+        raw = lits[int(m.group(1))][1:-1].replace("''", "'")
+        return _mklit(_mysql_pattern_to_jdk(raw))
+
+    _inf = "CAST('Infinity' AS DOUBLE)"
+    rules = {
+        # ISO day-of-week (Monday=1…Sunday=7) from Spark's Sunday=1 dayofweek
+        "day_of_week": lambda a: f"(pmod(dayofweek({_nargs('day_of_week', a, 1)[0]}) + 5, 7) + 1)",
+        "dow": lambda a: f"(pmod(dayofweek({_nargs('dow', a, 1)[0]}) + 5, 7) + 1)",
+        # web-log URL dissection → parse_url
+        **{
+            fn: (lambda a, _p=part, _f=fn: f"parse_url({_nargs(_f, a, 1)[0]}, {_mklit(_p)})")
+            for fn, part in _URL_PARTS.items()
+        },
+        "url_extract_parameter": lambda a: "parse_url({}, {}, {})".format(
+            _nargs("url_extract_parameter", a, 2)[0], _mklit("QUERY"), a[1]
+        ),
+        # no PORT part in parse_url — take it off the AUTHORITY (host:port)
+        "url_extract_port": lambda a: (
+            "CAST(nullif(regexp_extract(parse_url({}, {}), {}, 1), {}) AS BIGINT)".format(
+                _nargs("url_extract_port", a, 1)[0],
+                _mklit("AUTHORITY"),
+                _mklit(":([0-9]+)$"),
+                _mklit(""),
+            )
+        ),
+        # MySQL %-patterns → JDK patterns
+        "date_parse": lambda a: "to_timestamp({}, {})".format(
+            _nargs("date_parse", a, 2)[0], _conv_pattern("date_parse", a[1])
+        ),
+        "date_format": lambda a: "date_format({}, {})".format(
+            _nargs("date_format", a, 2)[0], _conv_pattern("date_format", a[1])
+        ),
+        # two-arg bitwise functions → operators
+        "bitwise_and": lambda a: "({} & {})".format(*_nargs("bitwise_and", a, 2)),
+        "bitwise_or": lambda a: "({} | {})".format(*_nargs("bitwise_or", a, 2)),
+        "bitwise_xor": lambda a: "({} ^ {})".format(*_nargs("bitwise_xor", a, 2)),
+        "bitwise_not": lambda a: f"(~{_nargs('bitwise_not', a, 1)[0]})",
+        # float classification (Spark orders NaN above Infinity, so a plain
+        # abs-compare gives the exact Trino truth table incl. NaN)
+        "is_finite": lambda a: f"(abs({_nargs('is_finite', a, 1)[0]}) < {_inf})",
+        "is_infinite": lambda a: f"(abs({_nargs('is_infinite', a, 1)[0]}) = {_inf})",
+        "infinity": lambda a: (_nargs("infinity", a, 0), _inf)[1],
+        "nan": lambda a: (_nargs("nan", a, 0), "CAST('NaN' AS DOUBLE)")[1],
+    }
+    body = _rewrite_fn_calls(body, rules)
+
+    # CROSS JOIN UNNEST → LATERAL VIEW explode; leftover UNNEST refuses
+    body = _rewrite_unnest(body, idents)
+    if re.search(r"\bUNNEST\b", body, flags=re.IGNORECASE):
+        raise TrinoCompatError(
+            "only `CROSS JOIN UNNEST(expr) AS t (col[, col])` is supported"
+        )
 
     # function renames (word boundary + following open-paren)
     for trino, spark_name in FUNCTION_RENAMES.items():

@@ -245,3 +245,76 @@ def sql_agg_surface_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
     """)
+
+
+_TRINO_URL_TEXT = """
+SELECT url_extract_host(uri) AS host,
+       url_extract_path(uri) AS path,
+       day_of_week(ts) AS iso_dow,
+       COUNT(*) AS n,
+       COUNT(DISTINCT url_extract_parameter(uri, 'uid')) AS uniq_uids,
+       url_extract_port(uri) AS port,
+       MIN(date_format(ts, '%Y-%m-%d')) AS first_day
+FROM weblog_uris
+GROUP BY 1, 2, 3, 6
+"""
+
+
+@query(
+    "trino_url_traffic_rollup",
+    oracle="""
+    WITH uris AS (
+      SELECT
+        CASE user_id % 3 WHEN 0 THEN 'www.example.com'
+                         WHEN 1 THEN 'shop.example.com'
+                         ELSE 'api.example.com' END AS host,
+        '/' || event_type || '/item' AS path,
+        CAST(isodow(ts) AS INTEGER) AS iso_dow,
+        CASE WHEN user_id % 5 = 0 THEN CAST(8443 AS BIGINT) END AS port,
+        CAST(user_id AS VARCHAR) AS uid,
+        strftime(ts, '%Y-%m-%d') AS day
+      FROM events
+    )
+    SELECT host, path, iso_dow, COUNT(*) AS n,
+           COUNT(DISTINCT uid) AS uniq_uids,
+           port, MIN(day) AS first_day
+    FROM uris GROUP BY host, path, iso_dow, port
+    """,
+)
+def trino_url_traffic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-log URL dissection in the reference's own dialect: the Trino
+    text (url_extract_host/path/port/parameter — Trino's URL function
+    family; ISO day_of_week; MySQL-style date_format — none of which exist
+    under those semantics in Spark) runs through the trino_compat shim,
+    which maps them onto JVM parse_url/date_format expressions. The URL is
+    synthesized per event (testdata has no URI column), and the DuckDB
+    oracle computes each extraction from the GENERATION rule, never
+    parsing — so the shim's parser mapping is checked against an
+    independent derivation, not itself.
+
+    Scale: map-only projection + one hash aggregate on (host, path, dow,
+    port) — low-cardinality keys, partial aggregation does almost all the
+    work map-side; parse_url is whole-stage-codegen'd JVM, no UDF."""
+    from web_analytics_on_aws_spark.functions.trino_compat import trino_sql
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_for_uris")
+    spark.sql(
+        """
+        SELECT ts,
+               concat(
+                 'https://',
+                 CASE pmod(user_id, 3) WHEN 0 THEN 'www.example.com'
+                                       WHEN 1 THEN 'shop.example.com'
+                                       ELSE 'api.example.com' END,
+                 CASE WHEN pmod(user_id, 5) = 0 THEN ':8443' ELSE '' END,
+                 '/', event_type, '/item',
+                 '?uid=', CAST(user_id AS STRING),
+                 '&s=', CAST(pmod(event_id, 7) AS STRING),
+                 CASE WHEN pmod(event_id, 2) = 0 THEN '#top' ELSE '' END
+               ) AS uri
+        FROM events_for_uris
+        """
+    ).createOrReplaceTempView("weblog_uris")
+    return trino_sql(spark, _TRINO_URL_TEXT)
