@@ -1,0 +1,111 @@
+"""Z-order clustering rewrite (snapshots.cluster_zorder): multi-dimension
+file-level skipping gets sharper after the rewrite, rows are unchanged, old
+versions still time-travel to the pre-rewrite layout."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import LessThanOrEqual
+
+from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+    SnapshotDataSource,
+    SnapshotReader,
+)
+from web_analytics_on_aws_spark.sources.snapshots import (
+    cluster_zorder,
+    commit_append,
+    read_snapshot,
+)
+
+
+def _planned(t, filters):
+    reader = SnapshotReader({"path": t}, None)
+    if filters:
+        reader.pushFilters(filters)
+    return len(reader.partitions())
+
+
+@pytest.fixture(scope="module")
+def zordered(spark, tmp_path_factory):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotDataSource)
+    t = str(tmp_path_factory.mktemp("zorder") / "t")
+    # two decorrelated dimensions, appended in id order and split round-
+    # robin → every input file spans the FULL x and y range (the layout
+    # that makes min/max skipping useless)
+    df = spark.range(0, 20000).select(
+        "id",
+        ((F.col("id") * 7919) % 1000).alias("x"),
+        ((F.col("id") * 104729) % 1000).alias("y"),
+    )
+    commit_append(df.repartition(8), t)
+    before = {
+        "files": _planned(t, None),
+        "x": _planned(t, [LessThanOrEqual(("x",), 49)]),
+        "xy": _planned(
+            t, [LessThanOrEqual(("x",), 49), LessThanOrEqual(("y",), 49)]
+        ),
+    }
+    # tiny target size to force a multi-file clustered layout at test scale
+    result = cluster_zorder(spark, t, ["x", "y"], target_file_mb=0.01)
+    return spark, t, before, result
+
+
+def test_rows_unchanged_and_files_rewritten(zordered):
+    spark, t, before, result = zordered
+    assert result["rewritten"] == 8 and result["files_out"] > 4
+    df = read_snapshot(spark, t)
+    assert df.count() == 20000
+    agg = df.agg(
+        F.sum("id").alias("sid"), F.sum("x").alias("sx"), F.sum("y").alias("sy")
+    ).collect()[0]
+    assert agg["sid"] == sum(range(20000))
+    assert agg["sx"] == sum((i * 7919) % 1000 for i in range(20000))
+    assert agg["sy"] == sum((i * 104729) % 1000 for i in range(20000))
+
+
+def test_unclustered_layout_cannot_skip(zordered):
+    _, _, before, _ = zordered
+    # round-robin append: every file spans the full range → zero pruning
+    assert before["x"] == before["files"] == 8
+    assert before["xy"] == 8
+
+
+def test_clustered_layout_prunes_single_and_multi_dim(zordered):
+    spark, t, before, result = zordered
+    total = _planned(t, None)
+    assert total == result["files_out"]
+    x_only = _planned(t, [LessThanOrEqual(("x",), 49)])
+    xy = _planned(t, [LessThanOrEqual(("x",), 49), LessThanOrEqual(("y",), 49)])
+    # a 5% x-range must no longer touch every file, and adding the y
+    # predicate must prune at least as hard (the multi-dimension win
+    # single-column sorting cannot give)
+    assert x_only < total
+    assert xy <= x_only
+    assert xy < total / 2
+    # correctness under the pruned plan (Spark re-evaluates the predicate)
+    n = (
+        spark.read.format("snapshot")
+        .option("path", t)
+        .load()
+        .filter((F.col("x") <= 49) & (F.col("y") <= 49))
+        .count()
+    )
+    expected = sum(
+        1
+        for i in range(20000)
+        if (i * 7919) % 1000 <= 49 and (i * 104729) % 1000 <= 49
+    )
+    assert n == expected
+
+
+def test_time_travel_still_resolves_old_layout(zordered):
+    spark, t, before, result = zordered
+    old = read_snapshot(spark, t, version=result["version"] - 1)
+    assert old.count() == 20000
+
+
+def test_string_column_refused(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_append(spark.range(5).selectExpr("id", "CAST(id AS STRING) AS s"), t)
+    with pytest.raises(ValueError, match="range geometry"):
+        cluster_zorder(spark, t, ["s"])
