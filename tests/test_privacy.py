@@ -109,3 +109,34 @@ def test_k_anonymity_matches_python_bruteforce(spark, rows):
     assert got["rows_below_k5"] == sum(c for c in classes.values() if c < 5)
     assert got["min_l"] == min(len(v) for v in sens.values())
     assert got["classes_l1"] == sum(1 for v in sens.values() if len(v) == 1)
+
+
+def test_dp_noisy_counts_deterministic_and_bounded(spark):
+    from web_analytics_on_aws_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.range(0, 5000).selectExpr(
+        "CASE pmod(id, 4) WHEN 0 THEN 'a' WHEN 1 THEN 'b' "
+        "WHEN 2 THEN 'c' ELSE 'd' END AS g"
+    )
+    out1 = {r["g"]: (r["n"], r["noisy_n"]) for r in dp_noisy_counts(df, ["g"]).collect()}
+    out2 = {r["g"]: (r["n"], r["noisy_n"]) for r in dp_noisy_counts(df, ["g"]).collect()}
+    assert out1 == out2  # seeded mechanism replays bit-identically
+    assert all(n == 1250 for n, _ in out1.values())
+    assert all(abs(noisy - n) <= 20 for n, noisy in out1.values())  # ε=1 tail
+    # a different seed moves the noise (the mechanism is really seeded)
+    out3 = {r["g"]: r["noisy_n"] for r in dp_noisy_counts(df, ["g"], seed=7).collect()}
+    assert any(out3[g] != out1[g][1] for g in out3)
+
+
+def test_dp_noise_scale_tracks_epsilon(spark):
+    from web_analytics_on_aws_spark.operators.privacy import dp_noisy_counts
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20000).selectExpr("pmod(id, 500) AS g")
+    def mean_abs(eps):
+        out = dp_noisy_counts(df, ["g"], epsilon=eps)
+        return out.agg(
+            F.avg(F.abs(F.col("noisy_n") - F.col("n")))
+        ).collect()[0][0]
+    # Laplace scale b = 1/ε: mean |noise| at ε=0.1 must dwarf ε=10's
+    assert mean_abs(0.1) > 5 * mean_abs(10.0)

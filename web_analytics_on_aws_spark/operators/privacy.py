@@ -88,3 +88,39 @@ def generalize_prefix(col: str | Column, n: int) -> Column:
     """Keep an n-char prefix of a string (ZIP-code style truncation)."""
     c = col if isinstance(col, Column) else F.col(col)
     return F.substring(c, 1, n)
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    seed: int = 0xD9,
+) -> DataFrame:
+    """Event-level ε-differentially-private group counts via the Laplace
+    mechanism (sensitivity 1: adding/removing one event changes any count
+    by ≤1, so noise scale b = 1/ε).
+
+    The noise is DETERMINISTIC given ``seed``: uniform u ∈ (0,1) comes from
+    ``xxhash64(group_key, seed)`` and is inverse-CDF-transformed to
+    Laplace(1/ε). That keeps release pipelines reproducible (re-running a
+    governed export emits bit-identical numbers — and a run is auditable
+    by bound-checking |noisy − exact|), at the standard cost that the seed
+    must be treated as secret alongside the raw data. All expressions are
+    JVM/codegen — the noise costs nothing on top of the groupBy shuffle.
+
+    Returns group_cols + ``n`` (exact, for in-pipeline auditing — drop it
+    before release!) + ``noisy_n``.
+    """
+    grouped = df.groupBy(*group_cols).agg(F.count("*").alias("n"))
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    u = (F.xxhash64(key, F.lit(seed)) / F.lit(float(2**64))) + F.lit(0.5)
+    u = F.greatest(F.lit(1e-12), F.least(F.lit(1.0 - 1e-12), u))
+    b = 1.0 / float(epsilon)
+    lap = (
+        F.lit(-b)
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return grouped.withColumn(
+        "noisy_n", F.round(F.col("n") + lap).cast("long")
+    )

@@ -255,3 +255,48 @@ def dq_reconcile_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"gross_price": (F.first("v"), F.sum("v"))},
         tolerance=0.5,
     )
+
+
+@query(
+    "privacy_dp_event_counts",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT COUNT(*) AS n_groups,
+           CAST(SUM(n) AS BIGINT) AS total_n,
+           TRUE AS all_within_bound,
+           TRUE AS noise_applied_ok,
+           TRUE AS noise_scale_ok
+    FROM g
+    """,
+)
+def privacy_dp_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP release audit (ε=1, Laplace, event-level sensitivity 1) over
+    (event_type, day) counts, reduced to exactly the properties an external
+    auditor can certify without the seed: every group's |noisy − exact| is
+    inside the 20/ε tail bound (P(violate) = e⁻²⁰ per group), noise is
+    actually applied (the fraction of groups with nonzero rounded noise
+    sits in the Laplace-predicted band around e^(−ε/2) ≈ 0.61), and the
+    mean |noise| matches the 1/ε scale. The DuckDB oracle recomputes the
+    exact counts and pins the audit booleans TRUE — deterministic because
+    the mechanism is seeded (operators/privacy.py dp_noisy_counts).
+
+    Scale: one groupBy shuffle + a scalar reduce; noise is codegen'd JVM
+    expressions on the aggregated (tiny) side, never per-row."""
+    from web_analytics_on_aws_spark.operators.privacy import dp_noisy_counts
+
+    eps = 1.0
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    )
+    noisy = dp_noisy_counts(ev, ["event_type", "day"], epsilon=eps)
+    err = F.abs(F.col("noisy_n") - F.col("n"))
+    return noisy.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n").cast("long").alias("total_n"),
+        F.bool_and(err <= F.lit(20.0 / eps)).alias("all_within_bound"),
+        F.avg((err > 0).cast("double")).between(0.35, 0.85).alias("noise_applied_ok"),
+        F.avg(err.cast("double")).between(0.3 / eps, 2.0 / eps).alias("noise_scale_ok"),
+    )
