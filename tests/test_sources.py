@@ -145,3 +145,42 @@ def test_partitioned_format_write_prunes(spark, tmp_path):
     assert one_day.count() == ev.filter(F.col("day") == 5).count()
     # partition filter reached the scan (pruned directories, not a full read)
     assert "day" in plan
+
+
+def test_create_view_accepts_athena_dialect(spark, tmp_path):
+    """Views — the Athena console workflow's catalog object: an Athena-
+    dialect body (strpos, url_extract_host, day_of_week) is rewritten
+    through the trino shim at CREATE time and queryable thereafter."""
+    from web_analytics_on_aws_spark.sources import catalog
+
+    catalog.create_database(spark, "viewdb")
+    # persistent source table (a permanent view may not reference temp views)
+    loc = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "https://a.example.com/x?k=1"), (2, "https://b.example.com/y?k=2")],
+        "id long, url string",
+    ).write.parquet(loc)
+    spark.sql(f"CREATE TABLE viewdb.src USING parquet LOCATION '{loc}'")
+    try:
+        catalog.create_view(
+            spark,
+            "viewdb",
+            "hosts",
+            "SELECT id, url_extract_host(url) AS host, "
+            "strpos(url, 'example') AS p FROM viewdb.src",
+        )
+        rows = {
+            r["id"]: (r["host"], r["p"])
+            for r in spark.sql("SELECT * FROM viewdb.hosts").collect()
+        }
+        assert rows[1] == ("a.example.com", 11)
+        assert rows[2] == ("b.example.com", 11)
+        views = [r["viewName"] for r in catalog.list_views(spark, "viewdb").collect()]
+        assert "hosts" in views
+        catalog.drop_view(spark, "viewdb", "hosts")
+        assert "hosts" not in [
+            r["viewName"] for r in catalog.list_views(spark, "viewdb").collect()
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS viewdb.src")
+        spark.sql("DROP DATABASE IF EXISTS viewdb CASCADE")

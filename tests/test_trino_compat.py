@@ -80,7 +80,7 @@ def test_string_literals_untouched(views):
 
 def test_unsupported_refuses(views):
     with pytest.raises(TrinoCompatError, match="curated"):
-        trino_to_spark_sql("SELECT * FROM t TABLESAMPLE BERNOULLI (10)")
+        trino_to_spark_sql("SELECT * FROM t TABLESAMPLE SYSTEM (10)")
     with pytest.raises(TrinoCompatError, match="unit"):
         trino_to_spark_sql("SELECT date_diff('fortnight', a, b) FROM t")
 
@@ -266,3 +266,17 @@ def test_rand_rename_parses(views):
     assert "rand()" in trino_to_spark_sql("SELECT random() FROM t")
     # a column merely NAMED random must not be rewritten
     assert trino_to_spark_sql("SELECT random FROM t") == "SELECT random FROM t"
+
+
+def test_tablesample_bernoulli_rewrites_system_refuses(views):
+    out = trino_to_spark_sql("SELECT * FROM t TABLESAMPLE BERNOULLI (10.5)")
+    assert "TABLESAMPLE (10.5 PERCENT)" in out
+    # executes: row-level Bernoulli keeps a subset (0 ≤ n ≤ total)
+    n = trino_sql(
+        views, "SELECT count(*) AS n FROM t TABLESAMPLE BERNOULLI (50)"
+    ).collect()[0]["n"]
+    assert 0 <= n <= 3
+    with pytest.raises(TrinoCompatError):
+        trino_to_spark_sql("SELECT * FROM t TABLESAMPLE SYSTEM (10)")
+    with pytest.raises(TrinoCompatError, match="BERNOULLI"):
+        trino_to_spark_sql("SELECT * FROM t TABLESAMPLE foo")

@@ -96,10 +96,13 @@ _MYSQL_TO_JDK = {
     "%r": "hh:mm:ss a", "%W": "EEEE", "%a": "EEE", "%%": "%",
 }
 
-#: Constructs we refuse instead of guessing.
+#: Constructs we refuse instead of guessing. TABLESAMPLE SYSTEM is refused
+#: (block sampling has no Spark equivalent with the same statistics);
+#: BERNOULLI is rewritten below — Spark's `TABLESAMPLE (p PERCENT)` is the
+#: same per-row Bernoulli trial.
 UNSUPPORTED = [
     r"\bWITH\s+ORDINALITY\b",
-    r"\bTABLESAMPLE\b",
+    r"\bTABLESAMPLE\s+SYSTEM\b",
     r"\bMATCH_RECOGNIZE\b",
     r"\bGROUPING\s+SETS\s*\(\s*\(\s*\)\s*\)",  # Trino empty grouping set literal
     r"\bAT\s+TIME\s+ZONE\b",
@@ -380,6 +383,19 @@ def trino_to_spark_sql(sql: str) -> str:
         "nan": lambda a: (_nargs("nan", a, 0), "CAST('NaN' AS DOUBLE)")[1],
     }
     body = _rewrite_fn_calls(body, rules)
+
+    # TABLESAMPLE BERNOULLI (p) → TABLESAMPLE (p PERCENT): both are a
+    # per-row Bernoulli(p/100) trial. Any other TABLESAMPLE form refuses.
+    body = re.sub(
+        r"\bTABLESAMPLE\s+BERNOULLI\s*\(\s*(\d+(?:\.\d+)?)\s*\)",
+        r"TABLESAMPLE (\1 PERCENT)",
+        body,
+        flags=re.IGNORECASE,
+    )
+    if re.search(r"\bTABLESAMPLE\b(?!\s*\()", body, flags=re.IGNORECASE):
+        raise TrinoCompatError(
+            "only TABLESAMPLE BERNOULLI (<percent>) is supported"
+        )
 
     # CROSS JOIN UNNEST → LATERAL VIEW explode; leftover UNNEST refuses
     body = _rewrite_unnest(body, idents)

@@ -107,3 +107,33 @@ def describe_table(spark: SparkSession, db: str, table: str) -> DataFrame:
 def count_star(spark: SparkSession, db: str, table: str) -> int:
     """A1 — the canonical smoke query (athena_named_query.py:53,100)."""
     return spark.sql(f"SELECT COUNT(*) AS cnt FROM {db}.{table}").first()["cnt"]
+
+
+def create_view(
+    spark: SparkSession, db: str, view: str, select_sql: str, dialect: str = "trino"
+) -> None:
+    """Athena ``CREATE OR REPLACE VIEW`` — the catalog object an Athena
+    user layers over the raw/curated tables (views are first-class in the
+    Athena console workflow even though the reference's CDK ships none).
+    ``dialect="trino"`` (default) accepts the Athena/Trino text a reference
+    user would paste and rewrites it through functions/trino_compat.py
+    before storing; ``dialect="spark"`` stores the text as-is."""
+    if dialect == "trino":
+        from web_analytics_on_aws_spark.functions.trino_compat import (
+            trino_to_spark_sql,
+        )
+
+        select_sql = trino_to_spark_sql(select_sql)
+    elif dialect != "spark":
+        raise ValueError(f"unknown dialect {dialect!r}")
+    spark.sql(f"CREATE OR REPLACE VIEW {db}.{view} AS {select_sql}")
+
+
+def drop_view(spark: SparkSession, db: str, view: str) -> None:
+    """DROP VIEW IF EXISTS — completes the view lifecycle."""
+    spark.sql(f"DROP VIEW IF EXISTS {db}.{view}")
+
+
+def list_views(spark: SparkSession, db: str) -> DataFrame:
+    """SHOW VIEWS — catalog discovery for the view layer."""
+    return spark.sql(f"SHOW VIEWS IN {db}")
