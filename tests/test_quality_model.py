@@ -74,3 +74,32 @@ def test_null_text_scores_as_empty(spark):
     scored = quality_model.score_quality(with_null, model, keep_cols=["doc_id"])
     rows = {r["doc_id"]: r["p_good"] for r in scored.collect()}
     assert 999 in rows and 0.0 <= rows[999] <= 1.0
+
+
+def test_transform_serializable_after_session_observation(spark):
+    """Regression: once any Observation has been attached in the session,
+    an MLlib model transform whose closure still carries the training
+    summary dies with NotSerializableException(ObservationManager) — the
+    summary pins the SparkSession. train_quality_classifier must return a
+    summary-stripped model that scores regardless of session history."""
+    from pyspark.sql import Observation
+
+    from web_analytics_on_aws_spark.operators.quality_model import (
+        quality_features,
+        train_quality_classifier,
+    )
+
+    df = spark.range(64).withColumn("ok", F.col("id") % 2 == 0)
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).count()
+    assert obs.get["n"] == 64
+
+    labeled = spark.createDataFrame(
+        [("a perfectly reasonable document with enough words", True)] * 16
+        + [("!!!! ////", False)] * 16,
+        "text string, label boolean",
+    )
+    model = train_quality_classifier(labeled, "label")
+    lr = model.stages[-1]
+    assert not lr.hasSummary  # the summary (and its session pin) is gone
+    assert model.transform(quality_features(labeled)).count() == 32

@@ -17,13 +17,152 @@ import argparse
 import sys
 
 
+def _demo(workdir: str | None) -> int:
+    """Replay the reference README's walkthrough end-to-end in one process:
+    HTTP ingest → streaming validate/split → hive DDL + MSCK → named
+    queries → hourly CTAS compaction → ACID snapshot ingest + DML + time
+    travel → Athena-dialect query. Mirrors web-analytics-parquet/README.md
+    'Run Test' + web-analytics-iceberg/README.md steps, minus AWS."""
+    import datetime as dt
+    import json
+    import tempfile
+    import urllib.request
+
+    from web_analytics_on_aws_spark.operators.compaction import compact_hour
+    from web_analytics_on_aws_spark.plans.named_queries import (
+        named_query_statements,
+        run_named_query,
+    )
+    from web_analytics_on_aws_spark.schema import WEB_LOG_SCHEMA
+    from web_analytics_on_aws_spark.session import get_spark
+    from web_analytics_on_aws_spark.sources import snapshots
+    from web_analytics_on_aws_spark.sources.generator import write_landing_batch
+    from web_analytics_on_aws_spark.sources.http_shim import IngestShim
+    from web_analytics_on_aws_spark.streaming.ingest_stream import run_ingest_once
+    from web_analytics_on_aws_spark.streaming.snapshot_sink import (
+        start_snapshot_ingest,
+    )
+
+    base_dir = workdir or tempfile.mkdtemp(prefix="weblog-demo-")
+    spark = get_spark(app_name="demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    base_hour = dt.datetime(2026, 3, 2, 10)
+
+    print(f"demo workdir: {base_dir}")
+    print("[1] ingest API (S1-S3): PUT records through the HTTP shim")
+    shim = IngestShim(f"{base_dir}/streams").start()
+    try:
+        rec = {
+            "userId": "u-demo", "sessionId": "s" * 24, "referrer": None,
+            "userAgent": "UA", "ip": "10.0.0.1", "hostname": "shop.example",
+            "os": "Linux", "timestamp": "2026-03-02T10:00:00Z", "uri": "/p/1",
+        }
+        req = urllib.request.Request(
+            f"{shim.url}/streams/weblogs/record",
+            data=json.dumps({"data": json.dumps(rec)}).encode(),
+            method="PUT",
+        )
+        print("    put-record →", json.load(urllib.request.urlopen(req)))
+        streams = json.load(urllib.request.urlopen(f"{shim.url}/streams"))
+        print("    list-streams →", streams)
+    finally:
+        shim.stop()
+    write_landing_batch(
+        spark, f"{base_dir}/streams/weblogs", 200,
+        base_hour=base_hour, invalid_every=25,
+    )
+    print("    landed 1 + 200 records (every 25th wire-invalid)")
+
+    print("[2] streaming validate/split (S6/T1-T3/P3): landing → raw + error")
+    run_ingest_once(
+        spark, f"{base_dir}/streams/weblogs", f"{base_dir}/raw",
+        f"{base_dir}/error", f"{base_dir}/ckpt", dialect="parquet",
+    )
+    n_raw = spark.read.text(f"{base_dir}/raw", recursiveFileLookup=True).count()
+    n_err = spark.read.text(f"{base_dir}/error", recursiveFileLookup=True).count()
+    print(f"    raw zone {n_raw} rows, quarantine {n_err} rows")
+
+    print("[3] hive catalog (D1-D7): named-query script over the raw zone")
+    stmts = named_query_statements(
+        "mydatabase", f"{base_dir}/raw", f"{base_dir}/curated"
+    )
+    head = run_named_query(spark, stmts["web_log_json"]).collect()
+    print(f"    web_log_json script → COUNT(*) = {head[0][0]}")
+
+    print("[4] hourly CTAS compaction (D5): JSON-lines hour → snappy parquet")
+    # the raw zone is partitioned by ARRIVAL hour (Firehose semantics) —
+    # discover the landed hour from the layout instead of assuming it
+    import glob as _glob
+
+    hour_dir = sorted(
+        _glob.glob(f"{base_dir}/raw/year=*/month=*/day=*/hour=*")
+    )[0]
+    parts = dict(
+        p.split("=") for p in hour_dir[len(base_dir) + 5 :].split("/")
+    )
+    arrival = dt.datetime(
+        int(parts["year"]), int(parts["month"]), int(parts["day"]),
+        int(parts["hour"]),
+    )
+    n_compacted = compact_hour(
+        spark, f"{base_dir}/raw", f"{base_dir}/curated", arrival,
+        WEB_LOG_SCHEMA,
+    )
+    run_named_query(spark, stmts["web_log_parquet"][:3])  # DDL + MSCK
+    n_parquet = spark.sql("SELECT COUNT(*) FROM mydatabase.web_log_parquet").first()[0]
+    print(f"    compacted {n_compacted} rows; parquet table sees {n_parquet}")
+
+    print("[5] ACID table path (S9/T4/T5): snapshot ingest, DML, time travel")
+    write_landing_batch(
+        spark, f"{base_dir}/ice-landing", 120,
+        base_hour=base_hour, dialect="iceberg", invalid_every=30,
+    )
+    q = start_snapshot_ingest(
+        spark, f"{base_dir}/ice-landing", f"{base_dir}/ice-table",
+        f"{base_dir}/ice-error", f"{base_dir}/ice-ckpt", available_now=True,
+    )
+    q.awaitTermination(120)
+    tbl = f"{base_dir}/ice-table"
+    v1 = snapshots.current_version(tbl)
+    n1 = snapshots.read_snapshot(spark, tbl).count()
+    deleted = snapshots.delete_where(
+        spark, tbl, "event = 'visit'"
+    )
+    n2 = snapshots.read_snapshot(spark, tbl).count()
+    n_tt = snapshots.read_snapshot(spark, tbl, version=v1).count()
+    print(
+        f"    v{v1}: {n1} rows → DELETE visits ({deleted['rows_matched']}) "
+        f"→ {n2} rows; time travel to v{v1} still sees {n1} == {n_tt}"
+    )
+    print("    history:", [h["operation"] for h in snapshots.history(tbl)])
+
+    print("[6] Athena-dialect insight query over the ACID table")
+    from web_analytics_on_aws_spark.functions.trino_compat import trino_sql
+
+    snapshots.read_snapshot(spark, tbl).createOrReplaceTempView("weblogs")
+    out = trino_sql(
+        spark,
+        'SELECT "event", count(*) AS n, '
+        "approx_distinct(user_id) AS uniq_users "
+        'FROM weblogs GROUP BY "event" ORDER BY n DESC',
+    )
+    out.show(10, truncate=False)
+    print("demo complete.")
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="web_analytics_on_aws_spark")
-    ap.add_argument("command", choices=["list", "query", "sql", "trino"])
+    ap.add_argument("command", choices=["list", "query", "sql", "trino", "demo"])
     ap.add_argument("arg", nargs="?", help="query name or SQL text")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--limit", type=int, default=20)
+    ap.add_argument("--dir", default=None, help="demo workdir (default: temp)")
     args = ap.parse_args(argv)
+
+    if args.command == "demo":
+        return _demo(args.dir)
 
     from web_analytics_on_aws_spark import plans
 

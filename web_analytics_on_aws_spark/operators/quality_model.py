@@ -102,7 +102,37 @@ def train_quality_classifier(
             ),
         ]
     )
-    return pipe.fit(feats)
+    model = pipe.fit(feats)
+    _drop_training_summary(model)
+    return model
+
+
+def _drop_training_summary(pipeline_model) -> None:
+    """Detach the LR training summary from the fitted model.
+
+    The summary object pins the SparkSession (and through it the session's
+    ObservationManager); `model.transform` captures the model in its
+    prediction-UDF closure, so once ANY `Observation` has been attached in
+    the session (streaming/observability.py), closure serialization dies
+    with `NotSerializableException: ObservationManager` (Spark 4.1, seen
+    under the full test suite). The summary is training-time-only state —
+    scoring never reads it — so we clear it (the Scala setter is
+    `private[spark]`, which is public in bytecode, hence reachable from
+    py4j) and keep model transforms serializable regardless of session
+    history. Falls back silently if the internals move."""
+    try:
+        from pyspark.sql import SparkSession
+
+        jvm = SparkSession.getActiveSession()._sc._jvm
+        empty = getattr(getattr(jvm, "scala.Option$"), "MODULE$").empty()
+        for stage in pipeline_model.stages:
+            jobj = getattr(stage, "_java_obj", None)
+            if jobj is not None and jobj.getClass().getName().endswith(
+                "LogisticRegressionModel"
+            ):
+                jobj.setSummary(empty)
+    except Exception:
+        pass
 
 
 def score_quality(
