@@ -1,0 +1,14 @@
+"""Cross-engine differential fuzz (tools/fuzz_differential.py): seeded
+random SQL must agree exactly between Spark and DuckDB. 60 seeds in CI;
+`python tools/fuzz_differential.py 300` for the wider sweep."""
+
+from tools.fuzz_differential import gen_query, run
+
+
+def test_fuzzed_queries_agree_across_engines(spark):
+    assert run(60, "/root/testdata/sf0.001", spark=spark) == []
+
+
+def test_grammar_is_seed_deterministic():
+    assert gen_query(7) == gen_query(7)
+    assert gen_query(7) != gen_query(8)

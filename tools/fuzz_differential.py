@@ -1,0 +1,144 @@
+"""Cross-engine differential fuzzer: seed-deterministic random SQL over the
+events table, executed by BOTH Spark and DuckDB, results compared exactly.
+
+The registered oracle suite pins 166 hand-written queries; this widens the
+net to arbitrary compositions of the shared SQL surface (projections,
+filters, grouped aggregates, HAVING, ORDER BY+LIMIT) — the places engines
+drift subtly (three-valued logic, type widening, null-ordering defaults).
+The grammar is restricted to constructs with IDENTICAL cross-engine
+semantics and exact (non-float-accumulating) results:
+
+- integer/decimal arithmetic, never float SUMs (addition-order drift);
+- AVG only over exact ints (one exact sum, one exact count, one division);
+- explicit CAST(... AS BIGINT) on integer SUM/COUNT-CASE (DuckDB HUGEINT);
+- ORDER BY keys always include the full group key (deterministic ties).
+
+Usage:  python tools/fuzz_differential.py [n_seeds] [sf_dir]
+Exits non-zero on the first divergence, printing seed + SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NUM_EXPRS = [
+    "value",
+    "abs(value)",
+    "value * 2.0",
+    "event_id % 7",
+    "user_id % 10",
+]
+INT_EXPRS = ["event_id % 7", "user_id % 10", "user_id % 97"]
+KEY_EXPRS = [
+    ("event_type", "event_type"),
+    ("CAST(ts AS DATE)", "day"),
+    ("user_id % 5", "ubucket"),
+    ("event_id % 3", "ebucket"),
+]
+FILTERS = [
+    "value > 50",
+    "value <= 25.5",
+    "event_type = 'view'",
+    "event_type <> 'purchase'",
+    "event_type IN ('click', 'cart')",
+    "user_id % 4 = 1",
+    "value IS NOT NULL",
+    "CAST(ts AS DATE) >= DATE '2024-01-05'",
+]
+
+
+def gen_query(seed: int) -> str:
+    rng = random.Random(seed)
+    keys = rng.sample(KEY_EXPRS, rng.randint(1, 2))
+    aggs = []
+    n_aggs = rng.randint(1, 3)
+    for i in range(n_aggs):
+        kind = rng.choice(["count", "countd", "min", "max", "isum", "iavg", "ccase"])
+        if kind == "count":
+            aggs.append(f"COUNT(*) AS a{i}")
+        elif kind == "countd":
+            aggs.append(f"COUNT(DISTINCT {rng.choice(INT_EXPRS)}) AS a{i}")
+        elif kind == "min":
+            aggs.append(f"MIN({rng.choice(NUM_EXPRS)}) AS a{i}")
+        elif kind == "max":
+            aggs.append(f"MAX({rng.choice(NUM_EXPRS)}) AS a{i}")
+        elif kind == "isum":
+            aggs.append(f"CAST(SUM({rng.choice(INT_EXPRS)}) AS BIGINT) AS a{i}")
+        elif kind == "iavg":
+            aggs.append(f"AVG({rng.choice(INT_EXPRS)}) AS a{i}")
+        else:
+            f = rng.choice(FILTERS)
+            aggs.append(
+                f"CAST(SUM(CASE WHEN {f} THEN 1 ELSE 0 END) AS BIGINT) AS a{i}"
+            )
+    where = ""
+    if rng.random() < 0.7:
+        conds = rng.sample(FILTERS, rng.randint(1, 2))
+        where = " WHERE " + f" {rng.choice(['AND', 'OR'])} ".join(conds)
+    having = ""
+    if rng.random() < 0.3:
+        having = " HAVING COUNT(*) > 1"
+    key_sql = ", ".join(f"{k} AS {a}" for k, a in keys)
+    key_aliases = ", ".join(a for _, a in keys)
+    limit = ""
+    order = ""
+    if rng.random() < 0.4:
+        order = f" ORDER BY {key_aliases}"
+        limit = f" LIMIT {rng.randint(3, 50)}"
+    return (
+        f"SELECT {key_sql}, {', '.join(aggs)} FROM events"
+        f"{where} GROUP BY {key_aliases}{having}{order}{limit}"
+    )
+
+
+def run(n_seeds: int, sf: str, spark=None) -> list[int]:
+    import duckdb
+
+    from tools.driver_sim import canon
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("fuzz-differential")
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    bad = []
+    for seed in range(n_seeds):
+        sql = gen_query(seed)
+        sdf = spark.sql(sql).toPandas()
+        ddf = con.execute(sql).df()
+        # LIMIT without total order is non-deterministic only when the limit
+        # bites; compare as sets of rows, sizes already pinned by the query
+        if sorted(sdf.columns) != sorted(ddf.columns) or canon(sdf) != canon(ddf):
+            bad.append(seed)
+            print(f"DIVERGENCE seed={seed}\n  {sql}", flush=True)
+            print(f"  spark {len(sdf)} rows, duckdb {len(ddf)} rows", flush=True)
+    return bad
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+    bad = run(n, sf)
+    print(f"fuzzed {n} queries: {len(bad)} divergences {bad}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
