@@ -54,6 +54,8 @@ HEADLINE = [
     "ann_ivfpq_topk_raw",
     "acl_masked_events_rollup",
     "privacy_k_anon_events",
+    "trino_url_traffic_rollup",
+    "privacy_dp_event_counts",
 ]
 
 
