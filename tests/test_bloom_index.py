@@ -1,0 +1,108 @@
+"""File-level bloom index (sources/bloom_index.py): equality probes skip
+files min/max stats cannot, never at the cost of a false skip."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, In
+
+from web_analytics_on_aws_spark.sources.bloom_index import (
+    _geometry,
+    _hashes,
+    build_bloom_index,
+    load_bloom_index,
+    may_contain,
+)
+from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+    SnapshotDataSource,
+    SnapshotReader,
+)
+from web_analytics_on_aws_spark.sources.snapshots import commit_append
+
+
+def _planned(t, filters):
+    r = SnapshotReader({"path": t}, None)
+    if filters:
+        r.pushFilters(filters)
+    return len(r.partitions())
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, tmp_path_factory):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotDataSource)
+    t = str(tmp_path_factory.mktemp("bloom") / "t")
+    # interleaved id spaces: every file's [min, max] covers every probe, so
+    # footer stats can never prune — exactly the case bloom exists for
+    commit_append(
+        spark.range(0, 1000).select((F.col("id") * 2).alias("user_id")).coalesce(1), t
+    )
+    commit_append(
+        spark.range(0, 1000).select((F.col("id") * 2 + 1).alias("user_id")).coalesce(1), t
+    )
+    built = build_bloom_index(spark, t, ["user_id"])
+    return spark, t, built
+
+
+def test_build_covers_current_files(indexed):
+    spark, t, built = indexed
+    assert built == {"user_id": 2}
+    idx = load_bloom_index(t)
+    assert set(idx) == {"user_id"} and len(idx["user_id"]) == 2
+
+
+def test_equality_probe_skips_wrong_parity_file(indexed):
+    spark, t, _ = indexed
+    assert _planned(t, None) == 2
+    # stats can't prune (both files span ~[0, 2000]); bloom must
+    assert _planned(t, [EqualTo(("user_id",), 42)]) == 1
+    assert _planned(t, [EqualTo(("user_id",), 43)]) == 1
+    # absent value: provably in no file
+    assert _planned(t, [EqualTo(("user_id",), 999_999)]) == 0
+    # correctness through the full read path
+    df = spark.read.format("snapshot").option("path", t).load()
+    assert df.filter("user_id = 42").count() == 1
+    assert df.filter("user_id = 999999").count() == 0
+
+
+def test_in_probe_unions_file_sets(indexed):
+    spark, t, _ = indexed
+    assert _planned(t, [In(("user_id",), (42, 999_999))]) == 1
+    assert _planned(t, [In(("user_id",), (42, 43))]) == 2
+    assert _planned(t, [In(("user_id",), (999_999, 888_888))]) == 0
+
+
+def test_no_false_negatives_exhaustive(indexed):
+    spark, t, _ = indexed
+    idx = load_bloom_index(t)["user_id"]
+    # every present value must pass its file's bloom (zero false negatives)
+    rows = (
+        spark.read.format("snapshot").option("path", t).load()
+        .select("user_id").collect()
+    )
+    import pyarrow.parquet as pq
+
+    for f, entry in idx.items():
+        present = set(pq.read_table(f)["user_id"].to_pylist())
+        for v in present:
+            assert may_contain(entry, v)
+
+
+def test_unindexed_new_file_never_skipped(indexed):
+    spark, t, _ = indexed
+    commit_append(
+        spark.range(0, 10).select((F.col("id") + 50_000).alias("user_id")).coalesce(1), t
+    )
+    # 50_005 lives only in the new (unindexed) file — must still be planned
+    assert _planned(t, [EqualTo(("user_id",), 50_005)]) == 1
+    df = spark.read.format("snapshot").option("path", t).load()
+    assert df.filter("user_id = 50005").count() == 1
+    # rebuild restores skipping over all three files
+    build_bloom_index(spark, t, ["user_id"])
+    assert _planned(t, [EqualTo(("user_id",), 999_999)]) == 0
+
+
+def test_geometry_and_fpp_sanity():
+    m, k = _geometry(1000, 0.01)
+    assert m >= 9000 and 5 <= k <= 10  # ~9.6 bits/key, 7 hashes at 1% fpp
+    # double hashing produces k distinct positions with high probability
+    assert len(set(_hashes("someval", m, k))) == k

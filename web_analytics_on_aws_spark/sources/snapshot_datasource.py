@@ -97,6 +97,15 @@ class SnapshotReader(DataSourceReader):
         self._files = _manifest_files(options)
         self._schema = schema
         self._pushed: list[Filter] = []
+        # Bloom sidecar (sources/bloom_index.py): consulted at planning for
+        # EqualTo/In probes where min/max envelopes can't prune (high-
+        # cardinality equality lookups). Files without an entry are never
+        # skipped, so a partially-built index is only ever conservative.
+        from web_analytics_on_aws_spark.sources.bloom_index import (
+            load_bloom_index,
+        )
+
+        self._bloom = load_bloom_index(options["path"])
         # Resolve the OUTPUT arrow schema once, on the driver: honor the
         # schema Spark hands the reader (explicit .schema(...) / future
         # column pruning), falling back to the manifest union. Serialized
@@ -129,6 +138,21 @@ class SnapshotReader(DataSourceReader):
 
         if not self._pushed:
             return True
+        if self._bloom:
+            from web_analytics_on_aws_spark.sources.bloom_index import (
+                may_contain,
+            )
+
+            for f in self._pushed:
+                entry = self._bloom.get(f.attribute[0], {}).get(path)
+                if entry is None:
+                    continue
+                if type(f) is EqualTo and not may_contain(entry, f.value):
+                    return False
+                if type(f) is In and not any(
+                    may_contain(entry, v) for v in f.value
+                ):
+                    return False
         meta = pq.ParquetFile(path).metadata
         names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
         for f in self._pushed:
