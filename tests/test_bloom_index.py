@@ -106,3 +106,26 @@ def test_geometry_and_fpp_sanity():
     assert m >= 9000 and 5 <= k <= 10  # ~9.6 bits/key, 7 hashes at 1% fpp
     # double hashing produces k distinct positions with high probability
     assert len(set(_hashes("someval", m, k))) == k
+
+
+def test_layout_rewrite_refreshes_index(spark, tmp_path):
+    """optimize()/cluster_zorder() replace the file set — with a sidecar
+    present they must rebuild it so the NEW files skip too."""
+    from web_analytics_on_aws_spark.sources.snapshots import optimize
+
+    t = str(tmp_path / "t")
+    commit_append(
+        spark.range(0, 500).select((F.col("id") * 2).alias("user_id")).coalesce(1), t
+    )
+    commit_append(
+        spark.range(0, 500).select((F.col("id") * 2 + 1).alias("user_id")).coalesce(1), t
+    )
+    build_bloom_index(spark, t, ["user_id"])
+    assert _planned(t, [EqualTo(("user_id",), 999_999)]) == 0
+    res = optimize(spark, t, small_file_mb=64.0, min_small_files=2)
+    assert res["rewritten"] == 2  # both tiny files merged into one
+    # merged file is brand new — the auto-refresh must have re-indexed it
+    assert _planned(t, [EqualTo(("user_id",), 999_999)]) == 0
+    assert _planned(t, [EqualTo(("user_id",), 42)]) == 1
+    df = spark.read.format("snapshot").option("path", t).load()
+    assert df.filter("user_id = 42").count() == 1

@@ -153,3 +153,19 @@ def may_contain(entry: tuple[int, int, bytes], value) -> bool:
         if not bits[pos >> 3] & (1 << (pos & 7)):
             return False
     return True
+
+
+def indexed_columns(table: str) -> list[str]:
+    root = os.path.join(table, INDEX_DIR)
+    if not os.path.isdir(root):
+        return []
+    return [e[len("col=") :] for e in os.listdir(root) if e.startswith("col=")]
+
+
+def refresh_if_present(spark: SparkSession, table: str) -> dict:
+    """Rebuild the sidecar for the current snapshot IF one exists — called
+    by layout rewrites (optimize / cluster_zorder), which replace the file
+    set: old entries are merely dead weight, but the NEW files would
+    otherwise be unindexed and never skipped. No-op on unindexed tables."""
+    cols = indexed_columns(table)
+    return build_bloom_index(spark, table, cols) if cols else {}

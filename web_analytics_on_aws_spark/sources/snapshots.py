@@ -520,6 +520,9 @@ def cluster_zorder(
     new_files = _write_data_files(clustered, table)
     version = cur + 1
     _publish(table, version, new_files, "cluster-zorder")
+    from web_analytics_on_aws_spark.sources.bloom_index import refresh_if_present
+
+    refresh_if_present(spark, table)
     return {
         "version": version,
         "rewritten": len(files),
@@ -570,6 +573,9 @@ def optimize(
     new_files = _write_data_files(merged, table)
     version = cur + 1
     _publish(table, version, kept + new_files, "optimize")
+    from web_analytics_on_aws_spark.sources.bloom_index import refresh_if_present
+
+    refresh_if_present(spark, table)
     return {"version": version, "rewritten": len(small), "kept": len(kept)}
 
 
