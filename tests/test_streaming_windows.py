@@ -117,3 +117,47 @@ def test_stateful_sessionizer_closes_on_gap_and_timeout(spark, tmp_path):
     assert (1, "2026-03-02T10:00:00", 2) in got
     assert (1, "2026-03-02T11:30:00", 1) in got
     assert (2, "2026-03-02T10:00:00", 1) in got
+
+
+def test_streaming_session_windows_close_on_watermark(spark, tmp_path):
+    """Native session_window streaming agg: two bursts inside the gap fuse
+    into one session; a later event past the gap opens a second session;
+    append mode emits only sessions the watermark has closed."""
+    import pyspark.sql.functions as F
+
+    from web_analytics_on_aws_spark.streaming.windowed import (
+        session_window_counts,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [
+        (1, "2026-03-01 10:00:00"), (1, "2026-03-01 10:10:00"),  # session A
+        (1, "2026-03-01 11:30:00"),                               # session B
+        (2, "2026-03-01 10:05:00"),                               # session C
+        # watermark driver: far-future event keeps its own session open
+        (9, "2026-03-02 09:00:00"),
+    ]
+    spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = session_window_counts(stream, time_col="ts", gap="30 minutes",
+                                watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # one more empty trigger advances the watermark past the closed sessions
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    assert (1, "2026-03-01 10:00:00", 2) in got   # fused 2-event session
+    assert (1, "2026-03-01 11:30:00", 1) in got   # separate later session
+    assert (2, "2026-03-01 10:05:00", 1) in got
+    assert all(u != 9 for u, _, _ in got)         # open session not emitted

@@ -70,3 +70,34 @@ def start_windowed_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_window_counts(
+    events: DataFrame,
+    time_col: str = "timestamp",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Watermarked SESSION windows (gap-based, Spark-native
+    ``session_window``): dynamic per-key windows that extend while events
+    arrive within ``gap`` and finalize when the watermark passes the gap —
+    the streaming twin of the batch sessionization in plans/windows.py
+    (``weblog_session_window_30m``). Append mode emits each closed session
+    exactly once with its span and count.
+
+    Scale: state is one open session per active key (merged in the state
+    store as events arrive, keyed by the same shuffle key downstream
+    per-user operators want); the watermark bounds it to keys active in
+    the horizon."""
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(*keys, F.session_window(time_col, gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *keys,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
