@@ -332,3 +332,38 @@ def test_update_where_blocked_by_constraints(spark, tmp_path):
     res = update_where(spark, t, "id = 3", {"v": "99"})
     assert res["rows_matched"] == 1
     assert read_snapshot(spark, t).filter("v = 99").count() == 1
+
+
+def test_metadata_tables_inspection_surface(spark, tmp_path):
+    """Athena-Iceberg-style $history/$snapshots/$files/$partitions over the
+    snapshot format: one row per version / live file / commit directory,
+    with byte+row rollups from footers only (no data read)."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        delete_where,
+        metadata_table,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(spark.range(0, 100).selectExpr("id", "id % 7 AS v").coalesce(1), t)
+    commit_append(spark.range(100, 150).selectExpr("id", "id % 7 AS v").coalesce(1), t)
+    delete_where(spark, t, "id < 10")
+
+    hist = metadata_table(spark, t, "history").collect()
+    assert [(r["version"], r["operation"]) for r in hist] == [
+        (1, "append"), (2, "append"), (3, "delete"),
+    ]
+
+    snaps = {r["version"]: r for r in metadata_table(spark, t, "snapshots").collect()}
+    assert snaps[2]["added_files"] == 1 and snaps[2]["removed_files"] == 0
+    assert snaps[3]["added_files"] >= 1 and snaps[3]["removed_files"] >= 1
+
+    files = metadata_table(spark, t, "files").collect()
+    assert sum(r["record_count"] for r in files) == 140  # 150 - 10 deleted
+    assert all(r["file_size_bytes"] > 0 for r in files)
+
+    parts = metadata_table(spark, t, "partitions").collect()
+    assert sum(r["record_count"] for r in parts) == 140
+    assert len(parts) == len({r["partition"] for r in parts})
+
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        metadata_table(spark, t, "nope")

