@@ -280,3 +280,38 @@ def test_tablesample_bernoulli_rewrites_system_refuses(views):
         trino_to_spark_sql("SELECT * FROM t TABLESAMPLE SYSTEM (10)")
     with pytest.raises(TrinoCompatError, match="BERNOULLI"):
         trino_to_spark_sql("SELECT * FROM t TABLESAMPLE foo")
+
+
+def test_unload_statement_exports_query_results(views, tmp_path):
+    from web_analytics_on_aws_spark.functions.trino_compat import trino_statement
+
+    dest = str(tmp_path / "out")
+    res = trino_statement(
+        views,
+        f"UNLOAD (SELECT \"id\", strpos(name, 'o') AS p FROM t) "
+        f"TO '{dest}' WITH (format='PARQUET', compression='snappy')",
+    )
+    assert res == {"path": dest, "format": "parquet", "rows": 3}
+    back = views.read.parquet(dest)
+    assert {r["id"]: r["p"] for r in back.collect()} == {1: 0, 2: 2, 3: 4}
+
+
+def test_unload_partitioned_by_and_refusals(views, tmp_path):
+    from web_analytics_on_aws_spark.functions.trino_compat import trino_statement
+
+    dest = str(tmp_path / "parts")
+    res = trino_statement(
+        views,
+        f"UNLOAD (SELECT id, name FROM t) TO '{dest}' "
+        f"WITH (format='JSON', partitioned_by=ARRAY['name'])",
+    )
+    assert res["rows"] == 3
+    import os
+
+    assert any(d.startswith("name=") for d in os.listdir(dest))
+    with pytest.raises(TrinoCompatError, match="format"):
+        trino_statement(views, f"UNLOAD (SELECT 1) TO '{dest}2' WITH (format='AVRO')")
+    with pytest.raises(TrinoCompatError, match="unknown UNLOAD"):
+        trino_statement(views, f"UNLOAD (SELECT 1) TO '{dest}3' WITH (bogus='x')")
+    # a non-UNLOAD statement falls through to trino_sql
+    assert trino_statement(views, "SELECT 1 AS one").collect()[0]["one"] == 1

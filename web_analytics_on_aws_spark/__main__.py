@@ -193,9 +193,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "sql":
             df = spark.sql(args.arg)
         else:
-            from web_analytics_on_aws_spark.functions.trino_compat import trino_sql
+            from web_analytics_on_aws_spark.functions.trino_compat import (
+                trino_statement,
+            )
 
-            df = trino_sql(spark, args.arg)
+            out = trino_statement(spark, args.arg)
+            if isinstance(out, dict):  # UNLOAD result summary
+                print(out)
+                return 0
+            df = out
     df.show(args.limit, truncate=False)
     return 0
 

@@ -423,3 +423,82 @@ def trino_to_spark_sql(sql: str) -> str:
 def trino_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Run a Trino/Athena query against the Spark session's catalog."""
     return spark.sql(trino_to_spark_sql(sql))
+
+
+_UNLOAD_FORMATS = {
+    "parquet": "parquet",
+    "json": "json",
+    "orc": "orc",
+    "textfile": "csv",
+    "csv": "csv",
+}
+
+
+def trino_statement(spark: SparkSession, sql: str):
+    """Execute a Trino/Athena STATEMENT: ``UNLOAD (query) TO 'path' WITH
+    (format='PARQUET', ...)`` — Athena's result-export workflow — or any
+    plain query (delegates to ``trino_sql``).
+
+    UNLOAD returns {"path", "format", "rows"} after writing the inner
+    query's result (itself full Athena dialect) with Spark's native
+    writer; ``partitioned_by`` maps to ``partitionBy``, ``compression``
+    to the writer codec. Unknown WITH keys or formats refuse loudly."""
+    m = re.match(r"\s*UNLOAD\s*\(", sql, re.IGNORECASE)
+    if not m:
+        return trino_sql(spark, sql)
+    depth, j = 1, m.end()
+    while j < len(sql) and depth:
+        if sql[j] == "(":
+            depth += 1
+        elif sql[j] == ")":
+            depth -= 1
+        # skip quoted literals so parens inside strings don't count
+        elif sql[j] == "'":
+            j = _scan_quoted(sql, j, "'", "string literal")
+        j += 1
+    if depth:
+        raise TrinoCompatError("unbalanced parens in UNLOAD query")
+    inner = sql[m.end() : j - 1]
+    tail = sql[j:]
+    tm = re.match(
+        r"\s*TO\s+'([^']+)'\s*(?:WITH\s*\((.*)\))?\s*$",
+        tail,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not tm:
+        raise TrinoCompatError("UNLOAD requires TO '<path>' [WITH (...)]")
+    path, props_raw = tm.group(1), tm.group(2) or ""
+    props: dict[str, str] = {}
+    for part in _split_top_level(props_raw):
+        if not part:
+            continue
+        pm = re.match(
+            r"\s*(\w+)\s*=\s*(?:'([^']*)'|ARRAY\s*\[([^\]]*)\])\s*$",
+            part,
+            re.IGNORECASE,
+        )
+        if not pm:
+            raise TrinoCompatError(f"malformed UNLOAD property {part!r}")
+        val = pm.group(2) if pm.group(2) is not None else pm.group(3)
+        props[pm.group(1).lower()] = val
+    fmt = props.pop("format", "parquet").lower()
+    if fmt not in _UNLOAD_FORMATS:
+        raise TrinoCompatError(f"UNLOAD format {fmt!r} unsupported")
+    partition_by = [
+        c.strip().strip("'")
+        for c in props.pop("partitioned_by", "").split(",")
+        if c.strip()
+    ]
+    compression = props.pop("compression", None)
+    if props:
+        raise TrinoCompatError(f"unknown UNLOAD properties {sorted(props)}")
+    df = trino_sql(spark, inner)
+    writer = df.write.mode("error")
+    if compression:
+        writer = writer.option("compression", compression.lower())
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(_UNLOAD_FORMATS[fmt]).save(path)
+    return {"path": path, "format": fmt, "rows": spark.read.format(
+        _UNLOAD_FORMATS[fmt]
+    ).load(path).count()}
