@@ -12,3 +12,9 @@ def test_fuzzed_queries_agree_across_engines(spark):
 def test_grammar_is_seed_deterministic():
     assert gen_query(7) == gen_query(7)
     assert gen_query(7) != gen_query(8)
+
+
+def test_fuzzed_join_queries_agree_across_engines(spark):
+    from tools.fuzz_differential import run_joins
+
+    assert run_joins(40, "/root/testdata/sf0.001", spark=spark) == []

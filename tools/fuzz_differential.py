@@ -136,8 +136,98 @@ def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
     bad = run(n, sf)
-    print(f"fuzzed {n} queries: {len(bad)} divergences {bad}")
-    return 1 if bad else 0
+    jbad = run_joins(n // 2, sf)
+    print(
+        f"fuzzed {n} single-table + {n // 2} join queries: "
+        f"{len(bad) + len(jbad)} divergences {bad + jbad}"
+    )
+    return 1 if (bad or jbad) else 0
+
+
+
+
+# ---- join grammar: orders ⋈ customer (inner/left), exact aggregates ----
+
+J_KEYS = [
+    ("o.o_orderstatus", "status"),
+    ("c.c_mktsegment", "seg"),
+    ("c.c_nationkey % 5", "nbucket"),
+    ("o.o_orderpriority", "prio"),
+]
+J_FILTERS = [
+    "o.o_totalprice > 50000",
+    "c.c_acctbal < 0",
+    "o.o_orderstatus = 'F'",
+    "c.c_mktsegment IN ('BUILDING', 'MACHINERY')",
+    "o.o_orderkey % 3 = 0",
+    "o.o_orderdate >= DATE '1995-01-01'",
+]
+
+
+def gen_join_query(seed: int) -> str:
+    rng = random.Random(10_000_019 + seed)
+    join = rng.choice(["JOIN", "LEFT JOIN"])
+    keys = rng.sample(J_KEYS, rng.randint(1, 2))
+    aggs = [f"COUNT(*) AS a0"]
+    for i in range(1, rng.randint(2, 3)):
+        kind = rng.choice(["countd", "min", "max", "isum", "cnt_col"])
+        if kind == "countd":
+            aggs.append(f"COUNT(DISTINCT o.o_orderkey % 100) AS a{i}")
+        elif kind == "min":
+            aggs.append(f"MIN(o.o_totalprice) AS a{i}")
+        elif kind == "max":
+            aggs.append(f"MAX(c.c_acctbal) AS a{i}")
+        elif kind == "isum":
+            aggs.append(f"CAST(SUM(c.c_nationkey % 7) AS BIGINT) AS a{i}")
+        else:
+            # LEFT JOIN null semantics: COUNT(col) vs COUNT(*) divergences
+            aggs.append(f"COUNT(c.c_custkey) AS a{i}")
+    where = ""
+    if rng.random() < 0.7:
+        conds = rng.sample(J_FILTERS, rng.randint(1, 2))
+        where = " WHERE " + f" {rng.choice(['AND', 'OR'])} ".join(conds)
+    key_sql = ", ".join(f"{k} AS {a}" for k, a in keys)
+    key_aliases = ", ".join(a for _, a in keys)
+    return (
+        f"SELECT {key_sql}, {', '.join(aggs)} FROM orders o "
+        f"{join} customer c ON o.o_custkey = c.c_custkey"
+        f"{where} GROUP BY {key_aliases}"
+    )
+
+
+def run_joins(n_seeds: int, sf: str, spark=None) -> list[int]:
+    import duckdb
+
+    from tools.driver_sim import canon
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("fuzz-differential-joins")
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    bad = []
+    for seed in range(n_seeds):
+        sql = gen_join_query(seed)
+        sdf = spark.sql(sql).toPandas()
+        ddf = con.execute(sql).df()
+        if sorted(sdf.columns) != sorted(ddf.columns) or canon(sdf) != canon(ddf):
+            bad.append(seed)
+            print(f"JOIN DIVERGENCE seed={seed}\n  {sql}", flush=True)
+    return bad
 
 
 if __name__ == "__main__":
