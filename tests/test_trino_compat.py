@@ -315,3 +315,15 @@ def test_unload_partitioned_by_and_refusals(views, tmp_path):
         trino_statement(views, f"UNLOAD (SELECT 1) TO '{dest}3' WITH (bogus='x')")
     # a non-UNLOAD statement falls through to trino_sql
     assert trino_statement(views, "SELECT 1 AS one").collect()[0]["one"] == 1
+
+
+def test_grouping_sets_with_empty_set(views):
+    # Trino's grand-total grouping set literal `()` runs natively in Spark
+    out = trino_sql(
+        views,
+        'SELECT "name", CAST(COUNT(*) AS BIGINT) AS n FROM t '
+        'GROUP BY GROUPING SETS (("name"), ())',
+    ).collect()
+    rows = {r["name"]: r["n"] for r in out}
+    assert rows[None] == 3  # grand total row
+    assert rows["alice"] == 1 and len(rows) == 4

@@ -104,7 +104,6 @@ UNSUPPORTED = [
     r"\bWITH\s+ORDINALITY\b",
     r"\bTABLESAMPLE\s+SYSTEM\b",
     r"\bMATCH_RECOGNIZE\b",
-    r"\bGROUPING\s+SETS\s*\(\s*\(\s*\)\s*\)",  # Trino empty grouping set literal
     r"\bAT\s+TIME\s+ZONE\b",
 ]
 
