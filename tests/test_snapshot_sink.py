@@ -129,3 +129,57 @@ def test_commit_append_txn_api_skips_stale_batches(spark, tmp_path):
     assert commit_append(df, table, txn=("other", 0)) == v1 + 1
     assert commit_append(df, table, txn=("app", 1)) == v1 + 2
     assert read_snapshot(spark, table).count() == 30
+
+
+def test_snapshot_upsert_stream_merges_and_replays_exactly_once(spark, tmp_path):
+    """Streaming MERGE sink: a second drain carrying an updated record for
+    an existing key REPLACES it (no duplicate key), new keys insert, and a
+    full checkpoint-loss replay re-applies nothing."""
+    import shutil
+
+    from web_analytics_on_aws_spark.sources.snapshots import read_snapshot
+    from web_analytics_on_aws_spark.streaming.snapshot_sink import (
+        start_snapshot_upsert,
+    )
+
+    t = str(tmp_path)
+    landing, table = f"{t}/landing", f"{t}/table"
+
+    def rec(user, ts, uri):
+        return json.dumps(
+            {
+                "user_id": user, "session_id": "s" * 24, "event": "view",
+                "referrer": None, "user_agent": "UA", "ip": "10.0.0.1",
+                "hostname": "h.example", "os": "Linux", "timestamp": ts,
+                "uri": uri,
+            }
+        )
+
+    def drain():
+        q = start_snapshot_upsert(
+            spark, landing, table, f"{t}/err", f"{t}/ckpt",
+            unique_keys=["user_id", "timestamp"], available_now=True,
+        )
+        q.awaitTermination(120)
+
+    _land(landing, "b1.jsonl", [
+        rec("u1", "2026-03-01T10:00:00Z", "/old"),
+        rec("u2", "2026-03-01T10:00:00Z", "/a"),
+    ])
+    drain()
+    # same key arrives again with a new uri + a brand-new key
+    _land(landing, "b2.jsonl", [
+        rec("u1", "2026-03-01T10:00:00Z", "/new"),
+        rec("u3", "2026-03-01T11:00:00Z", "/b"),
+    ])
+    drain()
+    rows = {
+        (r["user_id"], str(r["timestamp"])): r["uri"]
+        for r in read_snapshot(spark, table).collect()
+    }
+    assert len(rows) == 3  # u1 replaced, not duplicated
+    assert rows[("u1", "2026-03-01 10:00:00")] == "/new"
+
+    shutil.rmtree(f"{t}/ckpt")  # checkpoint loss → full landing replay
+    drain()
+    assert read_snapshot(spark, table).count() == 3  # txn stamps no-op it

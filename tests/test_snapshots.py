@@ -367,3 +367,61 @@ def test_metadata_tables_inspection_surface(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown metadata table"):
         metadata_table(spark, t, "nope")
+
+
+def test_merge_into_updates_inserts_cow(spark, tmp_path):
+    """MERGE: matched rows replaced, unmatched inserted, only the touched
+    file rewritten, old version time-travels to pre-merge values."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        merge_into,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, val string"
+        ).coalesce(1), t,
+    )
+    commit_append(
+        spark.createDataFrame(
+            [(10, "x"), (11, "y")], "id long, val string"
+        ).coalesce(1), t,
+    )
+    src = spark.createDataFrame(
+        [(2, "B2"), (99, "new")], "id long, val string"
+    )
+    res = merge_into(spark, t, src, ["id"])
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 1
+    assert res["files_rewritten"] == 1 and res["files_kept"] == 1
+    now = {r["id"]: r["val"] for r in read_snapshot(spark, t).collect()}
+    assert now == {1: "a", 2: "B2", 10: "x", 11: "y", 99: "new"}
+    before = {
+        r["id"]: r["val"]
+        for r in read_snapshot(spark, t, version=res["version"] - 1).collect()
+    }
+    assert before[2] == "b" and 99 not in before
+
+
+def test_merge_into_exactly_once_and_validation(spark, tmp_path):
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        merge_into,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame([(1, 10.0)], "id long, v double").coalesce(1), t
+    )
+    src = spark.createDataFrame([(1, 20.0), (2, 30.0)], "id long, v double")
+    r1 = merge_into(spark, t, src, ["id"], txn=("app", 1))
+    r2 = merge_into(spark, t, src, ["id"], txn=("app", 1))  # replayed batch
+    assert r2.get("replayed") and r2["version"] == r1["version"]
+    assert read_snapshot(spark, t).count() == 2  # no duplicate application
+
+    dup = spark.createDataFrame([(1, 1.0), (1, 2.0)], "id long, v double")
+    with pytest.raises(ValueError, match="not unique"):
+        merge_into(spark, t, dup, ["id"])
+    short = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="lacks table columns"):
+        merge_into(spark, t, short, ["id"])

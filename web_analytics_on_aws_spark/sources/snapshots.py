@@ -719,3 +719,97 @@ def metadata_table(spark: SparkSession, table: str, kind: str) -> DataFrame:
     raise ValueError(
         f"unknown metadata table {kind!r}; one of history/snapshots/files/partitions"
     )
+
+
+def merge_into(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """MERGE INTO for snapshot tables — Delta/Iceberg ``WHEN MATCHED THEN
+    UPDATE SET * / WHEN NOT MATCHED THEN INSERT *`` (the upsert the
+    reference's Firehose→Iceberg path configures via ``unique_keys``,
+    web-analytics-iceberg/src/main/python/IcebergTransformer/
+    firehose_to_iceberg_transformer.py:25-27 — T4/T5), executed
+    copy-on-write:
+
+    - only data files CONTAINING a matched key are rewritten (semi-join
+      file discovery; bloom/footer skipping applies on the read); every
+      other file is carried by reference;
+    - matched target rows are replaced by their source row, unmatched
+      source rows are appended — one atomic commit;
+    - ``txn=(app_id, batch_id)`` makes the merge EXACTLY-ONCE under
+      micro-batch replay (same protocol as ``commit_append``), giving a
+      streaming upsert sink with no duplicate application.
+
+    The source must be key-unique (enforced) and carry the table's
+    columns. Scale: one semi-join on the keys (AQE-skew-safe), a rewrite
+    sized by the touched file set — a merge keyed on a z-ordered/bloomed
+    column touches O(|source|) files, not O(table)."""
+    import pyspark.sql.functions as F
+
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    if txn is not None:
+        last = last_committed_batch(table, txn[0])
+        if last is not None and int(txn[1]) <= last:
+            return {"version": cur, "operation": "merge", "replayed": True}
+    files = _read_manifest(table, cur)["files"]
+
+    src = source.persist()
+    try:
+        n_src = src.count()
+        if src.select(*keys).distinct().count() != n_src:
+            raise ValueError(f"merge source is not unique on {keys}")
+
+        target = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*files)
+            .withColumn("__file", F.input_file_name())
+        )
+        missing = set(c for c in target.columns if c != "__file") - set(src.columns)
+        if missing:
+            raise ValueError(f"merge source lacks table columns {sorted(missing)}")
+        key_df = src.select(*keys)
+        touched = {
+            _normalize_file(r["__file"])
+            for r in target.join(key_df, keys, "leftsemi")
+            .select("__file")
+            .distinct()
+            .collect()
+        }
+        unknown = touched - set(files)
+        if unknown:
+            raise RuntimeError(
+                f"matched files not in manifest v{cur}: {sorted(unknown)[:3]}"
+            )
+        kept = [f for f in files if f not in touched]
+        n_matched = 0
+        if touched:
+            scope = spark.read.option("mergeSchema", "true").parquet(*sorted(touched))
+            n_matched = scope.join(key_df, keys, "leftsemi").count()
+            survivors = scope.join(key_df, keys, "left_anti")
+            replacement = survivors.unionByName(
+                src.select(*survivors.columns), allowMissingColumns=True
+            )
+        else:
+            replacement = src
+        new_files = _write_data_files(replacement, table)
+        cons = table_constraints(table)
+        if cons:
+            check_constraints(spark.read.parquet(*new_files), cons)
+        version = cur + 1
+        _publish(table, version, kept + new_files, "merge", txn=txn)
+        return {
+            "version": version,
+            "operation": "merge",
+            "rows_updated": n_matched,
+            "rows_inserted": n_src - n_matched,
+            "files_rewritten": len(touched),
+            "files_kept": len(kept),
+        }
+    finally:
+        src.unpersist()

@@ -85,3 +85,79 @@ def start_snapshot_ingest(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def start_snapshot_upsert(
+    spark: SparkSession,
+    landing_dir: str,
+    table: str,
+    error_path: str,
+    checkpoint_dir: str,
+    unique_keys: list[str] | None = None,
+    app_id: str = "snapshot-upsert",
+    available_now: bool = False,
+    trigger_seconds: int | None = 60,
+) -> StreamingQuery:
+    """Streaming MERGE into a snapshot table: landing → validate (iceberg
+    dialect) → last-write-wins within the batch → ``snapshots.merge_into``
+    keyed on ``unique_keys``, one atomic EXACTLY-ONCE commit per
+    micro-batch (txn-stamped: a replayed batch after checkpoint loss
+    neither duplicates inserts nor re-applies updates).
+
+    This is the ACID twin of ingest_upsert's hive-zone pipeline — the
+    reference's Firehose→Iceberg upsert configuration (unique_keys →
+    ``operation: update``, firehose_to_iceberg_transformer.py:114-138)
+    committed through the snapshot format's MERGE instead of partition
+    overwrite. ``unique_keys=None`` degrades to the plain exactly-once
+    append sink semantics."""
+    from web_analytics_on_aws_spark.operators.upsert import (
+        DEFAULT_UNIQUE_KEYS,
+        dedup_batch,
+    )
+
+    keys = unique_keys if unique_keys is not None else DEFAULT_UNIQUE_KEYS
+    lines = read_landing_stream(spark, landing_dir)
+    data_cols = [n for n, _ in WEB_LOG_ICEBERG_FIELDS]
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        validated = validate(batch_df, value_col="value", dialect="iceberg")
+        validated.persist()
+        try:
+            invalid = validated.filter(F.col("result") != RESULT_OK).select("value")
+            if invalid.limit(1).count() > 0:
+                from web_analytics_on_aws_spark.operators.ingest import (
+                    with_ingest_partitions,
+                )
+
+                (
+                    with_ingest_partitions(invalid)
+                    .write.mode("overwrite")
+                    .partitionBy("year", "month", "day", "hour")
+                    .format("text")
+                    .save(os.path.join(error_path, f"batch={batch_id}"))
+                )
+            typed = (
+                validated.filter(F.col("result") == RESULT_OK)
+                .select(*data_cols)
+                .withColumn("__seq", F.monotonically_increasing_id())
+            )
+            typed = dedup_batch(typed, keys=keys, order_col="__seq").drop("__seq")
+            if typed.limit(1).count() == 0:
+                return
+            if snapshots.current_version(table) is None:
+                snapshots.commit_append(typed, table, txn=(app_id, batch_id))
+            else:
+                snapshots.merge_into(
+                    spark, table, typed, keys, txn=(app_id, batch_id)
+                )
+        finally:
+            validated.unpersist()
+
+    writer = lines.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
