@@ -155,3 +155,19 @@ def test_vacuum_refuses_retain_zero(registered, tmp_path):
 
     with pytest.raises(ValueError, match="retain_last"):
         vacuum(t, retain_last=0)
+
+
+def test_uri_qualified_path_option_normalized(registered, tmp_path):
+    """A file:-scheme path option (what URI-centric callers pass) resolves
+    to the same snapshot as the plain path. (Catalog registration via
+    CREATE TABLE ... USING snapshot is NOT supported: Spark 4.1 constructs
+    the query-time Python DataSource with empty options, so table options
+    never reach the reader — verified empirically; use
+    spark.read.format("snapshot") or read_snapshot instead.)"""
+    from web_analytics_on_aws_spark.sources.snapshots import commit_append
+
+    spark = registered
+    t = str(tmp_path / "t")
+    commit_append(spark.range(0, 10).selectExpr("id", "id * 2 AS v"), t)
+    df = spark.read.format("snapshot").option("path", f"file:{t}").load()
+    assert df.count() == 10

@@ -214,6 +214,21 @@ class SnapshotDataSource(DataSource):
 
     def __init__(self, options):
         super().__init__(options)
+        # Catalog-registered tables (`CREATE TABLE x USING snapshot
+        # OPTIONS (path ...)`) hand the path back URI-qualified
+        # (file:/...); normalize to the plain local path the manifest
+        # layer stores.
+        from web_analytics_on_aws_spark.sources.snapshots import (
+            _normalize_file,
+        )
+
+        if "path" not in self.options:
+            # Catalog-table resolution constructs the source a second time
+            # with EMPTY options (observed on CREATE TABLE ... USING
+            # snapshot); that instance never serves schema()/reader(), so
+            # defer all path work instead of failing the whole query.
+            return
+        self.options["path"] = _normalize_file(self.options["path"])
         # Pin the snapshot version ONCE at source construction: schema()
         # and reader() are separate calls, and a commit landing between
         # them would otherwise mix version N's schema with version N+1's
