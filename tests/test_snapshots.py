@@ -425,3 +425,45 @@ def test_merge_into_exactly_once_and_validation(spark, tmp_path):
     short = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="lacks table columns"):
         merge_into(spark, t, short, ["id"])
+
+
+def test_table_changes_reads_only_changed_files(spark, tmp_path):
+    """CDF between versions: append → inserts; merge → delete+insert pair
+    for the updated key + insert for the new key; untouched files are never
+    scanned (checked via the plan's input files)."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        merge_into,
+        table_changes,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string").coalesce(1),
+        t,
+    )
+    commit_append(
+        spark.createDataFrame([(3, "c")], "id long, val string").coalesce(1), t
+    )
+    # v1 → v2: pure append
+    ch = table_changes(spark, t, 1, 2)
+    assert [(r["id"], r["_change_type"]) for r in ch.collect()] == [(3, "insert")]
+
+    # v2 → v3: merge updates id=2 (file 1 rewritten) and inserts id=9
+    merge_into(
+        spark, t,
+        spark.createDataFrame([(2, "B"), (9, "z")], "id long, val string"),
+        ["id"],
+    )
+    ch = {(r["id"], r["val"], r["_change_type"]) for r in table_changes(spark, t, 2).collect()}
+    assert ch == {(2, "B", "insert"), (9, "z", "insert"), (2, "b", "delete")}
+    # id=1's row survived in the rewritten scope; id=3's file is untouched —
+    # neither appears in the feed, and the untouched v2 file is not scanned
+    from web_analytics_on_aws_spark.sources.snapshots import _read_manifest
+
+    untouched = set(_read_manifest(t, 2)["files"]) & set(_read_manifest(t, 3)["files"])
+    feed_inputs = set(table_changes(spark, t, 2).inputFiles())
+    assert untouched and not {f"file://{p}" for p in untouched} & feed_inputs \
+        and not untouched & feed_inputs
+
+    # identical versions → typed empty feed
+    assert table_changes(spark, t, 3, 3).count() == 0
