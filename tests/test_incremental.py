@@ -94,3 +94,62 @@ def test_incremental_join_multiset_duplicates(spark):
     )
     flat = a_old.unionByName(a_delta).join(b_old.unionByName(b_delta), "k")
     assert maintained.count() == flat.count() == 6
+
+
+def test_change_feed_maintains_rollup_with_deletes(spark, tmp_path):
+    """table_changes → apply_change_feed ≡ flat recompute, through a merge
+    (update+insert) AND a delete — base table never rescanned."""
+    import datetime as dt
+
+    from web_analytics_on_aws_spark.operators.incremental import (
+        apply_change_feed,
+    )
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        commit_append,
+        delete_where,
+        merge_into,
+        read_snapshot,
+        table_changes,
+    )
+
+    t = str(tmp_path / "t")
+
+    def mkdf(rows):
+        return spark.createDataFrame(
+            [(i, dt.datetime(2026, 3, d, 10), e, float(v)) for i, d, e, v in rows],
+            "event_id long, ts timestamp, event_type string, value double",
+        )
+
+    commit_append(mkdf([(1, 1, "view", 10), (2, 1, "view", 20), (3, 2, "click", 5)]), t)
+    v1 = 1
+
+    def rollup(df):
+        return df.groupBy(
+            F.to_date("ts").alias("day"), F.col("event_type")
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+
+    base = rollup(read_snapshot(spark, t, version=v1)).persist()
+    base.count()
+
+    merge_into(
+        spark, t, mkdf([(2, 1, "view", 99), (4, 2, "cart", 7)]), ["event_id"]
+    )
+    delete_where(spark, t, "event_type = 'click'")
+
+    changes = table_changes(spark, t, v1)
+    maintained = apply_change_feed(base, changes, rollup, ["day", "event_type"], ["n", "sv"])
+    flat = rollup(read_snapshot(spark, t))
+
+    def canon(df):
+        return sorted(
+            (str(r["day"]), r["event_type"], r["n"], str(r["sv"]))
+            for r in df.collect()
+        )
+
+    assert canon(maintained) == canon(flat)
+    # the deleted 'click' group vanished entirely (zero-count drop-out)
+    assert all(e != "click" for _, e, _, _ in canon(maintained))
+    base.unpersist()

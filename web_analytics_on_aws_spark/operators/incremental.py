@@ -103,3 +103,34 @@ def maintain_join_view(
     return view_old.unionByName(
         incremental_join_delta(a_old, a_delta, b_old, b_delta, on)
     )
+
+
+def apply_change_feed(
+    base_rollup: DataFrame,
+    changes: DataFrame,
+    rollup_fn,
+    keys: Sequence[str],
+    sum_measures: Sequence[str],
+) -> DataFrame:
+    """Maintain a rollup from a snapshot change feed
+    (``snapshots.table_changes``): counting incremental view maintenance
+    with DELETE support.
+
+    Inserts contribute their partial rollup; deletes contribute the same
+    partial NEGATED — valid exactly for sum-decomposable measures (counts,
+    sums), which is why ``sum_measures`` is explicit: extrema and
+    distincts are not subtractable (a deleted max needs a rescan; use the
+    sketch/recompute path for those). Groups whose row count reaches zero
+    drop out. Cost: one rollup over |changes| + one O(groups) merge —
+    never a base-table rescan, completing the CDF consumer loop
+    (table_changes reads only changed files; this folds them into the
+    materialized view)."""
+    ins = rollup_fn(changes.filter(F.col("_change_type") == "insert"))
+    del_ = rollup_fn(changes.filter(F.col("_change_type") == "delete"))
+    for m in sum_measures:
+        del_ = del_.withColumn(m, -F.col(m))
+    delta = ins.unionByName(del_)
+    measures = {m: "sum" for m in sum_measures}
+    merged = merge_rollups(base_rollup, delta, keys, measures)
+    count_col = sum_measures[0]
+    return merged.filter(F.col(count_col) != 0)
