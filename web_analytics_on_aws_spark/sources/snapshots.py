@@ -794,7 +794,10 @@ def merge_into(
             survivors = scope.join(key_df, keys, "left_anti")
             replacement = survivors.unionByName(
                 src.select(*survivors.columns), allowMissingColumns=True
-            )
+            # replacement carries ~the touched files' volume — write it as
+            # ~that many files, not one per shuffle partition (a 1-file
+            # merge scope must not fragment into 17 small files)
+            ).coalesce(max(1, len(touched)))
         else:
             replacement = src
         new_files = _write_data_files(replacement, table)
