@@ -360,3 +360,45 @@ def test_remove_duplicated_spans_overlap_merge(spark):
     assert out[1]["cleaned_text"] == "pre post"
     assert out[2]["n_removed"] == 11
     assert out[2]["cleaned_text"] == "tail"
+
+
+def test_bpe_encode_matches_reference_apply(spark):
+    """Encode with trained merges ≡ pure-Python greedy apply of the same
+    rules, word by word (train and encode share fold semantics)."""
+    corpus = "low lower lowest low low newer newest new " * 3
+    df = spark.createDataFrame([(0, corpus)], "doc_id long, text string")
+    trained = text.bpe_train(df, n_merges=6)
+    rules = [(r["left"], r["right"], r["merged"]) for r in trained.collect()]
+
+    docs = spark.createDataFrame(
+        [(1, "low lowest unknown"), (2, "newer new xyz")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in text.bpe_encode(docs, trained).collect()
+    }
+
+    def py_apply(word):
+        syms = list(word)
+        for a, b, m in rules:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = m
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    for doc_id, sent in [(1, "low lowest unknown"), (2, "newer new xyz")]:
+        want = [t for w in sent.split() for t in py_apply(w)]
+        assert got[doc_id] == (want, len(want)), (doc_id, got[doc_id], want)
+
+
+def test_bpe_encode_checkpoint_chunking(spark):
+    # deep rule lists run through the checkpoint-truncated path unchanged
+    docs = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    rules = [("a", "a", "aa"), ("aa", "aa", "aaaa")]
+    out = text.bpe_encode(docs, rules, checkpoint_every=1).collect()[0]
+    assert list(out["tokens"]) == ["aaaa", "aaaa"] and out["n_tokens"] == 2

@@ -662,3 +662,71 @@ def remove_duplicated_spans(
             "cleaned_text"
         ),
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Apply a learned BPE merge list (``bpe_train`` output, or an ordered
+    ``(left, right, merged)`` list) to text: each word starts as its
+    character symbols and every rule is applied as the same greedy
+    left-to-right JVM fold the trainer used — train and encode can never
+    disagree on merge semantics.
+
+    Scale: map-only (no shuffle, no Python); the rules ride the plan as
+    literals (a tokenizer's merge list is KBs). Each rule adds one nested
+    HOF layer, so the plan is ``localCheckpoint``-truncated every
+    ``checkpoint_every`` rules to keep codegen depth bounded — the
+    standard deep-expression-chain treatment (same pattern as the
+    trainer's rounds).
+
+    Output: (id_col, tokens array<string>, n_tokens)."""
+    from web_analytics_on_aws_spark.functions import token_split
+
+    if hasattr(merges, "collect"):
+        merges = [
+            (r["left"], r["right"], r["merged"])
+            for r in merges.orderBy("round").collect()
+        ]
+    out = df.select(
+        id_col,
+        F.transform(
+            token_split(F.col(text_col)),
+            lambda w: F.transform(
+                F.sequence(F.lit(1), F.length(w)),
+                lambda i: w.substr(i, F.lit(1)),
+            ),
+        ).alias("__wsyms"),
+    )
+    for idx, (a, b, m) in enumerate(merges, 1):
+        la, lb, lm = F.lit(a), F.lit(b), F.lit(m)
+        out = out.select(
+            id_col,
+            F.transform(
+                "__wsyms",
+                lambda ws: F.aggregate(
+                    ws,
+                    F.array().cast("array<string>"),
+                    lambda acc, s: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == la)  # noqa: B023
+                        & (s == lb),  # noqa: B023
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(lm),  # noqa: B023
+                        ),
+                    ).otherwise(F.concat(acc, F.array(s))),
+                ),
+            ).alias("__wsyms"),
+        )
+        if idx % checkpoint_every == 0:
+            out = out.localCheckpoint()
+    return out.select(
+        id_col,
+        F.flatten("__wsyms").alias("tokens"),
+        F.size(F.flatten("__wsyms")).alias("n_tokens"),
+    )

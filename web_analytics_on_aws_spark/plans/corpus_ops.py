@@ -974,3 +974,18 @@ def remove_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_tokens", "n_removed", F.md5("cleaned_text").alias("cleaned_md5")
     )
+
+
+@query("pipeline_bpe_encode_sample")
+def bpe_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round trip: train 12 merges on the corpus, then ENCODE a
+    deterministic 50-doc sample with them (text.bpe_encode — the greedy
+    fold the trainer used, applied rule by rule, map-only). Rows-only
+    (BPE isn't SQL-expressible); train≡encode agreement is pinned against
+    a pure-Python reference in tests/test_corpus_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    trained = text.bpe_train(docs, n_merges=12)
+    sample = docs.orderBy("doc_id").limit(50)
+    return text.bpe_encode(sample, trained).select(
+        "doc_id", "n_tokens", F.slice("tokens", 1, 8).alias("head_tokens")
+    )
