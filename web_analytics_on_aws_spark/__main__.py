@@ -152,10 +152,60 @@ def _demo(workdir: str | None) -> int:
     return 0
 
 
+def _snapshot_cmd(args) -> int:
+    """Inspection + maintenance over an ACID snapshot table:
+
+        ... snapshot <path> history|snapshots|files|partitions
+        ... snapshot <path> changes <from-version>
+        ... snapshot <path> zorder col1,col2
+        ... snapshot <path> bloom  col1,col2
+        ... snapshot <path> vacuum [retain_last]
+    """
+    from web_analytics_on_aws_spark.session import get_spark
+    from web_analytics_on_aws_spark.sources import snapshots
+
+    if not args.arg or not args.arg2:
+        print("usage: snapshot <path> <subcommand> [arg]", file=sys.stderr)
+        return 2
+    path, sub = args.arg, args.arg2
+    if sub == "vacuum":
+        n = snapshots.vacuum(path, retain_last=int(args.arg3 or 1))
+        print({"deleted_files": n})
+        return 0
+    spark = get_spark(app_name="snapshot-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    if sub in ("history", "snapshots", "files", "partitions"):
+        snapshots.metadata_table(spark, path, sub).show(args.limit, truncate=False)
+    elif sub == "changes":
+        snapshots.table_changes(spark, path, int(args.arg3)).show(
+            args.limit, truncate=False
+        )
+    elif sub == "zorder":
+        print(snapshots.cluster_zorder(spark, path, args.arg3.split(",")))
+    elif sub == "bloom":
+        from web_analytics_on_aws_spark.sources.bloom_index import (
+            build_bloom_index,
+        )
+
+        print(build_bloom_index(spark, path, args.arg3.split(",")))
+    else:
+        print(f"unknown snapshot subcommand {sub!r}", file=sys.stderr)
+        return 2
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="web_analytics_on_aws_spark")
-    ap.add_argument("command", choices=["list", "query", "sql", "trino", "demo"])
-    ap.add_argument("arg", nargs="?", help="query name or SQL text")
+    ap.add_argument(
+        "command", choices=["list", "query", "sql", "trino", "demo", "snapshot"]
+    )
+    ap.add_argument("arg", nargs="?", help="query name / SQL text / table path")
+    ap.add_argument(
+        "arg2", nargs="?",
+        help="snapshot subcommand: history|snapshots|files|partitions|"
+        "changes <from-version>|zorder <cols>|bloom <cols>|vacuum",
+    )
+    ap.add_argument("arg3", nargs="?", help="snapshot subcommand argument")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--limit", type=int, default=20)
     ap.add_argument("--dir", default=None, help="demo workdir (default: temp)")
@@ -163,6 +213,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "demo":
         return _demo(args.dir)
+
+    if args.command == "snapshot":
+        return _snapshot_cmd(args)
 
     from web_analytics_on_aws_spark import plans
 
