@@ -1,0 +1,36 @@
+"""CLI surface (__main__.py): list and the snapshot subcommands run
+against a real table through main(argv)."""
+
+from web_analytics_on_aws_spark.__main__ import main
+
+
+def test_cli_list_runs(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "tpch_q1_pricing_summary  [oracle]" in out
+    assert "pipeline_bpe_encode_sample  [rows-only]" in out
+
+
+def test_cli_snapshot_subcommands(spark, tmp_path, capsys):
+    from web_analytics_on_aws_spark.sources.snapshots import commit_append
+
+    t = str(tmp_path / "t")
+    commit_append(spark.range(0, 20).selectExpr("id", "id * 2 AS v"), t)
+    commit_append(spark.range(20, 30).selectExpr("id", "id * 2 AS v"), t)
+
+    assert main([ "snapshot", t, "history"]) == 0
+    hist = capsys.readouterr().out
+    assert "append" in hist
+
+    assert main(["snapshot", t, "changes", "1"]) == 0
+    ch = capsys.readouterr().out
+    assert "insert" in ch
+
+    assert main(["snapshot", t, "bloom", "id"]) == 0
+    assert "'id'" in capsys.readouterr().out
+
+    assert main(["snapshot", t, "vacuum", "1"]) == 0
+    assert "deleted_files" in capsys.readouterr().out
+
+    assert main(["snapshot", t, "bogus"]) == 2
+    assert main(["snapshot"]) == 2
