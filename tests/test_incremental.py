@@ -153,3 +153,74 @@ def test_change_feed_maintains_rollup_with_deletes(spark, tmp_path):
     # the deleted 'click' group vanished entirely (zero-count drop-out)
     assert all(e != "click" for _, e, _, _ in canon(maintained))
     base.unpersist()
+
+
+def test_follow_table_rollup_tracks_source_exactly_once(spark, tmp_path):
+    """A rollup view follows the source table across append/merge/delete
+    ticks: every tick ≡ flat recompute, an idle tick no-ops, and a
+    re-driven tick (same source head) applies nothing twice."""
+    import datetime as dt
+
+    from web_analytics_on_aws_spark.operators.incremental import (
+        follow_table_rollup,
+    )
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        commit_append,
+        delete_where,
+        merge_into,
+        read_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+
+    def mkdf(rows):
+        return spark.createDataFrame(
+            [(i, dt.datetime(2026, 3, d, 10), e, float(v)) for i, d, e, v in rows],
+            "event_id long, ts timestamp, event_type string, value double",
+        )
+
+    def rollup(df):
+        return df.groupBy(
+            F.to_date("ts").alias("day"), F.col("event_type")
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+
+    def tick():
+        return follow_table_rollup(
+            spark, src, view, rollup, ["day", "event_type"], ["n", "sv"]
+        )
+
+    def assert_view_fresh():
+        def canon(df):
+            return sorted(
+                (str(r["day"]), r["event_type"], r["n"], str(r["sv"]))
+                for r in df.collect()
+            )
+
+        assert canon(read_snapshot(spark, view)) == canon(
+            rollup(read_snapshot(spark, src))
+        )
+
+    commit_append(mkdf([(1, 1, "view", 10), (2, 1, "click", 5)]), src)
+    assert tick()["bootstrap"] is True
+    assert_view_fresh()
+
+    commit_append(mkdf([(3, 2, "view", 7)]), src)
+    merge_into(spark, src, mkdf([(1, 1, "view", 99), (4, 2, "cart", 3)]), ["event_id"])
+    r = tick()
+    assert r["applied"] and not r["bootstrap"]
+    assert_view_fresh()
+
+    delete_where(spark, src, "event_type = 'click'")
+    assert tick()["applied"]
+    assert_view_fresh()
+
+    # idle tick: nothing new → no-op, view version unchanged
+    from web_analytics_on_aws_spark.sources.snapshots import current_version
+
+    v = current_version(view)
+    assert tick()["applied"] is False
+    assert current_version(view) == v

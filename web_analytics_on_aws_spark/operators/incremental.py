@@ -134,3 +134,48 @@ def apply_change_feed(
     merged = merge_rollups(base_rollup, delta, keys, measures)
     count_col = sum_measures[0]
     return merged.filter(F.col(count_col) != 0)
+
+
+def follow_table_rollup(
+    spark,
+    table: str,
+    view_table: str,
+    rollup_fn,
+    keys: Sequence[str],
+    sum_measures: Sequence[str],
+    app_id: str = "follow-rollup",
+) -> dict:
+    """One maintenance tick of a rollup VIEW that follows an ACID snapshot
+    table: fold every source version committed since the last tick into
+    the view via the change feed, and publish the new view state as one
+    atomic overwrite — itself a snapshot table, so the view time-travels
+    and its consumers get snapshot isolation.
+
+    Exactly-once by construction: the view's commit carries
+    ``txn=(app_id, source_head_version)``, so a re-driven tick (scheduler
+    retry, crash between data write and manifest publish) no-ops instead
+    of double-applying — the same stamp protocol the streaming sinks use,
+    with the SOURCE version as the batch id.
+
+    Cost per tick: table_changes reads only the files the source versions
+    disagree on; apply_change_feed aggregates only |changes|; the view
+    overwrite is O(groups). The source is never rescanned after the
+    bootstrap tick. Returns {from, to, bootstrap, applied}."""
+    from web_analytics_on_aws_spark.sources import snapshots
+
+    src_head = snapshots.current_version(table)
+    if src_head is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    have_view = snapshots.current_version(view_table) is not None
+    last = snapshots.last_committed_batch(view_table, app_id) if have_view else None
+    if last is None:
+        base = rollup_fn(snapshots.read_snapshot(spark, table, version=src_head))
+        snapshots.commit_append(base, view_table, txn=(app_id, src_head))
+        return {"from": None, "to": src_head, "bootstrap": True, "applied": True}
+    if src_head <= last:
+        return {"from": last, "to": src_head, "bootstrap": False, "applied": False}
+    changes = snapshots.table_changes(spark, table, last, src_head)
+    base = snapshots.read_snapshot(spark, view_table)
+    new_view = apply_change_feed(base, changes, rollup_fn, keys, sum_measures)
+    snapshots.commit_overwrite(new_view, view_table, txn=(app_id, src_head))
+    return {"from": last, "to": src_head, "bootstrap": False, "applied": True}

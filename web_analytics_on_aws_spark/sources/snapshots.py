@@ -220,16 +220,26 @@ def commit_append(
     raise CommitConflict(f"append to {table} lost {16} consecutive races")
 
 
-def commit_overwrite(df: DataFrame, table: str) -> int:
+def commit_overwrite(
+    df: DataFrame, table: str, txn: tuple[str, int] | None = None
+) -> int:
     """Replace the table contents atomically (readers of older versions are
-    unaffected — their manifests still reference the old files)."""
+    unaffected — their manifests still reference the old files).
+
+    ``txn=(app_id, batch_id)`` gives overwrites the same exactly-once
+    replay protocol as ``commit_append`` — a re-driven maintenance tick
+    whose stamp is already recorded no-ops instead of re-publishing."""
+    if txn is not None:
+        last = last_committed_batch(table, txn[0])
+        if last is not None and int(txn[1]) <= last:
+            return current_version(table)
     new_files = _write_data_files(df, table)
     cons = table_constraints(table)
     if cons:
         # validate the written bytes (see commit_append)
         check_constraints(df.sparkSession.read.parquet(*new_files), cons)
     version = (current_version(table) or 0) + 1
-    _publish(table, version, new_files, "overwrite")
+    _publish(table, version, new_files, "overwrite", txn=txn)
     return version
 
 
