@@ -51,4 +51,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each hash-checked query."""
-    return dict(plans.ORACLES)
+    return plans.resolve_oracles()

@@ -129,3 +129,39 @@ def test_layout_rewrite_refreshes_index(spark, tmp_path):
     assert _planned(t, [EqualTo(("user_id",), 42)]) == 1
     df = spark.read.format("snapshot").option("path", t).load()
     assert df.filter("user_id = 42").count() == 1
+
+
+def test_double_column_build_refused(spark, tmp_path):
+    """ADVICE r2: Spark renders 1e20 as '1.0E20', Python as '1e+20' — a
+    double-typed index would silently wrong-skip. The build must refuse."""
+    t = str(tmp_path / "dbl")
+    commit_append(
+        spark.range(0, 10).select((F.col("id") * 1e19).alias("score")), t
+    )
+    with pytest.raises(TypeError, match="unsupported"):
+        build_bloom_index(spark, t, ["score"])
+
+
+def test_boolean_probe_renders_like_spark_cast(spark, tmp_path):
+    """Python str(True)='True' but Spark cast renders 'true'; the probe
+    must normalize, or every boolean probe would falsely report absent."""
+    t = str(tmp_path / "bools")
+    commit_append(
+        spark.range(0, 100).select((F.col("id") % 2 == 0).alias("flag")).coalesce(1), t
+    )
+    build_bloom_index(spark, t, ["flag"])
+    idx = load_bloom_index(t)["flag"]
+    entry = next(iter(idx.values()))
+    assert may_contain(entry, True) and may_contain(entry, False)
+
+
+def test_unrenderable_probe_value_never_skips(spark, tmp_path):
+    """A probe value type with no reproducible rendering must keep the
+    file (conservative), not hash Python repr and wrongly skip."""
+    t = str(tmp_path / "ints")
+    commit_append(spark.range(0, 50).select(F.col("id").alias("n")).coalesce(1), t)
+    build_bloom_index(spark, t, ["n"])
+    entry = next(iter(load_bloom_index(t)["n"].values()))
+    assert may_contain(entry, 1.5) is True   # float probe on int column
+    assert may_contain(entry, 7) is True     # present int still matches
+    assert may_contain(entry, 999) is False  # absent int still skips

@@ -48,7 +48,15 @@ def _scd2_reference(rows):
         for i, (d, s) in enumerate(changes):
             nxt = changes[i + 1][0] if i + 1 < len(changes) else None
             out.append((k, s, d, nxt, nxt is None))
-    return sorted(out)
+    return sorted(out, key=_interval_key)
+
+
+def _interval_key(t):
+    """None-safe sort key: open intervals (valid_to=None) order AFTER any
+    closed one — same-day flip-flops yield zero-length rows whose valid_to
+    would otherwise compare int-vs-None and crash (VERDICT r2 #2)."""
+    k, s, vf, vt, cur = t
+    return (k, s, vf, vt is None, vt if vt is not None else 0, cur)
 
 
 @settings(
@@ -65,15 +73,46 @@ def test_scd2_matches_python_reference(spark, rows):
     )
     got = sorted(
         (
-            r["k"],
-            r["status"],
-            (r["valid_from"] - base).days,
-            None if r["valid_to"] is None else (r["valid_to"] - base).days,
-            r["is_current"],
-        )
-        for r in scd2_history(df, "k", "status", "dt", "seq").collect()
+            (
+                r["k"],
+                r["status"],
+                (r["valid_from"] - base).days,
+                None if r["valid_to"] is None else (r["valid_to"] - base).days,
+                r["is_current"],
+            )
+            for r in scd2_history(df, "k", "status", "dt", "seq").collect()
+        ),
+        key=_interval_key,
     )
     assert got == _scd2_reference(rows)
+
+
+def test_scd2_same_day_flip_flop_zero_length_intervals(spark):
+    """Regression (VERDICT r2 #2): A same-day status flip-flop must keep
+    every change as a zero-length [t, t) interval in seq order — the pinned
+    semantics in operators/cdc.py::scd2_history."""
+    base = datetime.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(0, "B", base, 0), (0, "A", base, 1), (0, "B", base, 2)],
+        "k long, status string, dt date, seq long",
+    )
+    got = sorted(
+        (
+            (
+                r["k"],
+                r["status"],
+                (r["valid_from"] - base).days,
+                None if r["valid_to"] is None else (r["valid_to"] - base).days,
+                r["is_current"],
+            )
+            for r in scd2_history(df, "k", "status", "dt", "seq").collect()
+        ),
+        key=_interval_key,
+    )
+    assert got == sorted(
+        [(0, "B", 0, 0, False), (0, "A", 0, 0, False), (0, "B", 0, None, True)],
+        key=_interval_key,
+    )
 
 
 # --- duplicated windows: brute-force set reference ------------------------

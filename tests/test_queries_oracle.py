@@ -37,14 +37,19 @@ def _all_cases():
 
 
 @pytest.mark.parametrize("name", _all_cases())
-def test_query_matches_oracle(spark, duck, name):
+def test_query_matches_oracle(spark, duck, name, monkeypatch):
     from web_analytics_on_aws_spark import plans
+
+    # Lazy goldens (plans/goldens.py) must be computed from the same SF the
+    # Spark side reads here (the driver's default is sf0.01).
+    monkeypatch.setenv("SPARK_GRAFT_GOLDEN_SF_DIR", SF_SMOKE)
 
     sdf = plans.QUERIES[name](spark, SF_SMOKE)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    rel = duck.execute(plans.ORACLES[name])
+    sql = plans.ORACLES[name]
+    rel = duck.execute(sql() if callable(sql) else sql)
     duck_cols = [d[0] for d in rel.description]
     duck_rows = rel.fetchall()
 

@@ -112,6 +112,13 @@ def scd2_history(
     One shuffle on the dimension key serves both windows (identical
     partition spec → Catalyst plans a single exchange).
     Output: (key_col, attr_col, valid_from, valid_to, is_current).
+
+    Same-timestamp flip-flops (A→B→A within one time_col value) are KEPT as
+    zero-length ``[t, t)`` intervals in tiebreak order — every observed
+    change survives, matching the event-sourcing convention (and the pure-
+    Python reference in tests/test_corpus_ops_property.py). Consumers that
+    want the day-collapsed view filter ``valid_from < valid_to OR
+    is_current``; pinned by a regression case in tests/test_cdc.py.
     """
     import pyspark.sql.functions as F
     from pyspark.sql import Window

@@ -22,13 +22,17 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+# str, or a zero-arg callable returning the SQL (lazy — for oracles that
+# embed a golden computed by an independent non-Spark reference at call
+# time; see plans/goldens.py). resolve_oracles() materializes the strings.
+ORACLES: dict[str, str | Callable[[], str]] = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | Callable[[], str] | None = None):
     """Register a named query; ``oracle`` is the DuckDB-equivalent SQL
     (omit for genuinely non-SQL-expressible operators → the driver records
-    a weaker rows-only check)."""
+    a weaker rows-only check). A callable oracle is resolved lazily at
+    ``resolve_oracles()`` time so imports stay cheap."""
 
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
@@ -37,6 +41,11 @@ def query(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def resolve_oracles() -> dict[str, str]:
+    """Materialize every oracle to its SQL string (invoking lazy ones)."""
+    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}
 
 
 def load_all() -> None:

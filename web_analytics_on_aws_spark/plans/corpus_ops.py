@@ -894,29 +894,58 @@ def ann_ivfpq_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Iterative BPE training — the full merge loop (rows-only: genuinely
-# iterative, the driver-contract carve-out; exactness pinned in pytest
-# against a pure-Python reference BPE)
+# Iterative BPE training — the full merge loop. The oracle is a lazy
+# VALUES-literal golden computed by an INDEPENDENT pure-Python BPE reading
+# the same parquet through pyarrow (plans/goldens.py) — a loop has no
+# single-statement SQL form, but the differential check is still two
+# implementations of the semantics on the same input.
 # --------------------------------------------------------------------------
 
-@query("pipeline_bpe_train_merges")
+from web_analytics_on_aws_spark.plans import goldens  # noqa: E402
+
+
+@query("pipeline_bpe_train_merges", oracle=goldens.bpe_train_oracle(20))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 20 BPE merges over the documents corpus (Sennrich et
     al. 2016). Corpus reduces once to the (word, count) vocab table; each
     round is a |vocab|-bound pair-count aggregate + 1-row argmax + JVM fold
     merge apply — see text.bpe_train. Deterministic tie-breaks, so output
-    is stable across runs/partitionings."""
+    is stable across runs/partitionings. Oracle: pure-Python reference BPE
+    golden (plans/goldens.py) — value-exact, incl. pair counts."""
     docs = load_table(spark, sf_dir, "documents")
     return text.bpe_train(docs, n_merges=20)
 
 
-@query("text_quality_model_scores")
+@query(
+    "text_quality_model_scores",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+               / len(toks) AS mean_len,
+             list_max(list_transform(toks, w -> len(w))) AS max_len,
+             len(list_filter(toks, w -> w IN {_STOPWORDS})) AS stop_hits
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN (n_words BETWEEN 20 AND 1000)
+                          AND (mean_len >= 3.0 AND mean_len <= 10.0)
+                          AND (max_len <= 20) AND (stop_hits >= 2)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           TRUE AS sep_ok, TRUE AS probs_ok
+    FROM per_doc
+    """,
+)
 def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (CCNet/GPT-3-style): distill the
     Gopher rule gates into a logistic-regression quality probability —
     train on the rules' verdicts as weak supervision, score every document
-    map-only. Rows-only check (L-BFGS is iterative); separation and plan
-    shape pinned in tests/test_quality_model.py."""
+    map-only. The model itself is iterative (L-BFGS), so the driver row is
+    an audit aggregate: label counts the oracle recomputes in SQL, plus
+    booleans the model must earn — mean score separation between pass/fail
+    labels and probability bounds (per-doc scores + plan shape pinned in
+    tests/test_quality_model.py)."""
     from web_analytics_on_aws_spark.operators import quality_model
 
     docs = load_table(spark, sf_dir, "documents")
@@ -924,8 +953,20 @@ def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.gopher_flags(docs).select("doc_id", "pass_all"), "doc_id"
     )
     model = quality_model.train_quality_classifier(labeled, "pass_all")
-    return quality_model.score_quality(
+    scored = quality_model.score_quality(
         labeled, model, keep_cols=["doc_id", "pass_all"]
+    )
+    p = F.col("p_good")
+    lab = F.col("pass_all")
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(lab, 1).otherwise(0)).cast("bigint").alias("n_pass"),
+        (
+            F.avg(F.when(lab, p)) > F.avg(F.when(~lab, p))
+        ).alias("sep_ok"),
+        (
+            (F.min(p) >= F.lit(0.0)) & (F.max(p) <= F.lit(1.0))
+        ).alias("probs_ok"),
     )
 
 
@@ -976,16 +1017,18 @@ def remove_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pipeline_bpe_encode_sample")
+@query("pipeline_bpe_encode_sample", oracle=goldens.bpe_encode_oracle(12, 50, 8))
 def bpe_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer round trip: train 12 merges on the corpus, then ENCODE a
     deterministic 50-doc sample with them (text.bpe_encode — the greedy
-    fold the trainer used, applied rule by rule, map-only). Rows-only
-    (BPE isn't SQL-expressible); train≡encode agreement is pinned against
-    a pure-Python reference in tests/test_corpus_ops.py."""
+    fold the trainer used, applied rule by rule, map-only). Oracle: the
+    pure-Python reference BPE's encode golden (plans/goldens.py);
+    head_tokens is space-joined so every column is driver-hashable."""
     docs = load_table(spark, sf_dir, "documents")
     trained = text.bpe_train(docs, n_merges=12)
     sample = docs.orderBy("doc_id").limit(50)
     return text.bpe_encode(sample, trained).select(
-        "doc_id", "n_tokens", F.slice("tokens", 1, 8).alias("head_tokens")
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(" ", F.slice("tokens", 1, 8)).alias("head_tokens"),
     )

@@ -48,6 +48,34 @@ def _hashes(value: str, m: int, k: int) -> list[int]:
     return [(h1 + i * h2) % m for i in range(k)]
 
 
+#: Column types the index supports: exactly those whose Spark
+#: ``cast(col AS STRING)`` rendering the probe can reproduce from a Python
+#: value byte-for-byte. Floats/decimals/timestamps are REFUSED at build
+#: time — Spark renders 1e20 as "1.0E20" and Decimal(5.00) as "5.00" while
+#: Python says "1e+20"/"5", so a probe would hash a different string and
+#: silently skip files that DO contain matches (ADVICE r2).
+_SUPPORTED_TYPES = {
+    "string", "tinyint", "smallint", "int", "bigint", "boolean", "date",
+}
+
+
+def _render(value) -> str | None:
+    """Python replica of Spark's string cast for supported probe types.
+    Returns None for anything else → the probe must conservatively keep
+    the file (never skip on a rendering we can't reproduce)."""
+    import datetime
+
+    if isinstance(value, bool):  # before int: bool is an int subclass
+        return "true" if value else "false"
+    if isinstance(value, (str, int)):
+        return str(value)
+    if isinstance(value, datetime.date) and not isinstance(
+        value, datetime.datetime
+    ):
+        return value.isoformat()
+    return None
+
+
 def _geometry(n: int, fpp: float) -> tuple[int, int]:
     n = max(n, 1)
     m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
@@ -81,9 +109,17 @@ def build_bloom_index(
     files = _read_manifest(table, cur)["files"]
     out: dict[str, int] = {}
     for col in cols:
+        src = spark.read.option("mergeSchema", "true").parquet(*files)
+        dtype = dict(src.dtypes).get(col)
+        if dtype not in _SUPPORTED_TYPES:
+            raise TypeError(
+                f"bloom index on {col!r}: type {dtype!r} unsupported — only "
+                f"{sorted(_SUPPORTED_TYPES)} render identically in Spark's "
+                "string cast and the Python probe (floats/decimals would "
+                "cause silent wrong skips)"
+            )
         pairs = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*files)
+            src
             .select(
                 F.input_file_name().alias("file"),
                 F.col(col).cast("string").alias("v"),
@@ -147,9 +183,15 @@ def load_bloom_index(table: str) -> dict[str, dict[str, tuple[int, int, bytes]]]
 
 
 def may_contain(entry: tuple[int, int, bytes], value) -> bool:
-    """Probe one file's bloom: False = provably absent (safe to skip)."""
+    """Probe one file's bloom: False = provably absent (safe to skip).
+    Values whose Spark-cast rendering the probe cannot reproduce return
+    True (keep the file) — skipping is only ever allowed on an exact
+    rendering match (ADVICE r2)."""
+    rendered = _render(value)
+    if rendered is None:
+        return True
     m, k, bits = entry
-    for pos in _hashes(str(value), m, k):
+    for pos in _hashes(rendered, m, k):
         if not bits[pos >> 3] & (1 << (pos & 7)):
             return False
     return True
