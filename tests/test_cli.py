@@ -8,7 +8,8 @@ def test_cli_list_runs(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "tpch_q1_pricing_summary  [oracle]" in out
-    assert "pipeline_bpe_encode_sample  [rows-only]" in out
+    assert "pipeline_bpe_encode_sample  [oracle]" in out
+    assert "ann_ivfpq_topk_raw  [rows-only]" in out
 
 
 def test_cli_snapshot_subcommands(spark, tmp_path, capsys):
@@ -34,3 +35,18 @@ def test_cli_snapshot_subcommands(spark, tmp_path, capsys):
 
     assert main(["snapshot", t, "bogus"]) == 2
     assert main(["snapshot"]) == 2
+
+
+def test_cli_snapshot_missing_arg3_is_usage_error(spark, tmp_path, capsys):
+    """ADVICE r2: omitting the required third argument must print usage and
+    exit 2, not crash with an AttributeError traceback."""
+    from web_analytics_on_aws_spark.sources.snapshots import commit_append
+
+    t = str(tmp_path / "t")
+    commit_append(spark.range(3), t)
+    assert main(["snapshot", t, "changes"]) == 2
+    assert main(["snapshot", t, "zorder"]) == 2
+    assert main(["snapshot", t, "bloom"]) == 2
+    assert main(["snapshot", t, "changes", "notanint"]) == 2
+    err = capsys.readouterr().err
+    assert "usage" in err and "integer" in err

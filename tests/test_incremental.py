@@ -4,6 +4,7 @@ flat recompute, for any split point and for repeated (associative) merges."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from tests.conftest import SF_SMOKE
 from web_analytics_on_aws_spark.operators.incremental import (
@@ -152,6 +153,41 @@ def test_change_feed_maintains_rollup_with_deletes(spark, tmp_path):
     assert canon(maintained) == canon(flat)
     # the deleted 'click' group vanished entirely (zero-count drop-out)
     assert all(e != "click" for _, e, _, _ in canon(maintained))
+
+    # ADVICE r2: signed sum ordered FIRST — a group whose sum legitimately
+    # reaches zero must survive (only the explicit count_col gates drop-out)
+    def rollup_sum_first(df):
+        return df.groupBy(
+            F.to_date("ts").alias("day"), F.col("event_type")
+        ).agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+            F.count("*").cast("long").alias("n"),
+        )
+
+    base2 = rollup_sum_first(read_snapshot(spark, t, version=v1))
+    merge_into(
+        spark, t,
+        mkdf([(1, 1, "view", -99)]),  # day-1 view now {−99, 99}: sv=0, n=2
+        ["event_id"],
+    )
+    changes2 = table_changes(spark, t, v1)
+    kept = apply_change_feed(
+        base2, changes2, rollup_sum_first, ["day", "event_type"],
+        ["sv", "n"], count_col="n",
+    )
+    day1_view = [
+        r for r in kept.collect()
+        if str(r["day"]) == "2026-03-01" and r["event_type"] == "view"
+    ]
+    assert len(day1_view) == 1 and float(day1_view[0]["sv"]) == 0.0
+
+    # count_col must be one of sum_measures; unlisted base measures refuse
+    with pytest.raises(ValueError, match="count_col"):
+        apply_change_feed(base2, changes2, rollup_sum_first,
+                          ["day", "event_type"], ["sv", "n"], count_col="zz")
+    with pytest.raises(ValueError, match="not listed"):
+        apply_change_feed(base2, changes2, rollup_sum_first,
+                          ["day", "event_type"], ["sv"], count_col="sv")
     base.unpersist()
 
 

@@ -427,6 +427,59 @@ def test_merge_into_exactly_once_and_validation(spark, tmp_path):
         merge_into(spark, t, short, ["id"])
 
 
+def test_merge_into_stats_count_source_keys_not_target_rows(spark, tmp_path):
+    """ADVICE r2: a source key matching MULTIPLE target rows (appends don't
+    enforce key uniqueness) must report 1 update — not N updates and a
+    negative insert count — and all matched rows collapse to the source row."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        merge_into,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame(
+            [(1, "a1"), (1, "a2"), (2, "b")], "id long, val string"
+        ).coalesce(1), t,
+    )
+    src = spark.createDataFrame([(1, "A")], "id long, val string")
+    res = merge_into(spark, t, src, ["id"])
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 0
+    now = sorted((r["id"], r["val"]) for r in read_snapshot(spark, t).collect())
+    assert now == [(1, "A"), (2, "b")]
+
+
+def test_merge_into_drops_extra_source_columns_on_both_paths(spark, tmp_path):
+    """ADVICE r2: the matched path projects extra source columns away; the
+    no-matched-files path must apply the SAME projection (merge never
+    evolves the table schema)."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        merge_into,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame([(1, "a")], "id long, val string").coalesce(1), t
+    )
+    # insert-only merge (no matched files): extra column must not leak in
+    src = spark.createDataFrame(
+        [(9, "z", "EXTRA")], "id long, val string, extra string"
+    )
+    res = merge_into(spark, t, src, ["id"])
+    assert res["rows_updated"] == 0 and res["rows_inserted"] == 1
+    out = read_snapshot(spark, t)
+    assert sorted(out.columns) == ["id", "val"]
+    # matched merge with extras: same projection
+    src2 = spark.createDataFrame(
+        [(1, "A", "EXTRA")], "id long, val string, extra string"
+    )
+    merge_into(spark, t, src2, ["id"])
+    out2 = read_snapshot(spark, t)
+    assert sorted(out2.columns) == ["id", "val"]
+    assert {r["id"]: r["val"] for r in out2.collect()} == {1: "A", 9: "z"}
+
+
 def test_table_changes_reads_only_changed_files(spark, tmp_path):
     """CDF between versions: append → inserts; merge → delete+insert pair
     for the updated key + insert for the new key; untouched files are never

@@ -268,6 +268,22 @@ def test_rand_rename_parses(views):
     assert trino_to_spark_sql("SELECT random FROM t") == "SELECT random FROM t"
 
 
+def test_random_with_bound_is_integer_uniform_not_seed(views):
+    """ADVICE r2: Trino random(n) = integer in [0, n); Spark rand(n) seeds
+    a [0,1) double. The rewrite must produce the integer semantics."""
+    out = trino_to_spark_sql("SELECT random(10) FROM t")
+    assert "floor(rand() * (10))" in out and "rand(10)" not in out
+    vals = [
+        r["r"]
+        for r in trino_sql(
+            views, "SELECT random(3) AS r FROM t"
+        ).collect()
+    ]
+    assert all(isinstance(v, int) and 0 <= v < 3 for v in vals)
+    with pytest.raises(TrinoCompatError):
+        trino_to_spark_sql("SELECT random(1, 2, 3) FROM t")
+
+
 def test_tablesample_bernoulli_rewrites_system_refuses(views):
     out = trino_to_spark_sql("SELECT * FROM t TABLESAMPLE BERNOULLI (10.5)")
     assert "TABLESAMPLE (10.5 PERCENT)" in out

@@ -168,6 +168,16 @@ def _snapshot_cmd(args) -> int:
         print("usage: snapshot <path> <subcommand> [arg]", file=sys.stderr)
         return 2
     path, sub = args.arg, args.arg2
+    # changes/zorder/bloom require the third argument; fail with the usage
+    # message, not an AttributeError traceback (ADVICE r2)
+    if sub in ("changes", "zorder", "bloom") and not args.arg3:
+        needs = {"changes": "<from-version>", "zorder": "<cols>", "bloom": "<cols>"}
+        print(f"usage: snapshot <path> {sub} {needs[sub]}", file=sys.stderr)
+        return 2
+    if sub == "changes" and not args.arg3.lstrip("-").isdigit():
+        print(f"snapshot changes: from-version must be an integer, got "
+              f"{args.arg3!r}", file=sys.stderr)
+        return 2
     if sub == "vacuum":
         n = snapshots.vacuum(path, retain_last=int(args.arg3 or 1))
         print({"deleted_files": n})

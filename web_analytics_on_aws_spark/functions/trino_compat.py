@@ -53,8 +53,9 @@ FUNCTION_RENAMES = {
     "from_hex": "unhex",
     "to_base64": "base64",
     "from_base64": "unbase64",
-    # math / misc
-    "random": "rand",
+    # math / misc — random is NOT a rename: Trino random(n) is a random
+    # integer in [0, n) while Spark rand(n) seeds a [0,1) double; handled
+    # arity-aware in the rewrite rules below (ADVICE r2)
     "is_nan": "isnan",
     "bitwise_left_shift": "shiftleft",
     "bitwise_right_shift": "shiftright",
@@ -340,8 +341,18 @@ def trino_to_spark_sql(sql: str) -> str:
         raw = lits[int(m.group(1))][1:-1].replace("''", "'")
         return _mklit(_mysql_pattern_to_jdk(raw))
 
+    def _random(a: list[str]) -> str:
+        # Trino: random() → [0,1) double; random(n) → integer in [0, n).
+        # Spark rand(arg) treats the arg as a SEED — never pass it through.
+        if len(a) == 0 or (len(a) == 1 and a[0] == ""):
+            return "rand()"
+        if len(a) == 1:
+            return f"CAST(floor(rand() * ({a[0]})) AS BIGINT)"
+        raise TrinoCompatError(f"random expects 0 or 1 args, got {len(a)}")
+
     _inf = "CAST('Infinity' AS DOUBLE)"
     rules = {
+        "random": _random,
         # ISO day-of-week (Monday=1…Sunday=7) from Spark's Sunday=1 dayofweek
         "day_of_week": lambda a: f"(pmod(dayofweek({_nargs('day_of_week', a, 1)[0]}) + 5, 7) + 1)",
         "dow": lambda a: f"(pmod(dayofweek({_nargs('dow', a, 1)[0]}) + 5, 7) + 1)",

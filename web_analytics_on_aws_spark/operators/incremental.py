@@ -111,6 +111,7 @@ def apply_change_feed(
     rollup_fn,
     keys: Sequence[str],
     sum_measures: Sequence[str],
+    count_col: str | None = None,
 ) -> DataFrame:
     """Maintain a rollup from a snapshot change feed
     (``snapshots.table_changes``): counting incremental view maintenance
@@ -120,11 +121,32 @@ def apply_change_feed(
     partial NEGATED — valid exactly for sum-decomposable measures (counts,
     sums), which is why ``sum_measures`` is explicit: extrema and
     distincts are not subtractable (a deleted max needs a rescan; use the
-    sketch/recompute path for those). Groups whose row count reaches zero
-    drop out. Cost: one rollup over |changes| + one O(groups) merge —
-    never a base-table rescan, completing the CDF consumer loop
-    (table_changes reads only changed files; this folds them into the
-    materialized view)."""
+    sketch/recompute path for those). ``count_col`` names the measure that
+    is a ROW COUNT — groups where it reaches zero drop out (a signed sum
+    hitting zero is a real value, not an empty group; relying on position 0
+    dropped such groups — ADVICE r2). Defaults to ``sum_measures[0]`` for
+    back-compat, but pass it explicitly when the first measure is not a
+    count. Raises if the base rollup carries measure columns outside
+    ``keys`` + ``sum_measures`` — those would be silently dropped by the
+    merge (extrema/distincts need the recompute path).
+
+    Cost: one rollup over |changes| + one O(groups) merge — never a
+    base-table rescan, completing the CDF consumer loop (table_changes
+    reads only changed files; this folds them into the materialized
+    view)."""
+    count_col = count_col if count_col is not None else sum_measures[0]
+    if count_col not in sum_measures:
+        raise ValueError(
+            f"count_col {count_col!r} must be one of sum_measures "
+            f"{list(sum_measures)}"
+        )
+    extra = set(base_rollup.columns) - set(keys) - set(sum_measures)
+    if extra:
+        raise ValueError(
+            f"base rollup has measure columns {sorted(extra)} not listed in "
+            "sum_measures — the merge would silently discard them; list them "
+            "(if sum-decomposable) or maintain them via the recompute path"
+        )
     ins = rollup_fn(changes.filter(F.col("_change_type") == "insert"))
     del_ = rollup_fn(changes.filter(F.col("_change_type") == "delete"))
     for m in sum_measures:
@@ -132,7 +154,6 @@ def apply_change_feed(
     delta = ins.unionByName(del_)
     measures = {m: "sum" for m in sum_measures}
     merged = merge_rollups(base_rollup, delta, keys, measures)
-    count_col = sum_measures[0]
     return merged.filter(F.col(count_col) != 0)
 
 
@@ -144,6 +165,7 @@ def follow_table_rollup(
     keys: Sequence[str],
     sum_measures: Sequence[str],
     app_id: str = "follow-rollup",
+    count_col: str | None = None,
 ) -> dict:
     """One maintenance tick of a rollup VIEW that follows an ACID snapshot
     table: fold every source version committed since the last tick into
@@ -176,6 +198,8 @@ def follow_table_rollup(
         return {"from": last, "to": src_head, "bootstrap": False, "applied": False}
     changes = snapshots.table_changes(spark, table, last, src_head)
     base = snapshots.read_snapshot(spark, view_table)
-    new_view = apply_change_feed(base, changes, rollup_fn, keys, sum_measures)
+    new_view = apply_change_feed(
+        base, changes, rollup_fn, keys, sum_measures, count_col=count_col
+    )
     snapshots.commit_overwrite(new_view, view_table, txn=(app_id, src_head))
     return {"from": last, "to": src_head, "bootstrap": False, "applied": True}

@@ -755,7 +755,11 @@ def merge_into(
       streaming upsert sink with no duplicate application.
 
     The source must be key-unique (enforced) and carry the table's
-    columns. Scale: one semi-join on the keys (AQE-skew-safe), a rewrite
+    columns; extra source columns are dropped on every path (merge never
+    evolves the table schema). ``rows_updated``/``rows_inserted`` count
+    SOURCE keys matched/unmatched — a source key matching several target
+    rows replaces them all with the one source row.
+    Scale: one semi-join on the keys (AQE-skew-safe), a rewrite
     sized by the touched file set — a merge keyed on a z-ordered/bloomed
     column touches O(|source|) files, not O(table)."""
     import pyspark.sql.functions as F
@@ -797,10 +801,17 @@ def merge_into(
                 f"matched files not in manifest v{cur}: {sorted(unknown)[:3]}"
             )
         kept = [f for f in files if f not in touched]
+        # stats count matched SOURCE keys, not matched target rows: a source
+        # key hitting N>1 target rows must not inflate rows_updated or push
+        # rows_inserted negative (ADVICE r2). The merge itself replaces ALL
+        # matched target rows with the one source row.
+        table_cols = [c for c in target.columns if c != "__file"]
         n_matched = 0
         if touched:
             scope = spark.read.option("mergeSchema", "true").parquet(*sorted(touched))
-            n_matched = scope.join(key_df, keys, "leftsemi").count()
+            n_matched = src.join(
+                scope.select(*keys).distinct(), keys, "leftsemi"
+            ).count()
             survivors = scope.join(key_df, keys, "left_anti")
             replacement = survivors.unionByName(
                 src.select(*survivors.columns), allowMissingColumns=True
@@ -809,7 +820,10 @@ def merge_into(
             # merge scope must not fragment into 17 small files)
             ).coalesce(max(1, len(touched)))
         else:
-            replacement = src
+            # same projection as the matched path: extra source columns are
+            # dropped on BOTH paths (merge never evolves the table schema;
+            # use commit_append/replace for schema changes) — ADVICE r2
+            replacement = src.select(*table_cols)
         new_files = _write_data_files(replacement, table)
         cons = table_constraints(table)
         if cons:
