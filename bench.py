@@ -52,6 +52,7 @@ HEADLINE = [
     "curation_source_mixing",
     "pipeline_curation_funnel",
     "ann_ivfpq_topk_raw",
+    "ann_ivf_topk_indexed_raw",
     "acl_masked_events_rollup",
     "privacy_k_anon_events",
     "trino_url_traffic_rollup",

@@ -97,7 +97,11 @@ def main(names):
 
     for name in names:
         fn = plans.QUERIES[name]
-        run(fn, SF)  # warm
+        # warm BOTH scales: steady-state engine cost is the measurement —
+        # one-time amortized work (JIT, broadcast machinery, materialized
+        # index builds) must not land inside either timed run
+        run(fn, SF)
+        run(fn, OUT)
         t0 = time.perf_counter()
         run(fn, SF)
         t1 = time.perf_counter() - t0

@@ -884,13 +884,115 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivfpq_topk_raw")
 def ann_ivfpq_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ approximate top-5 (query_id, vec_id, sim, rank) — the
-    bench-timed scale path; quality-gated by `ann_ivfpq_topk`."""
+    """IVF-PQ approximate top-5 (query_id, vec_id, sim, rank) — times the
+    BUILD-INCLUDED path (assign + encode every run); the amortized
+    production path is `ann_ivf_topk_indexed_raw`. Quality-gated by
+    `ann_ivfpq_topk`."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivfpq_adc_topk(
         emb, _ann_queries(emb), k=5, num_centroids=16, nprobe=4, m=8,
         num_codewords=16, rerank=50,
     )
+
+
+# --------------------------------------------------------------------------
+# Materialized IVF index (operators/ann_index.py) — the scale path: build
+# once (amortized across probes), probe via file-skipping snapshot reads.
+# VERDICT r2 #3: this is the headline ANN number; _raw above deliberately
+# times the build-included path for contrast.
+# --------------------------------------------------------------------------
+
+def _ivf_geometry(n: int) -> tuple[int, int]:
+    """IVF sizing, the standard √n rule: num_centroids ≈ √n (power of two,
+    clamped to [16, 256]) so a fixed-nprobe probe touches nprobe·n/C ≈
+    nprobe·√n rows — SUBLINEAR in corpus size, which is what makes the
+    materialized index the 100 TB path (a fixed C would keep probes linear).
+    Files are sized at ~4 cells each so the In-filter skips at file level."""
+    import math
+
+    c = 16
+    while c < 256 and c * c < n:
+        c *= 2
+    files_hint = max(8, c // 4)
+    return c, files_hint
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the materialized IVF index for ``sf_dir``'s embeddings once
+    per machine (scratch under $TMPDIR, keyed by sf_dir + corpus
+    fingerprint + layout version); subsequent calls — later bench passes,
+    repeated probes — reuse it, which is the entire point of a persisted
+    index. The freshness check is parquet-footer metadata only (row count
+    + byte size), never a corpus scan."""
+    import json
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from web_analytics_on_aws_spark.operators.ann_index import build_ivf_index
+    from web_analytics_on_aws_spark.sources import snapshots
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    n = pq.ParquetFile(src).metadata.num_rows
+    fingerprint = {"n": n, "bytes": os.path.getsize(src)}
+    key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    table = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ivf_index_v2", key
+    )
+    marker = table + ".meta.json"
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if json.load(fh) == fingerprint and (
+                    snapshots.current_version(table) is not None
+                ):
+                    return table
+        except (ValueError, OSError):
+            pass
+    num_centroids, files_hint = _ivf_geometry(n)
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(
+        emb, table, num_centroids=num_centroids, kmeans_iterations=0,
+        files_hint=files_hint,
+    )
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        json.dump(fingerprint, fh)
+    return table
+
+
+@query("ann_ivf_topk_indexed", oracle=_ANN_AUDIT_ORACLE)
+def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe of the MATERIALIZED IVF index (persisted quantizer, range-
+    clustered cells, In-filter file skipping — operators/ann_index.py)
+    with the standard audit gates: exact top-1/top-5 anchors hash against
+    DuckDB brute force, booleans gate recall ≥60% / rank monotonicity /
+    the exact-top-1 bound. Same quantizer as `ann_ivf_topk`, so probe
+    results are identical to the unindexed operator by construction
+    (also pinned in tests/test_ann_index.py)."""
+    from web_analytics_on_aws_spark.operators.ann_index import probe_ivf_index
+
+    table = _ensure_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _ann_queries(emb)
+    approx = probe_ivf_index(spark, table, q, k=5, nprobe=4)
+    exact = similarity.brute_force_topk(emb, q, k=5)
+    return _ann_audit(approx, exact)
+
+
+@query("ann_ivf_topk_indexed_raw")
+def ann_ivf_indexed_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amortized-probe ANN top-5 against the materialized IVF index — the
+    bench headline for ANN at scale: the index builds once (first call /
+    bench warmup), every probe after reads only the ~nprobe/num_centroids
+    of data FILES its cells intersect. Quality-gated by
+    `ann_ivf_topk_indexed`."""
+    from web_analytics_on_aws_spark.operators.ann_index import probe_ivf_index
+
+    table = _ensure_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return probe_ivf_index(spark, table, _ann_queries(emb), k=5, nprobe=4)
 
 
 # --------------------------------------------------------------------------
