@@ -107,3 +107,17 @@ def test_streaming_index_maintenance(spark, tmp_path):
     q.awaitTermination(120)
     n = snapshots.read_snapshot(spark, t).count()
     assert n == emb.count()
+
+
+def test_ivf_geometry_sqrt_rule():
+    """√n sizing (plans/corpus_ops._ivf_geometry): C is the smallest power
+    of two ≥ √n within [16, 256]; ~4 cells per file — probes then touch
+    nprobe·n/C ≈ 4√n rows, sublinear in corpus size."""
+    from web_analytics_on_aws_spark.plans.corpus_ops import _ivf_geometry
+
+    assert _ivf_geometry(100) == (16, 8)
+    assert _ivf_geometry(500) == (32, 8)
+    assert _ivf_geometry(2_000) == (64, 16)
+    assert _ivf_geometry(20_000) == (256, 64)
+    c_huge, files_huge = _ivf_geometry(10**9)
+    assert c_huge == 256 and files_huge == 64  # clamped ceiling

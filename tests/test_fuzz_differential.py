@@ -18,3 +18,15 @@ def test_fuzzed_join_queries_agree_across_engines(spark):
     from tools.fuzz_differential import run_joins
 
     assert run_joins(40, "/root/testdata/sf0.001", spark=spark) == []
+
+
+def test_fuzzed_window_queries_agree_across_engines(spark):
+    from tools.fuzz_differential import run_windows
+
+    assert run_windows(40, "/root/testdata/sf0.001", spark=spark) == []
+
+
+def test_fuzzed_grouping_sets_agree_across_engines(spark):
+    from tools.fuzz_differential import run_grouping_sets
+
+    assert run_grouping_sets(40, "/root/testdata/sf0.001", spark=spark) == []

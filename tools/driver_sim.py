@@ -130,11 +130,17 @@ def main():
         if (i + 1) % 20 == 0:
             print(f"...{i+1}/{len(oracles)}", flush=True)
     print(f"DONE: {len(oracles)} oracled; type_bad={type_bad}; val_bad={val_bad}", flush=True)
+    rows_only_bad = []
     for name in sorted(set(qs) - set(oracles)):
-        n = qs[name](spark, SF).count()
-        print(f"rows-only {name}: {n} rows", flush=True)
+        try:
+            n = qs[name](spark, SF).count()
+            print(f"rows-only {name}: {n} rows", flush=True)
+        except Exception as ex:
+            rows_only_bad.append(name)
+            print(f"ERROR rows-only {name}: {ex}", flush=True)
     spark.stop()
+    return 1 if (type_bad or val_bad or rows_only_bad) else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -137,11 +137,15 @@ def main() -> int:
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
     bad = run(n, sf)
     jbad = run_joins(n // 2, sf)
+    wbad = run_windows(n, sf)
+    gbad = run_grouping_sets(n // 2, sf)
     print(
-        f"fuzzed {n} single-table + {n // 2} join queries: "
-        f"{len(bad) + len(jbad)} divergences {bad + jbad}"
+        f"fuzzed {n} single-table + {n // 2} join + {n} window + "
+        f"{n // 2} grouping-sets queries: "
+        f"{len(bad) + len(jbad) + len(wbad) + len(gbad)} divergences "
+        f"{bad + jbad + wbad + gbad}"
     )
-    return 1 if (bad or jbad) else 0
+    return 1 if (bad or jbad or wbad or gbad) else 0
 
 
 
@@ -227,6 +231,201 @@ def run_joins(n_seeds: int, sf: str, spark=None) -> list[int]:
         if sorted(sdf.columns) != sorted(ddf.columns) or canon(sdf) != canon(ddf):
             bad.append(seed)
             print(f"JOIN DIVERGENCE seed={seed}\n  {sql}", flush=True)
+    return bad
+
+
+# ---- window grammar: OVER clauses with frames (VERDICT r2 #6) -----------
+#
+# Determinism rules: ROW_NUMBER / LAG / LEAD / NTILE / frame aggregates get
+# a UNIQUE in-partition sort key (o_orderkey) so row order is total; RANK /
+# DENSE_RANK may sort on non-unique keys (tie values identical either way).
+# Frame aggregates stay integer-exact (SUM of ints CAST BIGINT, COUNT,
+# MIN/MAX) — float accumulation order never enters.
+
+W_PARTS = [
+    "o_custkey % 50",
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_custkey % 7",
+]
+W_FRAMES = [
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING",
+    "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW",
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+]
+W_INTS = ["o_orderkey % 97", "o_custkey % 13", "o_custkey % 29 + 1"]
+
+
+def gen_window_query(seed: int) -> str:
+    rng = random.Random(77_000_003 + seed)
+    part = rng.choice(W_PARTS)
+    desc = rng.choice(["ASC", "DESC"])
+    uniq = f"PARTITION BY {part} ORDER BY o_orderkey {desc}"
+    exprs = []
+    n_fns = rng.randint(2, 4)
+    for i in range(n_fns):
+        kind = rng.choice(
+            ["rownum", "rank", "lag", "lead", "ntile", "fsum", "fcnt", "fminmax"]
+        )
+        if kind == "rownum":
+            exprs.append(f"ROW_NUMBER() OVER ({uniq}) AS w{i}")
+        elif kind == "rank":
+            fn = rng.choice(["RANK", "DENSE_RANK"])
+            key = rng.choice(["o_orderdate", "o_custkey % 10", "o_orderstatus"])
+            exprs.append(
+                f"{fn}() OVER (PARTITION BY {part} ORDER BY {key}) AS w{i}"
+            )
+        elif kind == "lag":
+            e = rng.choice(W_INTS)
+            off = rng.randint(1, 3)
+            exprs.append(f"LAG({e}, {off}, -1) OVER ({uniq}) AS w{i}")
+        elif kind == "lead":
+            e = rng.choice(W_INTS)
+            exprs.append(f"LEAD({e}, 1, 0) OVER ({uniq}) AS w{i}")
+        elif kind == "ntile":
+            exprs.append(f"NTILE({rng.randint(2, 8)}) OVER ({uniq}) AS w{i}")
+        elif kind == "fsum":
+            e = rng.choice(W_INTS)
+            fr = rng.choice(W_FRAMES)
+            exprs.append(
+                f"CAST(SUM({e}) OVER ({uniq} {fr}) AS BIGINT) AS w{i}"
+            )
+        elif kind == "fcnt":
+            fr = rng.choice(W_FRAMES)
+            exprs.append(f"COUNT(*) OVER ({uniq} {fr}) AS w{i}")
+        else:
+            fn = rng.choice(["MIN", "MAX"])
+            e = rng.choice(W_INTS)
+            fr = rng.choice(W_FRAMES)
+            exprs.append(f"{fn}({e}) OVER ({uniq} {fr}) AS w{i}")
+    where = ""
+    if rng.random() < 0.5:
+        where = " WHERE " + rng.choice(
+            [
+                "o_totalprice > 50000",
+                "o_orderstatus = 'F'",
+                "o_orderkey % 3 = 0",
+                "o_orderdate >= DATE '1995-01-01'",
+            ]
+        )
+    return f"SELECT o_orderkey, {', '.join(exprs)} FROM orders{where}"
+
+
+def run_windows(n_seeds: int, sf: str, spark=None) -> list[int]:
+    import duckdb
+
+    from tools.driver_sim import canon
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("fuzz-differential-windows")
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    con = duckdb.connect()
+    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    bad = []
+    for seed in range(n_seeds):
+        sql = gen_window_query(seed)
+        sdf = spark.sql(sql).toPandas()
+        ddf = con.execute(sql).df()
+        if sorted(sdf.columns) != sorted(ddf.columns) or canon(sdf) != canon(ddf):
+            bad.append(seed)
+            print(f"WINDOW DIVERGENCE seed={seed}\n  {sql}", flush=True)
+    return bad
+
+
+# ---- grouping-sets grammar: ROLLUP / CUBE / GROUPING SETS + GROUPING() --
+
+G_KEYS = [
+    ("event_type", "etype"),
+    ("CAST(ts AS DATE)", "day"),
+    ("user_id % 4", "ub"),
+    ("event_id % 3", "eb"),
+]
+
+
+def gen_grouping_query(seed: int) -> str:
+    # raw key EXPRESSIONS everywhere (GROUP BY / GROUPING()): alias scope
+    # inside GROUPING() differs between engines, expression text does not
+    rng = random.Random(88_000_007 + seed)
+    keys = rng.sample(G_KEYS, rng.randint(2, 3))
+    raw = [k for k, _ in keys]
+    mode = rng.choice(["ROLLUP", "CUBE", "SETS"])
+    if mode == "SETS":
+        subsets = ["(" + ", ".join(raw) + ")", "()"]
+        if rng.random() < 0.7:
+            subsets.insert(1, "(" + raw[0] + ")")
+        group = f"GROUPING SETS ({', '.join(subsets)})"
+    else:
+        group = f"{mode}({', '.join(raw)})"
+    aggs = ["COUNT(*) AS n"]
+    if rng.random() < 0.6:
+        aggs.append(f"CAST(SUM({rng.choice(INT_EXPRS)}) AS BIGINT) AS s1")
+    if rng.random() < 0.5:
+        aggs.append(f"MIN({rng.choice(INT_EXPRS)}) AS m1")
+    # GROUPING() disambiguates real NULL keys from super-aggregate rows —
+    # without it, set-compare could pass on coincidence; with it, every
+    # row's provenance is pinned
+    aggs.append(
+        "CAST("
+        + " + ".join(f"{2**j} * GROUPING({k})" for j, k in enumerate(raw))
+        + " AS INT) AS gid"
+    )
+    where = ""
+    if rng.random() < 0.5:
+        where = f" WHERE {rng.choice(FILTERS)}"
+    key_sql = ", ".join(f"{k} AS {a}" for k, a in keys)
+    return (
+        f"SELECT {key_sql}, {', '.join(aggs)} FROM events{where} "
+        f"GROUP BY {group}"
+    )
+
+
+def run_grouping_sets(n_seeds: int, sf: str, spark=None) -> list[int]:
+    import duckdb
+
+    from tools.driver_sim import canon
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("fuzz-differential-grouping")
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    con = duckdb.connect()
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    bad = []
+    for seed in range(n_seeds):
+        sql = gen_grouping_query(seed)
+        sdf = spark.sql(sql).toPandas()
+        ddf = con.execute(sql).df()
+        if sorted(sdf.columns) != sorted(ddf.columns) or canon(sdf) != canon(ddf):
+            bad.append(seed)
+            print(f"GROUPING DIVERGENCE seed={seed}\n  {sql}", flush=True)
     return bad
 
 

@@ -30,21 +30,26 @@ TABLES = {
 }
 
 
-def build():
-    for d in (SF, OUT):
+def build_replica(src: str = SF_SRC, out_1x: str | None = SF,
+                  out_10x: str = OUT, factor: int = 10) -> None:
+    """Materialize a ``factor``×-replicated copy of ``src`` with disjoint
+    id spaces (and optionally a re-chunked 1× copy for fair ratios).
+    Shared by scale_probe and bench_10x."""
+    for d in ([out_1x] if out_1x else []) + [out_10x]:
         if os.path.isdir(d):
             shutil.rmtree(d)
         os.makedirs(d)
     con = duckdb.connect()
     # 1x side: identical data, but re-chunked — ratios must compare
     # parallel-vs-parallel, not one single-row-group task vs 50 splits
-    for t in list(TABLES) + ["region", "nation", "supplier", "part"]:
-        con.execute(
-            f"COPY (SELECT * FROM '{SF_SRC}/{t}.parquet') TO "
-            f"'{SF}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2000)"
-        )
+    if out_1x:
+        for t in list(TABLES) + ["region", "nation", "supplier", "part"]:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') TO "
+                f"'{out_1x}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2000)"
+            )
     for t, (idc, shift, idc2, shift2) in TABLES.items():
-        cols = con.sql(f"SELECT * FROM '{SF_SRC}/{t}.parquet' LIMIT 0").columns
+        cols = con.sql(f"SELECT * FROM '{src}/{t}.parquet' LIMIT 0").columns
         sel = []
         for c in cols:
             if c == idc:
@@ -58,13 +63,17 @@ def build():
         # scan of the replica into ONE task (measured: map-heavy queries
         # then report single-thread time, not scaling)
         con.execute(
-            f"COPY (SELECT {', '.join(sel)} FROM '{SF_SRC}/{t}.parquet', "
-            f"(SELECT UNNEST(range(0, 10)) AS r)) TO '{OUT}/{t}.parquet' "
-            f"(FORMAT PARQUET, ROW_GROUP_SIZE 2000)"
+            f"COPY (SELECT {', '.join(sel)} FROM '{src}/{t}.parquet', "
+            f"(SELECT UNNEST(range(0, {factor})) AS r)) TO "
+            f"'{out_10x}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2000)"
         )
     # untouched tables: copy through so load_table finds them
     for t in ["region", "nation", "supplier", "part"]:
-        shutil.copy(f"{SF}/{t}.parquet", f"{OUT}/{t}.parquet")
+        shutil.copy(f"{src}/{t}.parquet", f"{out_10x}/{t}.parquet")
+
+
+def build():
+    build_replica(SF_SRC, SF, OUT, 10)
 
 
 def main(names):
