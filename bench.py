@@ -75,10 +75,14 @@ def main() -> None:
     # tables + 35 queries in one JVM GC-thrash an 8g heap, adding seconds of
     # noise that has nothing to do with plan quality.
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    # Initial shuffle partitions follow input bytes (what a cluster derives
+    # from scan stats): 8 covers the sub-GB sf0.1 default; the 10x bench
+    # overrides via env so shuffle stages keep using the whole box.
+    shuffle_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "8"))
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=8,
+        shuffle_partitions=shuffle_parts,
         extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -34,7 +34,14 @@ def main() -> int:
     print(f"replicating {src} -> {OUT_DIR} (10x)", flush=True)
     build_replica(src, out_1x=None, out_10x=OUT_DIR, factor=10)
 
-    env = os.environ | {"SPARK_GRAFT_SF_DIR": OUT_DIR}
+    env = os.environ | {
+        "SPARK_GRAFT_SF_DIR": OUT_DIR,
+        # 10x input bytes → 4x the default initial shuffle width (what a
+        # cluster's scan-stats sizing would pick); AQE still coalesces
+        "SPARK_GRAFT_SHUFFLE_PARTS": os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTS", "32"
+        ),
+    }
     proc = subprocess.run(
         [sys.executable, "bench.py"], cwd=ROOT, env=env,
         capture_output=True, text=True,
