@@ -47,20 +47,54 @@ def _versions(table: str) -> list[int]:
     )
 
 
-def _files(table: str, version: int) -> list[str]:
+def _manifest(table: str, version: int) -> dict:
     with open(os.path.join(table, "manifests", f"v{version}.json")) as f:
-        return json.load(f)["files"]
+        return json.load(f)
 
 
-def _read_rows(paths: list[str], names: list[str]) -> collections.Counter:
+def _files(table: str, version: int) -> list[str]:
+    return _manifest(table, version)["files"]
+
+
+def _dv_positions(table: str, version: int) -> dict:
+    """{normalized data-file path: set of deleted row positions} from the
+    version's merge-on-read sidecars (empty pre-MOR)."""
+    import pyarrow.parquet as pq
+
+    from web_analytics_on_aws_spark.sources.snapshots import _normalize_file
+
+    dv: dict = {}
+    for dvf in _manifest(table, version).get("delete_files", []):
+        t = pq.read_table(dvf, columns=["file", "pos"])
+        for f, p in zip(t.column("file").to_pylist(), t.column("pos").to_pylist()):
+            dv.setdefault(_normalize_file(f), set()).add(int(p))
+    return dv
+
+
+def _read_rows(
+    paths: list[str], names: list[str], dv: dict | None = None,
+    only_positions: dict | None = None,
+) -> collections.Counter:
     """Multiset of row tuples (projected to the stream's columns) across
     ``paths`` — pyarrow only, no Spark session (the reader runs driver-
-    side outside one)."""
+    side outside one). ``dv`` masks each file's merge-on-read deleted
+    positions; ``only_positions`` instead KEEPS only the listed positions
+    (used to materialize the rows a delete-vector addition removed)."""
     import pyarrow.parquet as pq
 
     bag: collections.Counter = collections.Counter()
     for p in paths:
         t = pq.read_table(p)
+        keep = None
+        if only_positions is not None:
+            keep = sorted(q for q in only_positions.get(p, ()) if q < len(t))
+            t = t.take(keep) if keep else t.slice(0, 0)
+        elif dv:
+            dead = dv.get(p, ())
+            if dead:
+                t = t.take(
+                    [i for i in range(len(t)) if i not in dead]
+                )
         have = set(t.column_names)
         cols = []
         for n in names:
@@ -97,14 +131,32 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         f_old, f_new = set(_files(self._table, v_from)), set(
             _files(self._table, v_to)
         )
-        old = _read_rows(sorted(f_old - f_new), self._names)
-        new = _read_rows(sorted(f_new - f_old), self._names)
+        dv_old = _dv_positions(self._table, v_from)
+        dv_new = _dv_positions(self._table, v_to)
+        # each side applies ITS version's merge-on-read deletes, so a later
+        # compaction never re-reports MOR-deleted rows
+        old = _read_rows(sorted(f_old - f_new), self._names, dv=dv_old)
+        new = _read_rows(sorted(f_new - f_old), self._names, dv=dv_new)
         for row, n in (new - old).items():
             for _ in range(n):
                 yield (*row, "insert", v_to)
         for row, n in (old - new).items():
             for _ in range(n):
                 yield (*row, "delete", v_to)
+        # MOR deletes added in the window on files present in BOTH versions:
+        # materialize exactly those positions as delete events
+        added = {
+            p: dv_new.get(p, set()) - dv_old.get(p, set())
+            for p in (f_old & f_new)
+        }
+        added = {p: ps for p, ps in added.items() if ps}
+        if added:
+            dead = _read_rows(
+                sorted(added), self._names, only_positions=added
+            )
+            for row, n in dead.items():
+                for _ in range(n):
+                    yield (*row, "delete", v_to)
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         v = int(start["version"])

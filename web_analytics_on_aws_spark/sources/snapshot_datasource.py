@@ -55,17 +55,38 @@ from web_analytics_on_aws_spark.sources.snapshots import (
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, deleted_positions: tuple = ()):
         self.path = path
+        # merge-on-read position deletes for THIS file only (each task
+        # ships just its own positions, not the table-wide sidecar)
+        self.deleted_positions = deleted_positions
 
 
-def _manifest_files(options: dict) -> list[str]:
+def _manifest_files(options: dict) -> tuple[list[str], dict[str, tuple]]:
+    """(data files, {file: sorted deleted positions}) for the requested
+    version. Position-delete sidecars (merge-on-read `delete_where_mor`)
+    are folded to a per-file map on the driver — sidecars are KBs-per-
+    deleted-row; each scan task later receives only its own file's
+    positions via its partition object."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        _manifest_deletes,
+        _normalize_file,
+    )
+
     table = options["path"]
     cur = current_version(table)
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table}")
     v = int(options["version"]) if "version" in options else cur
-    return _read_manifest(table, v)["files"]
+    m = _read_manifest(table, v)
+    dv: dict[str, set] = {}
+    for dvf in _manifest_deletes(m):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(dvf, columns=["file", "pos"])
+        for f, p in zip(t.column("file").to_pylist(), t.column("pos").to_pylist()):
+            dv.setdefault(_normalize_file(f), set()).add(int(p))
+    return m["files"], {f: tuple(sorted(ps)) for f, ps in dv.items()}
 
 
 def _unified_arrow_schema(files: list[str]):
@@ -94,7 +115,7 @@ _COMPARES = {
 
 class SnapshotReader(DataSourceReader):
     def __init__(self, options: dict, schema):
-        self._files = _manifest_files(options)
+        self._files, self._deletes = _manifest_files(options)
         self._schema = schema
         self._pushed: list[Filter] = []
         # Bloom sidecar (sources/bloom_index.py): consulted at planning for
@@ -179,7 +200,11 @@ class SnapshotReader(DataSourceReader):
         return True
 
     def partitions(self):
-        return [_FilePartition(f) for f in self._files if self._file_may_match(f)]
+        return [
+            _FilePartition(f, self._deletes.get(f, ()))
+            for f in self._files
+            if self._file_may_match(f)
+        ]
 
     def read(self, partition: _FilePartition) -> Iterator:
         import pyarrow as pa
@@ -198,6 +223,16 @@ class SnapshotReader(DataSourceReader):
         table = pq.read_table(
             partition.path, columns=[n for n in want.names if n in have]
         )
+        # merge-on-read position deletes: mask this file's deleted row
+        # positions (row order within a parquet file is stable, so the
+        # i-th row of read_table is position i)
+        if partition.deleted_positions:
+            import numpy as np
+
+            mask = np.ones(len(table), dtype=bool)
+            pos = np.asarray(partition.deleted_positions, dtype=np.int64)
+            mask[pos[pos < len(table)]] = False
+            table = table.filter(pa.array(mask))
         # additive evolution: pad columns this file predates with nulls,
         # project to the unified column order
         cols = []
@@ -248,7 +283,9 @@ class SnapshotDataSource(DataSource):
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        return from_arrow_schema(_unified_arrow_schema(_manifest_files(self.options)))
+        return from_arrow_schema(
+            _unified_arrow_schema(_manifest_files(self.options)[0])
+        )
 
     def reader(self, schema) -> SnapshotReader:
         return SnapshotReader(self.options, schema)

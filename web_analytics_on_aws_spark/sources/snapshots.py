@@ -84,6 +84,24 @@ def _manifest_txns(m: dict) -> dict[str, int]:
     return txns
 
 
+def _manifest_deletes(m: dict) -> list[str]:
+    """Position-delete (merge-on-read) sidecar files listed by a manifest —
+    absent on pre-MOR manifests."""
+    return m.get("delete_files", [])
+
+
+def _require_no_deletes(table: str, m: dict, op: str) -> None:
+    """Copy-on-write DML / layout rewrites read data files RAW; running
+    them over a table with outstanding position deletes would resurrect
+    deleted rows into the rewrite. Refuse loudly instead — Iceberg v2
+    requires delete-aware rewriters for the same reason."""
+    if _manifest_deletes(m):
+        raise ValueError(
+            f"{op} on {table}: outstanding merge-on-read delete files; "
+            "run compact_deletes(spark, table) first"
+        )
+
+
 def _publish(
     table: str,
     version: int,
@@ -91,9 +109,12 @@ def _publish(
     op: str,
     txn: tuple[str, int] | None = None,
     constraints: dict[str, str] | None = None,
+    delete_files: list[str] | None = None,
 ) -> None:
     os.makedirs(os.path.join(table, MANIFEST_DIR), exist_ok=True)
     body = {"version": version, "operation": op, "files": sorted(files)}
+    if delete_files:
+        body["delete_files"] = sorted(delete_files)
     # Table-level CHECK constraints ride the manifest exactly like txns:
     # carried forward on every commit, so the head always knows them.
     prev_constraints: dict[str, str] = {}
@@ -209,7 +230,12 @@ def commit_append(
         _validate(prev_m.get("constraints", {}))
         version = (cur or 0) + 1
         try:
-            _publish(table, version, prev + new_files, "append", txn=txn)
+            # appends never touch existing files → outstanding MOR delete
+            # files carry forward unchanged
+            _publish(
+                table, version, prev + new_files, "append", txn=txn,
+                delete_files=_manifest_deletes(prev_m),
+            )
             return version
         except CommitConflict:
             cur = current_version(table)
@@ -243,22 +269,51 @@ def commit_overwrite(
     return version
 
 
+def _apply_position_deletes(
+    spark: SparkSession, df: DataFrame, delete_files: list[str]
+) -> DataFrame:
+    """Anti-join a scan against the table's position-delete sidecars
+    (merge-on-read): each sidecar row is (file URI, row position) exactly
+    as Spark's ``_metadata`` columns render them, so the join keys need no
+    normalization. Cost: one anti join bounded by |deleted rows| — AQE
+    broadcasts the delete side while it is small."""
+    import pyspark.sql.functions as F
+
+    if not delete_files:
+        return df
+    cols = df.columns
+    dv = (
+        spark.read.parquet(*delete_files)
+        .select(F.col("file").alias("__dv_f"), F.col("pos").alias("__dv_p"))
+        .distinct()
+    )
+    return (
+        df.withColumn("__dv_f", F.col("_metadata.file_path"))
+        .withColumn("__dv_p", F.col("_metadata.row_index"))
+        .join(dv, ["__dv_f", "__dv_p"], "left_anti")
+        .select(*cols)
+    )
+
+
 def read_snapshot(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest). Time travel = pin an
-    older version."""
+    older version. Outstanding merge-on-read position deletes
+    (``delete_where_mor``) are applied as an anti join."""
     cur = current_version(table)
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table}")
     v = cur if version is None else version
-    files = _read_manifest(table, v)["files"]
+    m = _read_manifest(table, v)
+    files = m["files"]
     # mergeSchema: additive column evolution across commits (a later append
     # may carry new columns; older files surface them as NULL — the same
     # read-time union-of-schemas Iceberg/Delta do). Time travel to a
     # pre-evolution version still shows the narrow schema, because only
     # that version's files are listed.
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    return _apply_position_deletes(spark, df, _manifest_deletes(m))
 
 
 def history(table: str) -> list[dict]:
@@ -282,7 +337,9 @@ def vacuum(table: str, retain_last: int = 1) -> int:
     keep_vs = vs[-retain_last:]
     live: set[str] = set()
     for v in keep_vs:
-        live.update(_read_manifest(table, v)["files"])
+        m = _read_manifest(table, v)
+        live.update(m["files"])
+        live.update(_manifest_deletes(m))  # MOR sidecars are data too
     deleted = 0
     data_root = os.path.join(table, DATA_DIR)
     for root, _dirs, files in os.walk(data_root):
@@ -325,7 +382,9 @@ def _rewrite_matched(
     cur = current_version(table)
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table}")
-    files = _read_manifest(table, cur)["files"]
+    m = _read_manifest(table, cur)
+    _require_no_deletes(table, m, op)
+    files = m["files"]
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     hit = F.coalesce(pred, F.lit(False))  # SQL DML: NULL predicate = no match
 
@@ -372,6 +431,124 @@ def _rewrite_matched(
         "version": version,
         "operation": op,
         "rows_matched": n_matched,
+        "files_rewritten": len(touched),
+        "files_kept": len(kept),
+    }
+
+
+def delete_where_mor(spark: SparkSession, table: str, predicate) -> dict:
+    """Row-level DELETE, MERGE-ON-READ (Iceberg v2 position-delete
+    semantics): instead of rewriting every touched data file (CoW
+    ``delete_where``), commit a tiny position-delete sidecar — (file URI,
+    row position) pairs — and let readers anti-join it.
+
+    Why this is the 100 TB path: a CoW delete of 1k rows spread over 1k
+    2 GB files rewrites 2 TB; the MOR commit writes KILOBYTES. Read cost
+    is one anti join bounded by |deleted rows| until ``compact_deletes``
+    folds the sidecars back into rewritten files (the scheduled
+    maintenance that also restores CoW-DML eligibility). Every reader in
+    the engine applies the sidecars: ``read_snapshot``, the ``snapshot``
+    Python DataSource (per-file masks), ``table_changes`` and the
+    ``snapshot_changes`` streaming source (delete events carry the
+    positions' rows).
+
+    The matched-position scan applies EXISTING sidecars first, so
+    re-deleting already-deleted rows is a no-op with honest counts.
+    Returns {version, operation, rows_deleted, delete_files}."""
+    import pyarrow.parquet as pq
+
+    import pyspark.sql.functions as F
+
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    m = _read_manifest(table, cur)
+    files, dvs = m["files"], _manifest_deletes(m)
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hit = F.coalesce(pred, F.lit(False))
+    # materialize the metadata pseudo-columns FIRST — they only resolve on
+    # the file-source relation, not through later projections
+    scan = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*files)
+        .withColumn("__f", F.col("_metadata.file_path"))
+        .withColumn("__p", F.col("_metadata.row_index"))
+    )
+    if dvs:
+        dv = (
+            spark.read.parquet(*dvs)
+            .select(F.col("file").alias("__f"), F.col("pos").alias("__p"))
+            .distinct()
+        )
+        scan = scan.join(dv, ["__f", "__p"], "left_anti")
+    matched = scan.filter(hit).select(
+        F.col("__f").alias("file"), F.col("__p").alias("pos")
+    )
+    new_dv = _write_data_files(matched, table)
+    # count from the written footers — metadata-only, no second job
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in new_dv)
+    if n == 0:
+        for f in new_dv:
+            os.remove(f)
+        return {
+            "version": cur, "operation": "delete-mor",
+            "rows_deleted": 0, "delete_files": len(dvs),
+        }
+    version = cur + 1
+    _publish(
+        table, version, files, "delete-mor", delete_files=dvs + new_dv
+    )
+    return {
+        "version": version,
+        "operation": "delete-mor",
+        "rows_deleted": n,
+        "delete_files": len(dvs) + len(new_dv),
+    }
+
+
+def compact_deletes(spark: SparkSession, table: str) -> dict:
+    """Fold outstanding position-delete sidecars back into data files
+    (Iceberg's rewrite_position_delete_files + data-file rewrite, the
+    maintenance half of merge-on-read): files referenced by a sidecar are
+    rewritten without their deleted rows, every other file is carried by
+    reference, and the new manifest lists no delete files — restoring
+    plain-scan reads and CoW-DML eligibility. No-op on tables without
+    sidecars. Returns {version, files_rewritten, files_kept}."""
+    import pyspark.sql.functions as F
+
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    m = _read_manifest(table, cur)
+    files, dvs = m["files"], _manifest_deletes(m)
+    if not dvs:
+        return {
+            "version": cur, "operation": "compact-deletes",
+            "files_rewritten": 0, "files_kept": len(files),
+        }
+    dv_df = spark.read.parquet(*dvs)
+    touched = {
+        _normalize_file(r["file"])
+        for r in dv_df.select("file").distinct().collect()
+    }
+    unknown = touched - set(files)
+    if unknown:
+        raise RuntimeError(
+            f"delete files reference paths not in manifest v{cur}: "
+            f"{sorted(unknown)[:3]}"
+        )
+    kept = [f for f in files if f not in touched]
+    survivors = _apply_position_deletes(
+        spark,
+        spark.read.option("mergeSchema", "true").parquet(*sorted(touched)),
+        dvs,
+    )
+    new_files = _write_data_files(survivors, table)
+    version = cur + 1
+    _publish(table, version, kept + new_files, "compact-deletes")
+    return {
+        "version": version,
+        "operation": "compact-deletes",
         "files_rewritten": len(touched),
         "files_kept": len(kept),
     }
@@ -516,7 +693,9 @@ def cluster_zorder(
     cur = current_version(table)
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table}")
-    files = _read_manifest(table, cur)["files"]
+    head_m = _read_manifest(table, cur)
+    _require_no_deletes(table, head_m, "cluster_zorder")
+    files = head_m["files"]
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     z = _zorder_column(df, zorder_by, bits=bits)
     total = sum(os.path.getsize(f) for f in files)
@@ -570,7 +749,9 @@ def optimize(
     cur = current_version(table)
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table}")
-    files = _read_manifest(table, cur)["files"]
+    head_m = _read_manifest(table, cur)
+    _require_no_deletes(table, head_m, "optimize")
+    files = head_m["files"]
     cutoff = small_file_mb * 1024 * 1024
     small = [f for f in files if os.path.getsize(f) < cutoff]
     if len(small) < min_small_files:
@@ -614,10 +795,15 @@ def set_constraints(spark: SparkSession, table: str, constraints: dict[str, str]
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table}")
     check_constraints(read_snapshot(spark, table), constraints)
-    files = _read_manifest(table, cur)["files"]
+    head_m = _read_manifest(table, cur)
     version = cur + 1
     # one atomic metadata-only commit carrying the new constraint set
-    _publish(table, version, files, "set_constraints", constraints=constraints)
+    # (and any outstanding MOR delete files — dropping them would
+    # resurrect deleted rows)
+    _publish(
+        table, version, head_m["files"], "set_constraints",
+        constraints=constraints, delete_files=_manifest_deletes(head_m),
+    )
     return version
 
 
@@ -771,7 +957,9 @@ def merge_into(
         last = last_committed_batch(table, txn[0])
         if last is not None and int(txn[1]) <= last:
             return {"version": cur, "operation": "merge", "replayed": True}
-    files = _read_manifest(table, cur)["files"]
+    head_m = _read_manifest(table, cur)
+    _require_no_deletes(table, head_m, "merge")
+    files = head_m["files"]
 
     src = source.persist()
     try:
@@ -867,30 +1055,82 @@ def table_changes(
     for v in (from_version, to_version):
         if v not in vs:
             raise FileNotFoundError(f"version {v} not present at {table}")
-    f_old = set(_read_manifest(table, from_version)["files"])
-    f_new = set(_read_manifest(table, to_version)["files"])
+    m_old = _read_manifest(table, from_version)
+    m_new = _read_manifest(table, to_version)
+    f_old, f_new = set(m_old["files"]), set(m_new["files"])
+    d_old, d_new = _manifest_deletes(m_old), _manifest_deletes(m_new)
     removed, added = sorted(f_old - f_new), sorted(f_new - f_old)
 
     import pyspark.sql.functions as F
 
-    def _read(paths):
+    def _read(paths, dvs):
+        """Each side reads with ITS version's position deletes applied —
+        otherwise a later compaction would re-report MOR-deleted rows, and
+        rows deleted inside the window would show as never-inserted."""
         if not paths:
             return None
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        return _apply_position_deletes(spark, df, dvs)
 
-    old, new = _read(removed), _read(added)
+    # MOR deletes ADDED in the window on files present in BOTH versions:
+    # their rows are delete events (sidecars never lose entries on a
+    # common file — compaction clears them by REPLACING the file, which
+    # routes through the file diff above).
+    mor_deletes = None
+    if d_new:
+        dv_new = spark.read.parquet(*d_new).select("file", "pos").distinct()
+        dv_added = (
+            dv_new.join(
+                spark.read.parquet(*d_old).select("file", "pos").distinct(),
+                ["file", "pos"],
+                "left_anti",
+            )
+            if d_old
+            else dv_new
+        )
+        common = sorted(f_old & f_new)
+        if common:
+            scan = spark.read.option("mergeSchema", "true").parquet(*common)
+            cols0 = scan.columns
+            mor_deletes = (
+                scan.withColumn("__f", F.col("_metadata.file_path"))
+                .withColumn("__p", F.col("_metadata.row_index"))
+                .join(
+                    dv_added.select(
+                        F.col("file").alias("__f"), F.col("pos").alias("__p")
+                    ),
+                    ["__f", "__p"],
+                    "left_semi",
+                )
+                .select(*cols0)
+            )
+
+    old, new = _read(removed, d_old), _read(added, d_new)
     if old is None and new is None:
-        # no layout change between the versions → empty feed, typed off the
-        # head schema
         empty = read_snapshot(spark, table, version=to_version).limit(0)
-        return empty.withColumn("_change_type", F.lit("insert")).limit(0)
+        out = empty.withColumn("_change_type", F.lit("insert")).limit(0)
+        if mor_deletes is not None:
+            out = out.unionByName(
+                mor_deletes.withColumn("_change_type", F.lit("delete"))
+            )
+        return out
     if old is None:
-        return new.withColumn("_change_type", F.lit("insert"))
-    if new is None:
-        return old.withColumn("_change_type", F.lit("delete"))
-    cols = [c for c in new.columns if c in old.columns]
-    inserts = new.select(*cols).exceptAll(old.select(*cols))
-    deletes = old.select(*cols).exceptAll(new.select(*cols))
-    return inserts.withColumn("_change_type", F.lit("insert")).unionByName(
-        deletes.withColumn("_change_type", F.lit("delete"))
-    )
+        out = new.withColumn("_change_type", F.lit("insert"))
+    elif new is None:
+        out = old.withColumn("_change_type", F.lit("delete"))
+    else:
+        cols = [c for c in new.columns if c in old.columns]
+        inserts = new.select(*cols).exceptAll(old.select(*cols))
+        deletes = old.select(*cols).exceptAll(new.select(*cols))
+        out = inserts.withColumn("_change_type", F.lit("insert")).unionByName(
+            deletes.withColumn("_change_type", F.lit("delete"))
+        )
+    if mor_deletes is not None:
+        # allowMissingColumns: a column may exist in the changed-file sets
+        # but not the common files (additive evolution) — null-pad rather
+        # than fail; consumers see the same union-of-schemas a read does
+        out = out.unionByName(
+            mor_deletes.withColumn("_change_type", F.lit("delete")),
+            allowMissingColumns=True,
+        )
+    return out
