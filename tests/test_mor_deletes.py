@@ -173,3 +173,169 @@ def test_changes_stream_reports_mor_deletes(spark, two_file_table):
         "SELECT id, _change_type FROM mor_changes"
     ).collect()
     assert sorted((r["id"], r["_change_type"]) for r in rows) == [(7, "delete")]
+
+
+# --- equality deletes / MOR upsert / restore (Iceberg v2 sequence rule) ---
+
+
+def test_delete_keys_mor_scan_free_and_sequenced(spark, two_file_table):
+    from web_analytics_on_aws_spark.sources.snapshots import delete_keys_mor
+
+    t = two_file_table
+    keys = spark.createDataFrame([(5,), (17,)], "id long")
+    res = delete_keys_mor(spark, t, keys)
+    assert res["operation"] == "delete-keys"
+    m = _read_manifest(t, res["version"])
+    assert m["files"] == _read_manifest(t, res["version"] - 1)["files"]
+    assert _ids(spark, t) == sorted(set(range(20)) - {5, 17})
+    # a LATER append of a deleted key survives (sequence rule)
+    commit_append(spark.createDataFrame([(5,)], "id long"), t)
+    assert _ids(spark, t) == sorted(set(range(20)) - {17})
+
+
+def test_upsert_keys_mor_one_commit_last_write_wins(spark, tmp_path):
+    from web_analytics_on_aws_spark.sources.snapshots import upsert_keys_mor
+
+    t = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+        ).coalesce(1), t,
+    )
+    res = upsert_keys_mor(
+        spark, t,
+        spark.createDataFrame([(2, "B2"), (9, "new")], "id long, val string"),
+        ["id"],
+    )
+    assert res["rows_upserted"] == 2
+    got = {r["id"]: r["val"] for r in read_snapshot(spark, t).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 9: "new"}
+    # ONE commit: exactly one version past the base append
+    assert current_version(t) == 2
+    # replay protection
+    r2 = upsert_keys_mor(
+        spark, t,
+        spark.createDataFrame([(2, "ZZ")], "id long, val string"),
+        ["id"], txn=("app", 1),
+    )
+    r3 = upsert_keys_mor(
+        spark, t,
+        spark.createDataFrame([(2, "ZZ")], "id long, val string"),
+        ["id"], txn=("app", 1),
+    )
+    assert r3.get("replayed") and r3["version"] == r2["version"]
+    # chained upserts: newest sequence wins
+    upsert_keys_mor(
+        spark, t,
+        spark.createDataFrame([(2, "B3")], "id long, val string"),
+        ["id"],
+    )
+    got = {r["id"]: r["val"] for r in read_snapshot(spark, t).collect()}
+    assert got[2] == "B3" and got[9] == "new"
+
+
+def test_convert_then_compact_clears_all_sidecars(spark, two_file_table):
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        _manifest_eq_deletes,
+        convert_equality_deletes,
+        delete_keys_mor,
+    )
+
+    t = two_file_table
+    delete_where_mor(spark, t, "id = 1")
+    delete_keys_mor(spark, t, spark.createDataFrame([(10,)], "id long"))
+    res = convert_equality_deletes(spark, t)
+    m = _read_manifest(t, res["version"])
+    assert _manifest_eq_deletes(m) == [] and len(_manifest_deletes(m)) >= 2
+    assert _ids(spark, t) == sorted(set(range(20)) - {1, 10})
+    res2 = compact_deletes(spark, t)
+    assert res2["files_rewritten"] == 2
+    m2 = _read_manifest(t, res2["version"])
+    assert _manifest_deletes(m2) == [] and _manifest_eq_deletes(m2) == []
+    assert _ids(spark, t) == sorted(set(range(20)) - {1, 10})
+
+
+def test_compact_autoconverts_eq_deletes(spark, two_file_table):
+    from web_analytics_on_aws_spark.sources.snapshots import delete_keys_mor
+
+    t = two_file_table
+    delete_keys_mor(spark, t, spark.createDataFrame([(0,), (19,)], "id long"))
+    compact_deletes(spark, t)
+    assert _ids(spark, t) == list(range(1, 19))
+    m = _read_manifest(t, current_version(t))
+    assert "eq_deletes" not in m and _manifest_deletes(m) == []
+
+
+def test_cdf_and_datasource_refuse_on_eq_deletes(spark, two_file_table):
+    from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+    from web_analytics_on_aws_spark.sources.snapshots import delete_keys_mor
+
+    t = two_file_table
+    v0 = current_version(t)
+    delete_keys_mor(spark, t, spark.createDataFrame([(4,)], "id long"))
+    with pytest.raises(ValueError, match="equality deletes"):
+        table_changes(spark, t, v0)
+    spark.dataSource.register(SnapshotDataSource)
+    with pytest.raises(Exception, match="equality deletes"):
+        spark.read.format("snapshot").option("path", t).load().collect()
+
+
+def test_restore_version_rolls_back_head(spark, two_file_table):
+    from web_analytics_on_aws_spark.sources.snapshots import restore_version
+
+    t = two_file_table
+    delete_where(spark, t, "id >= 10")
+    assert _ids(spark, t) == list(range(10))
+    v_new = restore_version(spark, t, 2)  # pre-delete state
+    assert v_new == current_version(t)
+    assert _ids(spark, t) == list(range(20))
+    m = _read_manifest(t, v_new)
+    assert m["operation"] == "restore"
+    # the deleted state remains time-travelable
+    assert _ids(spark, t, version=v_new - 1) == list(range(10))
+
+
+def test_streaming_mor_upsert_sink(spark, tmp_path):
+    import json as _json
+
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        _manifest_eq_deletes as eqd,
+    )
+    from web_analytics_on_aws_spark.streaming.snapshot_sink import (
+        start_snapshot_upsert,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rec = {
+        "user_id": "u1", "session_id": "s" * 24, "event": "view",
+        "referrer": None, "user_agent": "UA", "ip": "10.0.0.1",
+        "hostname": "h.example", "os": "Linux",
+        "timestamp": "2026-03-02T13:45:00Z", "uri": "/p/1",
+    }
+    with open(landing / "b1.jsonl", "w") as f:
+        f.write(_json.dumps(rec) + "\n")
+        f.write(_json.dumps(rec | {"uri": "/p/2", "user_id": "u2"}) + "\n")
+    t = str(tmp_path / "t")
+    q = start_snapshot_upsert(
+        spark, str(landing), t, str(tmp_path / "err"), str(tmp_path / "ckpt"),
+        unique_keys=["user_id"], available_now=True, mode="mor",
+    )
+    q.awaitTermination(120)
+    assert read_snapshot(spark, t).count() == 2
+    # second batch updates u1 through the MOR path (eq sidecar, no rewrite)
+    with open(landing / "b2.jsonl", "w") as f:
+        f.write(_json.dumps(rec | {"uri": "/p/9"}) + "\n")
+    files_before = _read_manifest(t, current_version(t))["files"]
+    q = start_snapshot_upsert(
+        spark, str(landing), t, str(tmp_path / "err"), str(tmp_path / "ckpt"),
+        unique_keys=["user_id"], available_now=True, mode="mor",
+    )
+    q.awaitTermination(120)
+    out = {r["user_id"]: r["uri"] for r in read_snapshot(spark, t).collect()}
+    assert out == {"u1": "/p/9", "u2": "/p/2"}
+    m = _read_manifest(t, current_version(t))
+    assert set(files_before) <= set(m["files"])  # nothing rewritten
+    assert len(eqd(m)) >= 1

@@ -131,6 +131,12 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         f_old, f_new = set(_files(self._table, v_from)), set(
             _files(self._table, v_to)
         )
+        for v in (v_from, v_to):
+            if _manifest(self._table, v).get("eq_deletes"):
+                raise ValueError(
+                    f"snapshot_changes over {self._table} v{v}: outstanding "
+                    "equality deletes — run convert_equality_deletes first"
+                )
         dv_old = _dv_positions(self._table, v_from)
         dv_new = _dv_positions(self._table, v_to)
         # each side applies ITS version's merge-on-read deletes, so a later

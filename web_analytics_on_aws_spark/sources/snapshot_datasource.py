@@ -79,6 +79,12 @@ def _manifest_files(options: dict) -> tuple[list[str], dict[str, tuple]]:
         raise FileNotFoundError(f"no snapshots at {table}")
     v = int(options["version"]) if "version" in options else cur
     m = _read_manifest(table, v)
+    if m.get("eq_deletes"):
+        raise ValueError(
+            f"snapshot datasource over {table} v{v}: outstanding equality "
+            "deletes — use snapshots.read_snapshot (applies them) or run "
+            "convert_equality_deletes first"
+        )
     dv: dict[str, set] = {}
     for dvf in _manifest_deletes(m):
         import pyarrow.parquet as pq

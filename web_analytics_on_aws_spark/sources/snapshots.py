@@ -90,12 +90,28 @@ def _manifest_deletes(m: dict) -> list[str]:
     return m.get("delete_files", [])
 
 
+def _manifest_eq_deletes(m: dict) -> list[dict]:
+    """Equality-delete entries: [{"path", "keys", "seq"}] — each sidecar
+    holds key-column values; it deletes any matching row in a data file
+    whose sequence is LOWER than the entry's (Iceberg v2 sequence-number
+    rule, which is what lets an upsert's own data ride the same commit)."""
+    return m.get("eq_deletes", [])
+
+
+def _manifest_file_seq(m: dict) -> dict[str, int]:
+    """Per-data-file commit sequence (the version that added the file).
+    Files from pre-sequence manifests default to the manifest's own
+    version on their next carry — safe, since equality deletes can only
+    postdate this format."""
+    return {f: int(s) for f, s in m.get("file_seq", {}).items()}
+
+
 def _require_no_deletes(table: str, m: dict, op: str) -> None:
     """Copy-on-write DML / layout rewrites read data files RAW; running
-    them over a table with outstanding position deletes would resurrect
+    them over a table with outstanding delete sidecars would resurrect
     deleted rows into the rewrite. Refuse loudly instead — Iceberg v2
     requires delete-aware rewriters for the same reason."""
-    if _manifest_deletes(m):
+    if _manifest_deletes(m) or _manifest_eq_deletes(m):
         raise ValueError(
             f"{op} on {table}: outstanding merge-on-read delete files; "
             "run compact_deletes(spark, table) first"
@@ -110,14 +126,18 @@ def _publish(
     txn: tuple[str, int] | None = None,
     constraints: dict[str, str] | None = None,
     delete_files: list[str] | None = None,
+    eq_deletes: list[dict] | None = None,
 ) -> None:
     os.makedirs(os.path.join(table, MANIFEST_DIR), exist_ok=True)
     body = {"version": version, "operation": op, "files": sorted(files)}
     if delete_files:
         body["delete_files"] = sorted(delete_files)
+    if eq_deletes:
+        body["eq_deletes"] = sorted(eq_deletes, key=lambda e: e["path"])
     # Table-level CHECK constraints ride the manifest exactly like txns:
     # carried forward on every commit, so the head always knows them.
     prev_constraints: dict[str, str] = {}
+    prev_file_seq: dict[str, int] = {}
     # Exactly-once stamps survive vacuum: every manifest carries the full
     # per-app txn map forward (merged from the predecessor), so replay
     # detection never depends on aged-out history. Rewrites (overwrite/DML/
@@ -128,6 +148,7 @@ def _publish(
             prev = _read_manifest(table, version - 1)
             txns = _manifest_txns(prev)
             prev_constraints = prev.get("constraints", {})
+            prev_file_seq = _manifest_file_seq(prev)
         except FileNotFoundError:
             # predecessor manifest missing (e.g. manual cleanup outside
             # vacuum's contract) — fall back to the
@@ -136,6 +157,11 @@ def _publish(
                 prev = _read_manifest(table, vs[-1])
                 txns = _manifest_txns(prev)
                 prev_constraints = prev.get("constraints", {})
+                prev_file_seq = _manifest_file_seq(prev)
+    # Sequence stamping: carried files keep their original commit seq, new
+    # files get THIS version — the ordering equality deletes resolve
+    # against (delete seq > file seq ⇒ the delete applies).
+    body["file_seq"] = {f: prev_file_seq.get(f, version) for f in files}
     if txn is not None:
         app, batch = txn[0], int(txn[1])
         txns[app] = max(txns.get(app, batch), batch)
@@ -231,10 +257,12 @@ def commit_append(
         version = (cur or 0) + 1
         try:
             # appends never touch existing files → outstanding MOR delete
-            # files carry forward unchanged
+            # sidecars carry forward unchanged (the new files' HIGHER
+            # sequence keeps them out of older equality deletes' scope)
             _publish(
                 table, version, prev + new_files, "append", txn=txn,
                 delete_files=_manifest_deletes(prev_m),
+                eq_deletes=_manifest_eq_deletes(prev_m),
             )
             return version
         except CommitConflict:
@@ -295,12 +323,69 @@ def _apply_position_deletes(
     )
 
 
+_STRIP_SCHEME = r"^file:(//)?"
+
+
+def _apply_equality_deletes(
+    spark: SparkSession, df: DataFrame, m: dict, file_uri_col: str | None = None
+) -> DataFrame:
+    """Anti-join a scan against equality-delete sidecars: a sidecar row
+    (key values, committed at sequence s) deletes every matching row whose
+    data file has sequence < s — so an upsert's own appended rows (same
+    commit, same sequence) survive while every older occurrence of the key
+    dies. Per-row file sequence comes from a broadcast (path → seq) map
+    join; sidecars are read once each with their sequence attached."""
+    import pyspark.sql.functions as F
+
+    entries = _manifest_eq_deletes(m)
+    if not entries:
+        return df
+    cols = df.columns
+    seq_rows = [(p, int(s)) for p, s in _manifest_file_seq(m).items()]
+    seq_df = spark.createDataFrame(seq_rows, "__path string, __fseq int")
+    # _metadata only resolves on the raw scan relation; derived frames pass
+    # a pre-materialized URI column instead
+    uri = (
+        F.col("_metadata.file_path")
+        if file_uri_col is None
+        else F.col(file_uri_col)
+    )
+    out = df.withColumn(
+        "__path", F.regexp_replace(uri, _STRIP_SCHEME, "")
+    ).join(F.broadcast(seq_df), "__path", "left")
+    by_keys: dict[tuple, list[dict]] = {}
+    for e in entries:
+        by_keys.setdefault(tuple(e["keys"]), []).append(e)
+    for keys, group in by_keys.items():
+        dele = None
+        for e in group:
+            part = (
+                spark.read.parquet(e["path"])
+                .select(*keys)
+                .withColumn("__dseq", F.lit(int(e["seq"])))
+            )
+            dele = part if dele is None else dele.unionByName(part)
+        cond = _and_all(
+            [out[k].eqNullSafe(dele[k]) for k in keys]
+            + [dele["__dseq"] > out["__fseq"]]
+        )
+        out = out.join(F.broadcast(dele), on=cond, how="left_anti")
+    return out.select(*cols)
+
+
+def _and_all(conds):
+    import functools
+
+    return functools.reduce(lambda a, b: a & b, conds)
+
+
 def read_snapshot(
     spark: SparkSession, table: str, version: int | None = None
 ) -> DataFrame:
     """Read the table at ``version`` (default: latest). Time travel = pin an
     older version. Outstanding merge-on-read position deletes
-    (``delete_where_mor``) are applied as an anti join."""
+    (``delete_where_mor``) and equality deletes (``delete_keys_mor`` /
+    ``upsert_keys_mor``) are applied as anti joins."""
     cur = current_version(table)
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table}")
@@ -313,7 +398,8 @@ def read_snapshot(
     # pre-evolution version still shows the narrow schema, because only
     # that version's files are listed.
     df = spark.read.option("mergeSchema", "true").parquet(*files)
-    return _apply_position_deletes(spark, df, _manifest_deletes(m))
+    df = _apply_position_deletes(spark, df, _manifest_deletes(m))
+    return _apply_equality_deletes(spark, df, m)
 
 
 def history(table: str) -> list[dict]:
@@ -340,6 +426,7 @@ def vacuum(table: str, retain_last: int = 1) -> int:
         m = _read_manifest(table, v)
         live.update(m["files"])
         live.update(_manifest_deletes(m))  # MOR sidecars are data too
+        live.update(e["path"] for e in _manifest_eq_deletes(m))
     deleted = 0
     data_root = os.path.join(table, DATA_DIR)
     for root, _dirs, files in os.walk(data_root):
@@ -481,6 +568,9 @@ def delete_where_mor(spark: SparkSession, table: str, predicate) -> dict:
             .distinct()
         )
         scan = scan.join(dv, ["__f", "__p"], "left_anti")
+    # equality deletes too: already-dead rows must not re-enter a sidecar
+    # (reads wouldn't care, but counts would lie and sidecars would bloat)
+    scan = _apply_equality_deletes(spark, scan, m, file_uri_col="__f")
     matched = scan.filter(hit).select(
         F.col("__f").alias("file"), F.col("__p").alias("pos")
     )
@@ -496,7 +586,8 @@ def delete_where_mor(spark: SparkSession, table: str, predicate) -> dict:
         }
     version = cur + 1
     _publish(
-        table, version, files, "delete-mor", delete_files=dvs + new_dv
+        table, version, files, "delete-mor", delete_files=dvs + new_dv,
+        eq_deletes=_manifest_eq_deletes(m),
     )
     return {
         "version": version,
@@ -504,6 +595,192 @@ def delete_where_mor(spark: SparkSession, table: str, predicate) -> dict:
         "rows_deleted": n,
         "delete_files": len(dvs) + len(new_dv),
     }
+
+
+def delete_keys_mor(
+    spark: SparkSession,
+    table: str,
+    keys_df: DataFrame,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Row-level DELETE BY KEY with ZERO table scan (Iceberg v2 equality
+    deletes — what a CDC consumer needs to tombstone keys at wire speed):
+    the key values are written as a sidecar and the commit records which
+    columns they match on; readers drop any matching row in files older
+    than the delete. Nothing is read, nothing is rewritten — the delete
+    costs O(|keys|) regardless of table size.
+
+    ``keys_df``'s columns define the equality key set. ``txn`` gives the
+    exactly-once replay protocol. Maintenance: ``convert_equality_deletes``
+    turns these into position sidecars (one scan), ``compact_deletes``
+    folds everything back into data files."""
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    if txn is not None:
+        last = last_committed_batch(table, txn[0])
+        if last is not None and int(txn[1]) <= last:
+            return {"version": cur, "operation": "delete-keys", "replayed": True}
+    m = _read_manifest(table, cur)
+    key_cols = list(keys_df.columns)
+    sidecars = _write_data_files(keys_df.dropDuplicates(key_cols), table)
+    version = cur + 1
+    entries = _manifest_eq_deletes(m) + [
+        {"path": p, "keys": key_cols, "seq": version} for p in sidecars
+    ]
+    _publish(
+        table, version, m["files"], "delete-keys", txn=txn,
+        delete_files=_manifest_deletes(m), eq_deletes=entries,
+    )
+    return {
+        "version": version,
+        "operation": "delete-keys",
+        "eq_delete_files": len(entries),
+    }
+
+
+def upsert_keys_mor(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Streaming-grade UPSERT, merge-on-read: ONE atomic commit carrying
+    (a) an equality-delete sidecar for the source keys and (b) the source
+    rows as new data files. The delete's sequence equals the commit's, and
+    equality deletes only reach files with LOWER sequence — so the commit
+    kills every older occurrence of each key while its own rows survive
+    (the exact Iceberg v2 sequence-number construction Flink's upsert
+    writer uses). Cost: O(|source|) written bytes, zero read, zero
+    rewrite — vs ``merge_into``'s CoW rewrite of every touched file;
+    the read-side anti join is the deferred price until maintenance.
+
+    The source must be key-unique (enforced, same contract as merge_into).
+    ``txn`` → exactly-once under micro-batch replay."""
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    if txn is not None:
+        last = last_committed_batch(table, txn[0])
+        if last is not None and int(txn[1]) <= last:
+            return {"version": cur, "operation": "upsert-keys", "replayed": True}
+    src = source.persist()
+    try:
+        n_src = src.count()
+        if src.select(*keys).distinct().count() != n_src:
+            raise ValueError(f"upsert source is not unique on {keys}")
+        m = _read_manifest(table, cur)
+        sidecars = _write_data_files(src.select(*keys), table)
+        data_files = _write_data_files(src, table)
+        cons = table_constraints(table)
+        if cons:
+            check_constraints(spark.read.parquet(*data_files), cons)
+        version = cur + 1
+        entries = _manifest_eq_deletes(m) + [
+            {"path": p, "keys": list(keys), "seq": version} for p in sidecars
+        ]
+        _publish(
+            table, version, m["files"] + data_files, "upsert-keys", txn=txn,
+            delete_files=_manifest_deletes(m), eq_deletes=entries,
+        )
+        return {
+            "version": version,
+            "operation": "upsert-keys",
+            "rows_upserted": n_src,
+            "eq_delete_files": len(entries),
+        }
+    finally:
+        src.unpersist()
+
+
+def convert_equality_deletes(spark: SparkSession, table: str) -> dict:
+    """Resolve equality deletes into position sidecars (Iceberg's
+    eq-delete → pos-delete maintenance): the scan the wire-speed delete
+    deferred happens here, once, batched across all outstanding entries —
+    after which scans drop the per-key anti joins and the table is one
+    ``compact_deletes`` away from plain files. No-op without eq deletes."""
+    import pyspark.sql.functions as F
+
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    m = _read_manifest(table, cur)
+    entries = _manifest_eq_deletes(m)
+    if not entries:
+        return {"version": cur, "operation": "convert-eq-deletes", "converted": 0}
+    # rows the equality deletes kill = full read minus read-without-eq:
+    # compute directly by flagging instead, to keep one scan: a row dies
+    # iff it survives position deletes but not the full read. Equivalent
+    # and simpler: positions of (pos-delete survivors) minus (full-read
+    # survivors) — both anti joins over the same base scan.
+    base = (
+        spark.read.option("mergeSchema", "true").parquet(*m["files"])
+        .withColumn("__f", F.col("_metadata.file_path"))
+        .withColumn("__p", F.col("_metadata.row_index"))
+    )
+    pos_surv = base
+    dvs = _manifest_deletes(m)
+    if dvs:
+        dv = (
+            spark.read.parquet(*dvs)
+            .select(F.col("file").alias("__f"), F.col("pos").alias("__p"))
+            .distinct()
+        )
+        pos_surv = base.join(dv, ["__f", "__p"], "left_anti")
+    eq_killed = _apply_equality_deletes(
+        spark,
+        pos_surv.withColumnRenamed("__f", "__keep_f").withColumnRenamed(
+            "__p", "__keep_p"
+        ),
+        m,
+        file_uri_col="__keep_f",
+    )
+    # _apply_equality_deletes preserved our renamed position columns; the
+    # killed set = pos survivors minus eq survivors, keyed by position
+    killed = pos_surv.select(
+        F.col("__f").alias("file"), F.col("__p").alias("pos")
+    ).exceptAll(
+        eq_killed.select(
+            F.col("__keep_f").alias("file"), F.col("__keep_p").alias("pos")
+        )
+    )
+    new_dv = _write_data_files(killed, table)
+    version = cur + 1
+    _publish(
+        table, version, m["files"], "convert-eq-deletes",
+        delete_files=dvs + new_dv,
+    )
+    return {
+        "version": version,
+        "operation": "convert-eq-deletes",
+        "converted": len(entries),
+    }
+
+
+def restore_version(spark: SparkSession, table: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION (Delta RESTORE): republish an older
+    version's file list (and delete-sidecar state) as the NEW head — one
+    metadata commit, no data movement; the rolled-back versions remain
+    time-travelable until vacuum. Refuses if the restored contents violate
+    the head's CURRENT constraint set (constraints are table metadata and
+    survive the restore)."""
+    vs = _versions(table)
+    if version not in vs:
+        raise FileNotFoundError(
+            f"version {version} not present at {table} (vacuumed?)"
+        )
+    target = _read_manifest(table, version)
+    cons = table_constraints(table)
+    if cons:
+        check_constraints(read_snapshot(spark, table, version=version), cons)
+    new_version = vs[-1] + 1
+    _publish(
+        table, new_version, target["files"], "restore",
+        delete_files=_manifest_deletes(target),
+        eq_deletes=_manifest_eq_deletes(target),
+    )
+    return new_version
 
 
 def compact_deletes(spark: SparkSession, table: str) -> dict:
@@ -520,6 +797,12 @@ def compact_deletes(spark: SparkSession, table: str) -> dict:
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table}")
     m = _read_manifest(table, cur)
+    if _manifest_eq_deletes(m):
+        # equality deletes resolve to position sidecars first (one scan),
+        # then fold in with the rest below
+        convert_equality_deletes(spark, table)
+        cur = current_version(table)
+        m = _read_manifest(table, cur)
     files, dvs = m["files"], _manifest_deletes(m)
     if not dvs:
         return {
@@ -803,6 +1086,7 @@ def set_constraints(spark: SparkSession, table: str, constraints: dict[str, str]
     _publish(
         table, version, head_m["files"], "set_constraints",
         constraints=constraints, delete_files=_manifest_deletes(head_m),
+        eq_deletes=_manifest_eq_deletes(head_m),
     )
     return version
 
@@ -1057,6 +1341,13 @@ def table_changes(
             raise FileNotFoundError(f"version {v} not present at {table}")
     m_old = _read_manifest(table, from_version)
     m_new = _read_manifest(table, to_version)
+    for mm, vv in ((m_old, from_version), (m_new, to_version)):
+        if _manifest_eq_deletes(mm):
+            raise ValueError(
+                f"table_changes over {table} v{vv}: outstanding equality "
+                "deletes — run convert_equality_deletes(spark, table) "
+                "first (position-delete feeds are fully supported)"
+            )
     f_old, f_new = set(m_old["files"]), set(m_new["files"])
     d_old, d_new = _manifest_deletes(m_old), _manifest_deletes(m_new)
     removed, added = sorted(f_old - f_new), sorted(f_new - f_old)

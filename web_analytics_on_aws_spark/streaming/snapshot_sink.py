@@ -97,6 +97,7 @@ def start_snapshot_upsert(
     app_id: str = "snapshot-upsert",
     available_now: bool = False,
     trigger_seconds: int | None = 60,
+    mode: str = "cow",
 ) -> StreamingQuery:
     """Streaming MERGE into a snapshot table: landing → validate (iceberg
     dialect) → last-write-wins within the batch → ``snapshots.merge_into``
@@ -109,7 +110,16 @@ def start_snapshot_upsert(
     ``operation: update``, firehose_to_iceberg_transformer.py:114-138)
     committed through the snapshot format's MERGE instead of partition
     overwrite. ``unique_keys=None`` degrades to the plain exactly-once
-    append sink semantics."""
+    append sink semantics.
+
+    ``mode="mor"`` commits each batch through
+    ``snapshots.upsert_keys_mor`` instead — ONE atomic commit carrying an
+    equality-delete sidecar + the batch's rows (Iceberg v2 / Flink upsert
+    writer shape): zero read, zero rewrite per batch, which is what keeps
+    a 60 s-trigger upsert stream affordable when the table is 100 TB —
+    merge_into's per-batch CoW rewrite cost grows with the touched file
+    set, the MOR commit stays O(|batch|). Schedule ``compact_deletes`` to
+    fold sidecars back in."""
     from web_analytics_on_aws_spark.operators.upsert import (
         DEFAULT_UNIQUE_KEYS,
         dedup_batch,
@@ -146,6 +156,10 @@ def start_snapshot_upsert(
                 return
             if snapshots.current_version(table) is None:
                 snapshots.commit_append(typed, table, txn=(app_id, batch_id))
+            elif mode == "mor":
+                snapshots.upsert_keys_mor(
+                    spark, table, typed, keys, txn=(app_id, batch_id)
+                )
             else:
                 snapshots.merge_into(
                     spark, table, typed, keys, txn=(app_id, batch_id)
