@@ -127,6 +127,7 @@ def _publish(
     constraints: dict[str, str] | None = None,
     delete_files: list[str] | None = None,
     eq_deletes: list[dict] | None = None,
+    file_seq: dict[str, int] | None = None,
 ) -> None:
     os.makedirs(os.path.join(table, MANIFEST_DIR), exist_ok=True)
     body = {"version": version, "operation": op, "files": sorted(files)}
@@ -138,6 +139,7 @@ def _publish(
     # carried forward on every commit, so the head always knows them.
     prev_constraints: dict[str, str] = {}
     prev_file_seq: dict[str, int] = {}
+    prev_files: set[str] = set()
     # Exactly-once stamps survive vacuum: every manifest carries the full
     # per-app txn map forward (merged from the predecessor), so replay
     # detection never depends on aged-out history. Rewrites (overwrite/DML/
@@ -149,6 +151,7 @@ def _publish(
             txns = _manifest_txns(prev)
             prev_constraints = prev.get("constraints", {})
             prev_file_seq = _manifest_file_seq(prev)
+            prev_files = set(prev.get("files", []))
         except FileNotFoundError:
             # predecessor manifest missing (e.g. manual cleanup outside
             # vacuum's contract) — fall back to the
@@ -158,10 +161,25 @@ def _publish(
                 txns = _manifest_txns(prev)
                 prev_constraints = prev.get("constraints", {})
                 prev_file_seq = _manifest_file_seq(prev)
+                prev_files = set(prev.get("files", []))
     # Sequence stamping: carried files keep their original commit seq, new
     # files get THIS version — the ordering equality deletes resolve
-    # against (delete seq > file seq ⇒ the delete applies).
-    body["file_seq"] = {f: prev_file_seq.get(f, version) for f in files}
+    # against (delete seq > file seq ⇒ the delete applies). A carried file
+    # with no recorded seq (pre-sequence manifest) stamps as version-1:
+    # provably OLDER than this commit, so a same-commit equality delete
+    # still reaches it. Callers may pass an explicit ``file_seq`` override
+    # (restore_version re-pins the restored state's sequences — restamping
+    # restored files as new would detach them from carried eq deletes).
+    override = file_seq or {}
+
+    def _seq(f: str) -> int:
+        if f in override:
+            return int(override[f])
+        if f in prev_file_seq:
+            return prev_file_seq[f]
+        return version - 1 if f in prev_files else version
+
+    body["file_seq"] = {f: _seq(f) for f in files}
     if txn is not None:
         app, batch = txn[0], int(txn[1])
         txns[app] = max(txns.get(app, batch), batch)
@@ -298,13 +316,19 @@ def commit_overwrite(
 
 
 def _apply_position_deletes(
-    spark: SparkSession, df: DataFrame, delete_files: list[str]
+    spark: SparkSession,
+    df: DataFrame,
+    delete_files: list[str],
+    file_uri_col: str | None = None,
+    pos_col: str | None = None,
 ) -> DataFrame:
     """Anti-join a scan against the table's position-delete sidecars
     (merge-on-read): each sidecar row is (file URI, row position) exactly
     as Spark's ``_metadata`` columns render them, so the join keys need no
     normalization. Cost: one anti join bounded by |deleted rows| — AQE
-    broadcasts the delete side while it is small."""
+    broadcasts the delete side while it is small. Derived frames (where
+    ``_metadata`` no longer resolves) pass pre-materialized URI/position
+    columns."""
     import pyspark.sql.functions as F
 
     if not delete_files:
@@ -315,9 +339,16 @@ def _apply_position_deletes(
         .select(F.col("file").alias("__dv_f"), F.col("pos").alias("__dv_p"))
         .distinct()
     )
+    f_src = (
+        F.col("_metadata.file_path") if file_uri_col is None
+        else F.col(file_uri_col)
+    )
+    p_src = (
+        F.col("_metadata.row_index") if pos_col is None else F.col(pos_col)
+    )
     return (
-        df.withColumn("__dv_f", F.col("_metadata.file_path"))
-        .withColumn("__dv_p", F.col("_metadata.row_index"))
+        df.withColumn("__dv_f", f_src)
+        .withColumn("__dv_p", p_src)
         .join(dv, ["__dv_f", "__dv_p"], "left_anti")
         .select(*cols)
     )
@@ -398,8 +429,23 @@ def read_snapshot(
     # pre-evolution version still shows the narrow schema, because only
     # that version's files are listed.
     df = spark.read.option("mergeSchema", "true").parquet(*files)
-    df = _apply_position_deletes(spark, df, _manifest_deletes(m))
-    return _apply_equality_deletes(spark, df, m)
+    dvs, eqs = _manifest_deletes(m), _manifest_eq_deletes(m)
+    if not dvs and not eqs:
+        return df
+    import pyspark.sql.functions as F
+
+    # materialize the metadata pseudo-columns ONCE on the raw scan — they
+    # stop resolving after the first projection, and both delete kinds
+    # need them
+    cols = df.columns
+    scan = df.withColumn("__mf", F.col("_metadata.file_path")).withColumn(
+        "__mp", F.col("_metadata.row_index")
+    )
+    scan = _apply_position_deletes(
+        spark, scan, dvs, file_uri_col="__mf", pos_col="__mp"
+    )
+    scan = _apply_equality_deletes(spark, scan, m, file_uri_col="__mf")
+    return scan.select(*cols)
 
 
 def history(table: str) -> list[dict]:
@@ -779,6 +825,7 @@ def restore_version(spark: SparkSession, table: str, version: int) -> int:
         table, new_version, target["files"], "restore",
         delete_files=_manifest_deletes(target),
         eq_deletes=_manifest_eq_deletes(target),
+        file_seq=_manifest_file_seq(target),
     )
     return new_version
 
