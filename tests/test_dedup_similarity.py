@@ -392,3 +392,29 @@ def test_ivfpq_sims_are_exact_cosines(spark):
         na = math.sqrt(sum(x * x for x in a))
         nb = math.sqrt(sum(x * x for x in b))
         assert abs(r["sim"] - round(dot / (na * nb), 6)) < 1e-9
+
+
+def test_hard_negative_topk_excludes_same_label_and_reranks_brute(spark):
+    """Hard-negative mining ≡ brute-force top-k restricted to other-label
+    candidates; never emits the query itself or its own label."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    out = similarity.hard_negative_topk(emb, queries, k=5).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    by_q = {}
+    for r in out:
+        assert r["vec_id"] != r["query_id"]
+        assert r["neg_label"] == labels[r["vec_id"]] != labels[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["sim"]))
+    # against brute force over the pre-filtered candidate set
+    for qid, rows in by_q.items():
+        cand = emb.filter(F.col("label") != F.lit(labels[qid]))
+        q1 = queries.filter(F.col("query_id") == qid).select("query_id", "qv")
+        brute = similarity.brute_force_topk(cand, q1, k=5).collect()
+        assert sorted(rows) == sorted(
+            (r["rank"], r["vec_id"], r["sim"]) for r in brute
+        )

@@ -80,6 +80,52 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR / Contriever
+    recipe, Karpukhin et al. 2020): for each query vector, the top-k most
+    COSINE-SIMILAR candidates whose ``label_col`` DIFFERS from the query's
+    — near-but-wrong examples, the negatives that actually move a
+    contrastive loss (random negatives are trivially separable).
+
+    ``queries``: (query_id, qv, qlabel) — broadcast-small, same contract
+    as ``brute_force_topk``. Plan: one corpus pass, map-side score against
+    the broadcast queries, label inequality fused into the join filter
+    (pruned before any ranking state), per-query top-k window. At 100 TB
+    swap the corpus pass for an IVF/LSH candidate stage and keep this as
+    the re-rank — the output contract is identical.
+
+    Output: (query_id, vec_id, neg_label, sim, rank), rank 1..k.
+    """
+    prepped = _with_prep(corpus, vec_col, "__dv", "__nrm")
+    q = _with_prep(queries, "qv", "__qdv", "__qnrm")
+    scored = (
+        prepped.join(F.broadcast(q))
+        .filter(
+            (F.col(id_col) != F.col(query_id_col))
+            & (F.col(label_col) != F.col("qlabel"))
+        )
+        .select(
+            query_id_col,
+            id_col,
+            F.col(label_col).alias("neg_label"),
+            _pair_sim("__dv", "__nrm", "__qdv", "__qnrm").alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 _SRP_SEED = 0x5EED
 
 

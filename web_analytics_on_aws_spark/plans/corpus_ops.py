@@ -21,6 +21,7 @@ from web_analytics_on_aws_spark.operators import cdc, similarity, text
 from web_analytics_on_aws_spark.plans import query
 from web_analytics_on_aws_spark.plans.pipeline_ops import (
     _ANN_AUDIT_ORACLE,
+    ANN_QUERY_IDS,
     _ann_audit,
     _ann_queries,
 )
@@ -979,6 +980,41 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = probe_ivf_index(spark, table, q, k=5, nprobe=4)
     exact = similarity.brute_force_topk(emb, q, k=5)
     return _ann_audit(approx, exact)
+
+
+@query(
+    "pipeline_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+             label AS qlabel
+      FROM embeddings WHERE vec_id IN ({', '.join(map(str, ANN_QUERY_IDS))})
+    ), scored AS (
+      SELECT q.query_id, e.vec_id, e.label AS neg_label,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+    ), ranked AS (
+      SELECT query_id, vec_id, neg_label, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, neg_label, sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR/Contriever):
+    per query vector, the top-5 most-similar DIFFERENT-label candidates —
+    see similarity.hard_negative_topk for the plan shape. Exact oracle
+    (rounded cosine, integer ids/labels)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    return similarity.hard_negative_topk(emb, queries, k=5)
 
 
 @query("ann_ivf_topk_indexed_raw")
