@@ -50,3 +50,26 @@ def test_cli_snapshot_missing_arg3_is_usage_error(spark, tmp_path, capsys):
     assert main(["snapshot", t, "changes", "notanint"]) == 2
     err = capsys.readouterr().err
     assert "usage" in err and "integer" in err
+
+
+def test_cli_snapshot_mor_subcommands(spark, tmp_path, capsys):
+    """delete_files metadata view + restore + compact-deletes through the
+    CLI surface."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        commit_append,
+        delete_where_mor,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(spark.range(10).coalesce(1), t)
+    delete_where_mor(spark, t, "id < 4")
+    assert main(["snapshot", t, "delete_files"]) == 0
+    out = capsys.readouterr().out
+    assert "position" in out
+    assert main(["snapshot", t, "compact-deletes"]) == 0
+    assert read_snapshot(spark, t).count() == 6
+    assert main(["snapshot", t, "restore", "1"]) == 0
+    assert read_snapshot(spark, t).count() == 10
+    assert main(["snapshot", t, "restore"]) == 2  # missing version
+    assert main(["snapshot", t, "restore", "xx"]) == 2

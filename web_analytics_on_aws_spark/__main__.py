@@ -155,11 +155,13 @@ def _demo(workdir: str | None) -> int:
 def _snapshot_cmd(args) -> int:
     """Inspection + maintenance over an ACID snapshot table:
 
-        ... snapshot <path> history|snapshots|files|partitions
+        ... snapshot <path> history|snapshots|files|partitions|delete_files
         ... snapshot <path> changes <from-version>
         ... snapshot <path> zorder col1,col2
         ... snapshot <path> bloom  col1,col2
         ... snapshot <path> vacuum [retain_last]
+        ... snapshot <path> restore <version>
+        ... snapshot <path> compact-deletes
     """
     from web_analytics_on_aws_spark.session import get_spark
     from web_analytics_on_aws_spark.sources import snapshots
@@ -170,12 +172,13 @@ def _snapshot_cmd(args) -> int:
     path, sub = args.arg, args.arg2
     # changes/zorder/bloom require the third argument; fail with the usage
     # message, not an AttributeError traceback (ADVICE r2)
-    if sub in ("changes", "zorder", "bloom") and not args.arg3:
-        needs = {"changes": "<from-version>", "zorder": "<cols>", "bloom": "<cols>"}
+    if sub in ("changes", "zorder", "bloom", "restore") and not args.arg3:
+        needs = {"changes": "<from-version>", "zorder": "<cols>",
+                 "bloom": "<cols>", "restore": "<version>"}
         print(f"usage: snapshot <path> {sub} {needs[sub]}", file=sys.stderr)
         return 2
-    if sub == "changes" and not args.arg3.lstrip("-").isdigit():
-        print(f"snapshot changes: from-version must be an integer, got "
+    if sub in ("changes", "restore") and not args.arg3.lstrip("-").isdigit():
+        print(f"snapshot {sub}: version must be an integer, got "
               f"{args.arg3!r}", file=sys.stderr)
         return 2
     if sub == "vacuum":
@@ -184,8 +187,12 @@ def _snapshot_cmd(args) -> int:
         return 0
     spark = get_spark(app_name="snapshot-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    if sub in ("history", "snapshots", "files", "partitions"):
+    if sub in ("history", "snapshots", "files", "partitions", "delete_files"):
         snapshots.metadata_table(spark, path, sub).show(args.limit, truncate=False)
+    elif sub == "restore":
+        print({"version": snapshots.restore_version(spark, path, int(args.arg3))})
+    elif sub == "compact-deletes":
+        print(snapshots.compact_deletes(spark, path))
     elif sub == "changes":
         snapshots.table_changes(spark, path, int(args.arg3)).show(
             args.limit, truncate=False

@@ -1218,7 +1218,31 @@ def metadata_table(spark: SparkSession, table: str, kind: str) -> DataFrame:
             cols = "version long, operation string, n_files long, total_bytes long"
         return spark.createDataFrame(rows, cols)
 
-    head = _read_manifest(table, vs[-1])["files"]
+    head_m = _read_manifest(table, vs[-1])
+    head = head_m["files"]
+    if kind == "delete_files":
+        # Iceberg's "table$delete_files" analog: one row per outstanding
+        # merge-on-read sidecar (position or equality), footer-only stats
+        rows = []
+        for f in _manifest_deletes(head_m):
+            n_rows, n_bytes = _footer(f)
+            rows.append(
+                {"file_path": f, "delete_type": "position",
+                 "record_count": n_rows, "file_size_bytes": n_bytes,
+                 "keys": None, "seq": None}
+            )
+        for e in _manifest_eq_deletes(head_m):
+            n_rows, n_bytes = _footer(e["path"])
+            rows.append(
+                {"file_path": e["path"], "delete_type": "equality",
+                 "record_count": n_rows, "file_size_bytes": n_bytes,
+                 "keys": ",".join(e["keys"]), "seq": int(e["seq"])}
+            )
+        return spark.createDataFrame(
+            rows,
+            "file_path string, delete_type string, record_count long, "
+            "file_size_bytes long, keys string, seq long",
+        )
     if kind == "files":
         rows = []
         for f in head:
