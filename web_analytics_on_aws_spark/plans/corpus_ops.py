@@ -983,6 +983,64 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "curation_token_budget_mix",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY source
+    ), n AS (SELECT COUNT(*) AS n_sources FROM per_source)
+    SELECT source, n_docs, avail_tokens,
+           CAST(100000 // n.n_sources AS BIGINT) AS target_tokens,
+           ROUND(CAST(100000 // n.n_sources AS DOUBLE) / avail_tokens, 6)
+             AS epochs,
+           CAST(least(avail_tokens, 100000 // n.n_sources) AS BIGINT)
+             AS realized_tokens
+    FROM per_source CROSS JOIN n
+    """,
+)
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture allocation (the LLaMA/DoReMi-style data-mixing
+    planner): given a total training budget (100 k tokens here) split
+    uniformly across sources, report each source's available tokens, its
+    target share, the epoch multiplier a sampler would need (epochs > 1 ⇒
+    the source repeats, the signal to cap or re-weight), and the realized
+    no-upsampling allocation. One partial-agg shuffle on the source key;
+    the source-count scalar joins as a broadcast 1-row aggregate. All
+    integer arithmetic except the rounded epochs ratio — exact
+    cross-engine."""
+    from web_analytics_on_aws_spark.functions import token_count
+
+    budget = 100_000
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("avail_tokens"),
+    )
+    n = per_source.agg(F.count("*").alias("n_sources"))
+    return (
+        per_source.crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            (F.lit(budget) / F.col("n_sources")).cast("bigint")
+            .alias("target_tokens"),
+            F.round(
+                (F.lit(budget) / F.col("n_sources")).cast("bigint")
+                .cast("double") / F.col("avail_tokens"),
+                6,
+            ).alias("epochs"),
+            F.least(
+                F.col("avail_tokens"),
+                (F.lit(budget) / F.col("n_sources")).cast("bigint"),
+            ).cast("bigint").alias("realized_tokens"),
+        )
+    )
+
+
+@query(
     "pipeline_hard_negatives",
     oracle=f"""
     WITH q AS (
