@@ -384,3 +384,30 @@ def test_restore_preserves_equality_delete_semantics(spark, tmp_path):
     restore_version(spark, t, v_up)
     got = {r["id"]: r["val"] for r in read_snapshot(spark, t).collect()}
     assert got == {1: "NEW"}  # not "old" — eq delete still beats the base file
+
+
+def test_maintain_table_tick_thresholds_and_composes(spark, tmp_path):
+    """The one-call table service: under-threshold sidecars are left in
+    place (and block optimize), over-threshold ticks compact then
+    optimize; a clean tick no-ops; vacuum stage composes."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        _manifest_eq_deletes,
+        maintain_table,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(3):  # small files the optimizer wants to merge
+        commit_append(spark.range(i * 10, i * 10 + 10).coalesce(1), t)
+    delete_where_mor(spark, t, "id = 1")
+    out = maintain_table(spark, t, max_delete_files=8)
+    assert "compact_deletes" not in out and "optimize" not in out
+    out = maintain_table(spark, t, max_delete_files=0)
+    assert out["compact_deletes"]["files_rewritten"] == 1
+    assert out["optimize"]["rewritten"] >= 2
+    assert _ids(spark, t) == sorted(set(range(30)) - {1})
+    m = _read_manifest(t, current_version(t))
+    assert _manifest_deletes(m) == [] and _manifest_eq_deletes(m) == []
+    out = maintain_table(spark, t, max_delete_files=0, vacuum_retain=1)
+    assert out["optimize"]["rewritten"] == 0  # already compacted
+    assert out["vacuum"]["deleted_files"] > 0
+    assert _ids(spark, t) == sorted(set(range(30)) - {1})

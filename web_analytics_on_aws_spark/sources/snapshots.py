@@ -1100,6 +1100,47 @@ def optimize(
     return {"version": version, "rewritten": len(small), "kept": len(kept)}
 
 
+def maintain_table(
+    spark: SparkSession,
+    table: str,
+    max_delete_files: int = 8,
+    small_file_mb: float = 8.0,
+    min_small_files: int = 2,
+    vacuum_retain: int | None = None,
+) -> dict:
+    """One scheduled maintenance tick — the table service Iceberg/Delta
+    deployments run on a timer, as a single idempotent call:
+
+    1. if outstanding merge-on-read sidecars exceed ``max_delete_files``,
+       fold them in (``compact_deletes``, auto-converting equality
+       deletes) — bounds the read-side anti-join cost;
+    2. if the table is sidecar-free, rewrite small files (``optimize``;
+       no-ops on well-compacted tables);
+    3. optionally age out old versions (``vacuum`` with
+       ``vacuum_retain``).
+
+    A table under threshold skips straight through — safe to schedule
+    every few minutes next to a streaming MOR upsert sink. Returns what
+    each stage did."""
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    out: dict = {}
+    m = _read_manifest(table, cur)
+    n_sidecars = len(_manifest_deletes(m)) + len(_manifest_eq_deletes(m))
+    if n_sidecars > max_delete_files:
+        out["compact_deletes"] = compact_deletes(spark, table)
+        m = _read_manifest(table, current_version(table))
+    if not (_manifest_deletes(m) or _manifest_eq_deletes(m)):
+        out["optimize"] = optimize(
+            spark, table, small_file_mb=small_file_mb,
+            min_small_files=min_small_files,
+        )
+    if vacuum_retain is not None:
+        out["vacuum"] = {"deleted_files": vacuum(table, retain_last=vacuum_retain)}
+    return out
+
+
 class ConstraintViolation(ValueError):
     """A commit's data failed a table CHECK constraint."""
 
