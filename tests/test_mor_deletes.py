@@ -411,3 +411,122 @@ def test_maintain_table_tick_thresholds_and_composes(spark, tmp_path):
     assert out["optimize"]["rewritten"] == 0  # already compacted
     assert out["vacuum"]["deleted_files"] > 0
     assert _ids(spark, t) == sorted(set(range(30)) - {1})
+
+
+# --- review-pass regressions (round 3) ------------------------------------
+
+
+def test_delete_keys_mor_rejects_unknown_key_column(spark, two_file_table):
+    """A typo'd key column must fail BEFORE commit — not poison every
+    subsequent read."""
+    from web_analytics_on_aws_spark.sources.snapshots import delete_keys_mor
+
+    t = two_file_table
+    with pytest.raises(ValueError, match="not in table schema"):
+        delete_keys_mor(spark, t, spark.createDataFrame([(1,)], "idd long"))
+    assert _ids(spark, t) == list(range(20))  # table unharmed
+
+
+def test_upsert_keys_mor_drops_extra_and_rejects_lacking_columns(spark, tmp_path):
+    from web_analytics_on_aws_spark.sources.snapshots import upsert_keys_mor
+
+    t = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame([(1, "a")], "id long, val string").coalesce(1), t
+    )
+    upsert_keys_mor(
+        spark, t,
+        spark.createDataFrame(
+            [(1, "A", "EXTRA")], "id long, val string, extra string"
+        ),
+        ["id"],
+    )
+    out = read_snapshot(spark, t)
+    assert sorted(out.columns) == ["id", "val"]  # same contract as merge_into
+    with pytest.raises(ValueError, match="lacks table columns"):
+        upsert_keys_mor(spark, t, spark.createDataFrame([(2,)], "id long"), ["id"])
+
+
+def test_absent_key_delete_never_wedges_maintenance(spark, two_file_table):
+    """Deleting keys that match nothing (a routine CDC tombstone) must not
+    leave a sidecar compaction can never fold in."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        _manifest_eq_deletes,
+        delete_keys_mor,
+    )
+
+    t = two_file_table
+    delete_keys_mor(spark, t, spark.createDataFrame([(999,)], "id long"))
+    res = compact_deletes(spark, t)  # auto-converts; must not crash
+    m = _read_manifest(t, current_version(t))
+    assert _manifest_deletes(m) == [] and _manifest_eq_deletes(m) == []
+    assert _ids(spark, t) == list(range(20))
+    # CoW DML eligible again
+    assert delete_where(spark, t, "id = 0")["rows_matched"] == 1
+
+
+def test_restore_undelete_surfaces_as_cdf_inserts(spark, two_file_table):
+    """Rolling back a MOR delete (same file list, sidecar dropped) must
+    emit INSERT events for the re-lived rows — an empty feed would leave
+    incremental consumers permanently under-counting."""
+    from web_analytics_on_aws_spark.sources.snapshots import restore_version
+
+    t = two_file_table
+    v_clean = current_version(t)
+    delete_where_mor(spark, t, "id IN (4, 14)")
+    v_del = current_version(t)
+    restore_version(spark, t, v_clean)
+    ch = table_changes(spark, t, v_del).collect()
+    assert sorted((r["id"], r["_change_type"]) for r in ch) == [
+        (4, "insert"), (14, "insert"),
+    ]
+
+
+def test_changes_stream_restore_undelete_inserts(spark, two_file_table):
+    from web_analytics_on_aws_spark.sources.changes_stream_datasource import (
+        SnapshotChangesDataSource,
+    )
+    from web_analytics_on_aws_spark.sources.snapshots import restore_version
+
+    t = two_file_table
+    v_clean = current_version(t)
+    delete_where_mor(spark, t, "id = 6")
+    v_del = current_version(t)
+    restore_version(spark, t, v_clean)
+    spark.dataSource.register(SnapshotChangesDataSource)
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", t)
+        .option("startingVersion", str(v_del))
+        .load()
+        .writeStream.format("memory")
+        .queryName("undelete_changes")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT id, _change_type FROM undelete_changes").collect()
+    assert sorted((r["id"], r["_change_type"]) for r in rows) == [(6, "insert")]
+
+
+def test_streaming_sink_mode_validated(spark, tmp_path):
+    from web_analytics_on_aws_spark.streaming.snapshot_sink import (
+        start_snapshot_upsert,
+    )
+
+    with pytest.raises(ValueError, match="cow.*mor|mor.*cow"):
+        start_snapshot_upsert(
+            spark, str(tmp_path / "l"), str(tmp_path / "t"),
+            str(tmp_path / "e"), str(tmp_path / "c"), mode="MOR",
+        )
+
+
+def test_eq_deletes_work_on_path_with_space(spark, tmp_path):
+    """Percent-encoded _metadata paths must round-trip (url_decode) — a
+    space in the table path previously disabled equality deletes silently."""
+    from web_analytics_on_aws_spark.sources.snapshots import delete_keys_mor
+
+    t = str(tmp_path / "my table" / "t")
+    commit_append(spark.range(10).coalesce(1), t)
+    delete_keys_mor(spark, t, spark.createDataFrame([(3,)], "id long"))
+    assert _ids(spark, t) == sorted(set(range(10)) - {3})

@@ -181,6 +181,10 @@ def _snapshot_cmd(args) -> int:
         print(f"snapshot {sub}: version must be an integer, got "
               f"{args.arg3!r}", file=sys.stderr)
         return 2
+    if sub == "vacuum" and args.arg3 and not args.arg3.isdigit():
+        print(f"snapshot vacuum: retain_last must be an integer, got "
+              f"{args.arg3!r}", file=sys.stderr)
+        return 2
     if sub == "vacuum":
         n = snapshots.vacuum(path, retain_last=int(args.arg3 or 1))
         print({"deleted_files": n})

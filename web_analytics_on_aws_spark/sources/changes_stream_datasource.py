@@ -149,20 +149,25 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         for row, n in (old - new).items():
             for _ in range(n):
                 yield (*row, "delete", v_to)
-        # MOR deletes added in the window on files present in BOTH versions:
-        # materialize exactly those positions as delete events
-        added = {
-            p: dv_new.get(p, set()) - dv_old.get(p, set())
-            for p in (f_old & f_new)
-        }
-        added = {p: ps for p, ps in added.items() if ps}
-        if added:
-            dead = _read_rows(
-                sorted(added), self._names, only_positions=added
-            )
-            for row, n in dead.items():
-                for _ in range(n):
-                    yield (*row, "delete", v_to)
+        # MOR sidecar diffs on files present in BOTH versions: positions
+        # added → delete events; positions removed (restore_version) →
+        # insert events — the rows are live again
+        for change_type, lhs, rhs in (
+            ("delete", dv_new, dv_old),
+            ("insert", dv_old, dv_new),
+        ):
+            diff = {
+                p: lhs.get(p, set()) - rhs.get(p, set())
+                for p in (f_old & f_new)
+            }
+            diff = {p: ps for p, ps in diff.items() if ps}
+            if diff:
+                rows2 = _read_rows(
+                    sorted(diff), self._names, only_positions=diff
+                )
+                for row, n in rows2.items():
+                    for _ in range(n):
+                        yield (*row, change_type, v_to)
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         v = int(start["version"])

@@ -62,17 +62,7 @@ class _FilePartition(InputPartition):
         self.deleted_positions = deleted_positions
 
 
-def _manifest_files(options: dict) -> tuple[list[str], dict[str, tuple]]:
-    """(data files, {file: sorted deleted positions}) for the requested
-    version. Position-delete sidecars (merge-on-read `delete_where_mor`)
-    are folded to a per-file map on the driver — sidecars are KBs-per-
-    deleted-row; each scan task later receives only its own file's
-    positions via its partition object."""
-    from web_analytics_on_aws_spark.sources.snapshots import (
-        _manifest_deletes,
-        _normalize_file,
-    )
-
+def _resolve_manifest(options: dict) -> dict:
     table = options["path"]
     cur = current_version(table)
     if cur is None:
@@ -85,6 +75,23 @@ def _manifest_files(options: dict) -> tuple[list[str], dict[str, tuple]]:
             "deletes — use snapshots.read_snapshot (applies them) or run "
             "convert_equality_deletes first"
         )
+    return m
+
+
+def _manifest_files(options: dict) -> tuple[list[str], dict[str, tuple]]:
+    """(data files, {file: sorted deleted positions}) for the requested
+    version. Position-delete sidecars (merge-on-read `delete_where_mor`)
+    are folded to a per-file map on the driver — sidecars are KBs-per-
+    deleted-row; each scan task later receives only its own file's
+    positions via its partition object. ``schema()`` calls
+    ``_resolve_manifest`` directly (it only needs the file list) so
+    sidecars are parsed once per read, in the reader."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        _manifest_deletes,
+        _normalize_file,
+    )
+
+    m = _resolve_manifest(options)
     dv: dict[str, set] = {}
     for dvf in _manifest_deletes(m):
         import pyarrow.parquet as pq
@@ -290,7 +297,7 @@ class SnapshotDataSource(DataSource):
         from pyspark.sql.pandas.types import from_arrow_schema
 
         return from_arrow_schema(
-            _unified_arrow_schema(_manifest_files(self.options)[0])
+            _unified_arrow_schema(_resolve_manifest(self.options)["files"])
         )
 
     def reader(self, schema) -> SnapshotReader:

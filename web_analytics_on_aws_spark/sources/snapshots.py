@@ -375,14 +375,18 @@ def _apply_equality_deletes(
     seq_rows = [(p, int(s)) for p, s in _manifest_file_seq(m).items()]
     seq_df = spark.createDataFrame(seq_rows, "__path string, __fseq int")
     # _metadata only resolves on the raw scan relation; derived frames pass
-    # a pre-materialized URI column instead
+    # a pre-materialized URI column instead. The URI → manifest-path
+    # normalization (scheme strip + percent-decode) is verified LOUDLY at
+    # equality-delete commit time (_check_metadata_path_roundtrip) — a
+    # silent mismatch here would leave __fseq NULL and quietly disable the
+    # delete (review r3 finding).
     uri = (
         F.col("_metadata.file_path")
         if file_uri_col is None
         else F.col(file_uri_col)
     )
     out = df.withColumn(
-        "__path", F.regexp_replace(uri, _STRIP_SCHEME, "")
+        "__path", F.url_decode(F.regexp_replace(uri, _STRIP_SCHEME, ""))
     ).join(F.broadcast(seq_df), "__path", "left")
     by_keys: dict[tuple, list[dict]] = {}
     for e in entries:
@@ -643,6 +647,48 @@ def delete_where_mor(spark: SparkSession, table: str, predicate) -> dict:
     }
 
 
+def _check_metadata_path_roundtrip(spark: SparkSession, files: list[str]) -> None:
+    """Verify that the read-side URI normalization (scheme strip +
+    percent-decode in _apply_equality_deletes) maps this table's actual
+    ``_metadata.file_path`` rendering back onto its manifest paths — ONE
+    tiny 1-row job at equality-delete COMMIT time, so an exotic path
+    rendering (e.g. a literal '+' the decoder would mangle) fails loudly
+    here instead of silently disabling the delete at read time."""
+    import pyarrow.parquet as pq
+
+    import pyspark.sql.functions as F
+
+    probe = next(
+        (f for f in files if pq.ParquetFile(f).metadata.num_rows > 0), None
+    )
+    if probe is None:
+        return  # no rows anywhere → nothing a delete could miss
+    rendered = (
+        spark.read.parquet(probe)
+        .select(
+            F.url_decode(
+                F.regexp_replace(F.col("_metadata.file_path"), _STRIP_SCHEME, "")
+            ).alias("p")
+        )
+        .limit(1)
+        .collect()
+    )
+    if not rendered or rendered[0]["p"] != probe:
+        got = rendered[0]["p"] if rendered else None
+        raise ValueError(
+            "equality-delete path normalization does not round-trip for "
+            f"this table's files ({got!r} != {probe!r}); use "
+            "delete_where_mor (position deletes) instead"
+        )
+
+
+def _table_columns(spark: SparkSession, m: dict) -> list[str]:
+    """Head schema column names (union across files, evolution-aware)."""
+    return (
+        spark.read.option("mergeSchema", "true").parquet(*m["files"]).columns
+    )
+
+
 def delete_keys_mor(
     spark: SparkSession,
     table: str,
@@ -669,6 +715,16 @@ def delete_keys_mor(
             return {"version": cur, "operation": "delete-keys", "replayed": True}
     m = _read_manifest(table, cur)
     key_cols = list(keys_df.columns)
+    # a typo'd key column would commit a poison pill every read then
+    # chokes on — validate against the table schema BEFORE publishing
+    # (review r3 finding)
+    missing = set(key_cols) - set(_table_columns(spark, m))
+    if missing:
+        raise ValueError(
+            f"equality-delete key columns {sorted(missing)} not in table "
+            "schema"
+        )
+    _check_metadata_path_roundtrip(spark, m["files"])
     sidecars = _write_data_files(keys_df.dropDuplicates(key_cols), table)
     version = cur + 1
     entries = _manifest_eq_deletes(m) + [
@@ -717,8 +773,21 @@ def upsert_keys_mor(
         if src.select(*keys).distinct().count() != n_src:
             raise ValueError(f"upsert source is not unique on {keys}")
         m = _read_manifest(table, cur)
+        # same column contract as merge_into (review r3 finding): the
+        # source must carry the table's columns; extras are dropped —
+        # mode="mor" and mode="cow" streams produce the same table schema
+        table_cols = _table_columns(spark, m)
+        lacking = set(table_cols) - set(src.columns)
+        if lacking:
+            raise ValueError(
+                f"upsert source lacks table columns {sorted(lacking)}"
+            )
+        if not set(keys) <= set(table_cols):
+            raise ValueError(f"upsert keys {keys} not all in table schema")
+        _check_metadata_path_roundtrip(spark, m["files"])
+        src_proj = src.select(*table_cols)
         sidecars = _write_data_files(src.select(*keys), table)
-        data_files = _write_data_files(src, table)
+        data_files = _write_data_files(src_proj, table)
         cons = table_constraints(table)
         if cons:
             check_constraints(spark.read.parquet(*data_files), cons)
@@ -791,7 +860,16 @@ def convert_equality_deletes(spark: SparkSession, table: str) -> dict:
             F.col("__keep_f").alias("file"), F.col("__keep_p").alias("pos")
         )
     )
+    import pyarrow.parquet as pq
+
     new_dv = _write_data_files(killed, table)
+    # a delete of absent keys converts to ZERO positions — drop the empty
+    # sidecar instead of committing a file compact_deletes cannot fold
+    # (review r3 finding)
+    if sum(pq.ParquetFile(f).metadata.num_rows for f in new_dv) == 0:
+        for f in new_dv:
+            os.remove(f)
+        new_dv = []
     version = cur + 1
     _publish(
         table, version, m["files"], "convert-eq-deletes",
@@ -861,6 +939,15 @@ def compact_deletes(spark: SparkSession, table: str) -> dict:
         _normalize_file(r["file"])
         for r in dv_df.select("file").distinct().collect()
     }
+    if not touched:
+        # all sidecars are empty (e.g. deletes that matched nothing) —
+        # drop them in a metadata-only commit; nothing to rewrite
+        version = cur + 1
+        _publish(table, version, files, "compact-deletes")
+        return {
+            "version": version, "operation": "compact-deletes",
+            "files_rewritten": 0, "files_kept": len(files),
+        }
     unknown = touched - set(files)
     if unknown:
         raise RuntimeError(
@@ -1475,31 +1562,37 @@ def table_changes(
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
         return _apply_position_deletes(spark, df, dvs)
 
-    # MOR deletes ADDED in the window on files present in BOTH versions:
-    # their rows are delete events (sidecars never lose entries on a
-    # common file — compaction clears them by REPLACING the file, which
-    # routes through the file diff above).
+    # MOR sidecar diffs on files present in BOTH versions: positions ADDED
+    # in the window are delete events; positions REMOVED (restore_version
+    # republishing a pre-delete sidecar state over the same file list) are
+    # insert events — the rows are live again (review r3 finding).
+    # Compaction clears sidecars by REPLACING files, which routes through
+    # the file diff above instead.
     mor_deletes = None
-    if d_new:
-        dv_new = spark.read.parquet(*d_new).select("file", "pos").distinct()
-        dv_added = (
-            dv_new.join(
-                spark.read.parquet(*d_old).select("file", "pos").distinct(),
-                ["file", "pos"],
-                "left_anti",
-            )
-            if d_old
-            else dv_new
+    mor_undeletes = None
+    common = sorted(f_old & f_new)
+    if (d_new or d_old) and common:
+        empty = spark.createDataFrame([], "file string, pos long")
+        dv_new = (
+            spark.read.parquet(*d_new).select("file", "pos").distinct()
+            if d_new else empty
         )
-        common = sorted(f_old & f_new)
-        if common:
-            scan = spark.read.option("mergeSchema", "true").parquet(*common)
-            cols0 = scan.columns
-            mor_deletes = (
-                scan.withColumn("__f", F.col("_metadata.file_path"))
-                .withColumn("__p", F.col("_metadata.row_index"))
-                .join(
-                    dv_added.select(
+        dv_old_df = (
+            spark.read.parquet(*d_old).select("file", "pos").distinct()
+            if d_old else empty
+        )
+        dv_added = dv_new.join(dv_old_df, ["file", "pos"], "left_anti")
+        dv_removed = dv_old_df.join(dv_new, ["file", "pos"], "left_anti")
+        scan = spark.read.option("mergeSchema", "true").parquet(*common)
+        cols0 = scan.columns
+        keyed = scan.withColumn("__f", F.col("_metadata.file_path")).withColumn(
+            "__p", F.col("_metadata.row_index")
+        )
+
+        def _at_positions(dv):
+            return (
+                keyed.join(
+                    dv.select(
                         F.col("file").alias("__f"), F.col("pos").alias("__p")
                     ),
                     ["__f", "__p"],
@@ -1508,16 +1601,14 @@ def table_changes(
                 .select(*cols0)
             )
 
+        mor_deletes = _at_positions(dv_added)
+        mor_undeletes = _at_positions(dv_removed)
+
     old, new = _read(removed, d_old), _read(added, d_new)
     if old is None and new is None:
         empty = read_snapshot(spark, table, version=to_version).limit(0)
         out = empty.withColumn("_change_type", F.lit("insert")).limit(0)
-        if mor_deletes is not None:
-            out = out.unionByName(
-                mor_deletes.withColumn("_change_type", F.lit("delete"))
-            )
-        return out
-    if old is None:
+    elif old is None:
         out = new.withColumn("_change_type", F.lit("insert"))
     elif new is None:
         out = old.withColumn("_change_type", F.lit("delete"))
@@ -1528,12 +1619,17 @@ def table_changes(
         out = inserts.withColumn("_change_type", F.lit("insert")).unionByName(
             deletes.withColumn("_change_type", F.lit("delete"))
         )
+    # allowMissingColumns: a column may exist in the changed-file sets but
+    # not the common files (additive evolution) — null-pad rather than
+    # fail; consumers see the same union-of-schemas a read does
     if mor_deletes is not None:
-        # allowMissingColumns: a column may exist in the changed-file sets
-        # but not the common files (additive evolution) — null-pad rather
-        # than fail; consumers see the same union-of-schemas a read does
         out = out.unionByName(
             mor_deletes.withColumn("_change_type", F.lit("delete")),
+            allowMissingColumns=True,
+        )
+    if mor_undeletes is not None:
+        out = out.unionByName(
+            mor_undeletes.withColumn("_change_type", F.lit("insert")),
             allowMissingColumns=True,
         )
     return out

@@ -125,6 +125,11 @@ def start_snapshot_upsert(
         dedup_batch,
     )
 
+    if mode not in ("cow", "mor"):
+        raise ValueError(
+            f"mode must be 'cow' or 'mor', got {mode!r} — a silent "
+            "fall-through to CoW would defeat the point of the flag"
+        )
     keys = unique_keys if unique_keys is not None else DEFAULT_UNIQUE_KEYS
     lines = read_landing_stream(spark, landing_dir)
     data_cols = [n for n, _ in WEB_LOG_ICEBERG_FIELDS]
