@@ -639,6 +639,67 @@ def frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_feature_pool",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             u.j AS frame_idx,
+             substring(text, (u.j * octet_length(encode(text))) // 4 + 1,
+                       octet_length(encode(text)) // 4) AS frame
+      FROM documents, UNNEST(range(0, 4)) AS u(j)
+    ), per_frame AS (
+      SELECT doc_id, frame_idx,
+             list_sum([
+               (strpos('0123456789abcdef', substr(sha256(frame), 2*k+1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(sha256(frame), 2*k+2, 1)) - 1)
+               for k in range(0, 8)
+             ]) AS frame_feat_sum
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(frame_feat_sum) AS BIGINT) AS pooled_feat_sum,
+           CAST(MAX(frame_feat_sum) AS BIGINT) AS max_frame_feat_sum
+    FROM per_frame GROUP BY doc_id
+    """,
+)
+def frame_feature_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped pipeline composition: frame-sample each binary payload
+    (4 evenly-spaced byte slices), run the REAL Arrow ``mapInPandas``
+    decode on every frame, temporally pool the per-frame features per
+    document (sum + max pooling) — the plumbing a frame→embedding→pool
+    video featurizer needs, end-to-end. Integer-exact audit: the stub's
+    features are sha256-derived, so DuckDB recomputes every pooled value
+    from byte slices of the payload (the corpus is ASCII, so character
+    and byte slicing coincide — the frame sampler itself is byte-level).
+    Cost shape: explode ×4 (map-only) → Arrow decode → one partial-agg
+    shuffle on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.frame_sample(multimodal.attach_blob(docs), n_frames=4)
+    synth = frames.select(
+        (F.col("doc_id") * 4 + F.col("frame_idx")).alias("fid"),
+        "frame_bytes",
+    )
+    dec = multimodal.decode_media(
+        synth, blob_col="frame_bytes", id_col="fid", fake=True
+    )
+    per_frame = dec.select(
+        (F.col("doc_id") / 4).cast("long").alias("doc_id"),
+        F.aggregate(
+            "features",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.round(x.cast("double") * 255.0).cast("long"),
+        ).alias("frame_feat_sum"),
+    )
+    return per_frame.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.sum("frame_feat_sum").cast("bigint").alias("pooled_feat_sum"),
+        F.max("frame_feat_sum").cast("bigint").alias("max_frame_feat_sum"),
+    )
+
+
+@query(
     "text_tfidf_top_terms",
     oracle=f"""
     WITH toks AS (
