@@ -30,3 +30,9 @@ def test_fuzzed_grouping_sets_agree_across_engines(spark):
     from tools.fuzz_differential import run_grouping_sets
 
     assert run_grouping_sets(40, "/root/testdata/sf0.001", spark=spark) == []
+
+
+def test_fuzzed_setops_and_subqueries_agree_across_engines(spark):
+    from tools.fuzz_differential import run_setops
+
+    assert run_setops(30, "/root/testdata/sf0.001", spark=spark) == []

@@ -139,13 +139,14 @@ def main() -> int:
     jbad = run_joins(n // 2, sf)
     wbad = run_windows(n, sf)
     gbad = run_grouping_sets(n // 2, sf)
+    sbad = run_setops(n // 2, sf)
+    total_bad = bad + jbad + wbad + gbad + sbad
     print(
         f"fuzzed {n} single-table + {n // 2} join + {n} window + "
-        f"{n // 2} grouping-sets queries: "
-        f"{len(bad) + len(jbad) + len(wbad) + len(gbad)} divergences "
-        f"{bad + jbad + wbad + gbad}"
+        f"{n // 2} grouping-sets + {n} setop/subquery queries: "
+        f"{len(total_bad)} divergences {total_bad}"
     )
-    return 1 if (bad or jbad or wbad or gbad) else 0
+    return 1 if total_bad else 0
 
 
 
@@ -426,6 +427,98 @@ def run_grouping_sets(n_seeds: int, sf: str, spark=None) -> list[int]:
         if sorted(sdf.columns) != sorted(ddf.columns) or canon(sdf) != canon(ddf):
             bad.append(seed)
             print(f"GROUPING DIVERGENCE seed={seed}\n  {sql}", flush=True)
+    return bad
+
+
+# ---- set-op / subquery grammar: UNION [ALL] / INTERSECT / EXCEPT + -------
+# ---- EXISTS / IN / scalar subqueries over the exact-semantics surface ----
+
+S_PROJ = [
+    ("event_type", "k"),
+    ("user_id % 6", "k"),
+    ("event_id % 5", "k"),
+]
+
+
+def gen_setop_query(seed: int) -> str:
+    rng = random.Random(99_000_001 + seed)
+    proj, alias = rng.choice(S_PROJ)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    f1, f2 = rng.sample(FILTERS, 2)
+    lhs = f"SELECT {proj} AS {alias} FROM events WHERE {f1}"
+    rhs = f"SELECT {proj} AS {alias} FROM events WHERE {f2}"
+    if op == "UNION ALL":
+        # multiset result — wrap in a counting aggregate so the compare
+        # stays order-insensitive but multiplicity-exact
+        return (
+            f"SELECT {alias}, CAST(COUNT(*) AS BIGINT) AS n FROM "
+            f"({lhs} {op} {rhs}) t GROUP BY {alias}"
+        )
+    return f"{lhs} {op} {rhs}"
+
+
+def gen_subquery_query(seed: int) -> str:
+    rng = random.Random(66_000_013 + seed)
+    kind = rng.choice(["exists", "not_exists", "in", "scalar"])
+    f = rng.choice(J_FILTERS)
+    if kind in ("exists", "not_exists"):
+        neg = "NOT " if kind == "not_exists" else ""
+        return (
+            "SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM customer c WHERE "
+            f"{neg}EXISTS (SELECT 1 FROM orders o "
+            f"WHERE o.o_custkey = c.c_custkey AND {f}) "
+            "GROUP BY c_mktsegment"
+        )
+    if kind == "in":
+        return (
+            "SELECT o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM orders o WHERE o.o_custkey IN "
+            "(SELECT c_custkey FROM customer WHERE c_acctbal > "
+            f"{rng.choice([0, 1000, 5000])}) GROUP BY o_orderstatus"
+        )
+    # scalar subquery: exact aggregate inline
+    return (
+        "SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM orders o WHERE o.o_totalprice > "
+        "(SELECT MIN(o_totalprice) FROM orders) * "
+        f"{rng.choice([1, 2, 3])} GROUP BY o_orderpriority"
+    )
+
+
+def run_setops(n_seeds: int, sf: str, spark=None) -> list[int]:
+    import duckdb
+
+    from tools.driver_sim import canon
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("fuzz-differential-setops")
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    con = duckdb.connect()
+    for t in ("events", "orders", "customer"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    bad = []
+    for seed in range(n_seeds):
+        for gen, tag in ((gen_setop_query, "SETOP"), (gen_subquery_query, "SUBQ")):
+            sql = gen(seed)
+            sdf = spark.sql(sql).toPandas()
+            ddf = con.execute(sql).df()
+            if sorted(sdf.columns) != sorted(ddf.columns) or canon(sdf) != canon(ddf):
+                bad.append(seed)
+                print(f"{tag} DIVERGENCE seed={seed}\n  {sql}", flush=True)
     return bad
 
 
