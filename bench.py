@@ -33,6 +33,7 @@ HEADLINE = [
     "asof_purchase_attribution",
     "ann_lsh_topk_raw",
     "text_sparse_cosine_pairs_capped",
+    "text_bm25_topk",
     "pipeline_corpus_build_e2e",
     "events_heavy_hitter_users",
     "incremental_daily_rollup",

@@ -730,3 +730,80 @@ def bpe_encode(
         F.flatten("__wsyms").alias("tokens"),
         F.size(F.flatten("__wsyms")).alias("n_tokens"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 full-text retrieval (Robertson et al., TREC-3; the
+    Lucene-style idf variant): each document in ``query_ids`` acts as a
+    query (its DISTINCT terms), every other document is scored by
+
+        Σ_t  ln(1 + (N - df_t + ½)/(df_t + ½)) ·
+             tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl))
+
+    and the top-``k`` per query are returned — the lexical-retrieval
+    complement to the embedding ANN operators (hybrid search = union the
+    two candidate sets and re-rank).
+
+    Plan shape: ONE corpus tokenization feeds tf, dl, df and the query
+    term sets (no second scan); corpus-size and avgdl scalars ride as
+    broadcast 1-row aggregates; the score join is an inverted-index join
+    on ``term`` (posting lists — never a cross join), then one partial-agg
+    shuffle on (query, doc) and a per-query top-k window. At 100 TB the
+    posting-list join is the standard search shard shape: df-capped stop
+    terms (cap before join, as text_sparse_cosine does) bound the longest
+    list.
+
+    Output: (query_id, doc_id, score — rounded to 6, rank 1..k)."""
+    from pyspark.sql import Window
+
+    from web_analytics_on_aws_spark.functions import token_split
+
+    toks = df.select(
+        F.col(id_col), F.explode(token_split(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.agg(F.count("*").alias("n_docs"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    qterms = (
+        tf.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), "term")
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        qterms.join(tf, "term")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "query_id",
+            id_col,
+            (idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("__s"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
