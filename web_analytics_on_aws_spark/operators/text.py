@@ -807,3 +807,93 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def jaccard_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct-term Jaccard retrieval: score = |terms_q ∩ terms_d| /
+    |terms_q ∪ terms_d| — the set-overlap retriever (integer counts, one
+    exact division). Same inverted-index join shape as bm25_topk.
+    Output: (query_id, doc_id, score rounded to 6, rank 1..k)."""
+    from pyspark.sql import Window
+
+    from web_analytics_on_aws_spark.functions import token_split
+
+    terms = df.select(
+        F.col(id_col), F.explode(token_split(F.col(text_col))).alias("term")
+    ).distinct()
+    sizes = terms.groupBy(id_col).agg(F.count("*").alias("n_terms"))
+    q = terms.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), "term"
+    )
+    qsizes = sizes.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("n_terms").alias("qn")
+    )
+    inter = (
+        q.join(terms, "term")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = (
+        inter.join(sizes, id_col)
+        .join(F.broadcast(qsizes), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("qn") + F.col("n_terms") - F.col("inter")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rrf_fuse(
+    rank_lists: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009): fuse any
+    number of retrievers' (query_id, doc_id, rank) lists by
+    ``Σ 1/(c + rank)`` — the standard hybrid-search combiner (lexical +
+    dense candidates in, one ranking out), rank-only so incomparable
+    scores never need calibration. A doc missing from a list simply
+    contributes nothing. Exact arithmetic: each term is one double
+    division; the sum has ≤ len(rank_lists) addends in a fixed fold.
+    Output: (query_id, doc_id, rrf_score rounded to 9, rank 1..k)."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    contribs = [
+        df.select(
+            "query_id",
+            id_col,
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank"))).alias("__c"),
+        )
+        for df in rank_lists
+    ]
+    unioned = reduce(lambda a, b: a.unionByName(b), contribs)
+    scored = unioned.groupBy("query_id", id_col).agg(
+        F.round(F.sum("__c"), 9).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

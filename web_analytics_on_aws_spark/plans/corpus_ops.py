@@ -1031,6 +1031,84 @@ def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_hybrid_rrf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    avgdl AS (SELECT AVG(dl) AS avgdl FROM dl),
+    q AS (
+      SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id IN (0, 1, 2)
+    ), bm_scored AS (
+      SELECT q.query_id, tf.doc_id,
+             ROUND(SUM(
+               ln(1.0 + (n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl))
+             ), 6) AS score
+      FROM q JOIN tf USING (term) JOIN dfreq USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n CROSS JOIN avgdl
+      WHERE tf.doc_id <> q.query_id GROUP BY q.query_id, tf.doc_id
+    ), bm AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rank
+      FROM bm_scored QUALIFY rank <= 20
+    ), dterms AS (
+      SELECT DISTINCT doc_id, term FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_terms FROM dterms GROUP BY doc_id
+    ), jx AS (
+      SELECT qq.doc_id AS query_id, dd.doc_id, COUNT(*) AS inter
+      FROM dterms qq JOIN dterms dd USING (term)
+      WHERE qq.doc_id IN (0, 1, 2) AND dd.doc_id <> qq.doc_id
+      GROUP BY qq.doc_id, dd.doc_id
+    ), j_scored AS (
+      SELECT jx.query_id, jx.doc_id,
+             ROUND(CAST(jx.inter AS DOUBLE)
+                   / (sq.n_terms + sd.n_terms - jx.inter), 6) AS score
+      FROM jx JOIN sizes sq ON sq.doc_id = jx.query_id
+      JOIN sizes sd ON sd.doc_id = jx.doc_id
+    ), jac AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rank
+      FROM j_scored QUALIFY rank <= 20
+    ), fused AS (
+      SELECT query_id, doc_id,
+             ROUND(SUM(1.0 / (60.0 + rank)), 9) AS rrf_score
+      FROM (SELECT * FROM bm UNION ALL SELECT * FROM jac)
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, rank FROM (
+      SELECT query_id, doc_id, rrf_score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+    BM25 top-20 ∪ distinct-term-Jaccard top-20 per query doc, fused by
+    Σ 1/(60+rank), final top-10 — the modern lexical+second-retriever
+    search stack in one declarative plan (swap Jaccard for the embedding
+    ANN list when ids align; rrf_fuse takes any number of lists). The
+    two-addend RRF sum is order-exact in IEEE, so both engines agree
+    bit-for-bit before the rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    bm = text.bm25_topk(docs, query_ids=[0, 1, 2], k=20)
+    jac = text.jaccard_topk(docs, query_ids=[0, 1, 2], k=20)
+    return text.rrf_fuse([bm, jac], k=10)
+
+
+@query(
     "curation_token_budget_mix",
     oracle=f"""
     WITH per_source AS (
