@@ -418,3 +418,22 @@ def test_hard_negative_topk_excludes_same_label_and_reranks_brute(spark):
         assert sorted(rows) == sorted(
             (r["rank"], r["vec_id"], r["sim"]) for r in brute
         )
+
+
+def test_bm25_df_cap_prunes_stop_terms(spark):
+    """max_df_frac is the BM25 scale knob: stop terms (df above the cap)
+    must contribute nothing, and with the cap off the full metric is the
+    oracle-checked one."""
+    from web_analytics_on_aws_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    full = bm25_topk(docs, query_ids=[0], k=5).collect()
+    capped = bm25_topk(docs, query_ids=[0], k=5, max_df_frac=0.05).collect()
+    assert len(full) == len(capped) == 5
+    # pruning high-df terms can only LOWER scores
+    full_s = {r["doc_id"]: r["score"] for r in full}
+    for r in capped:
+        if r["doc_id"] in full_s:
+            assert r["score"] <= full_s[r["doc_id"]] + 1e-9
+    # the cap genuinely removes mass on this corpus (stopwords exist)
+    assert sum(r["score"] for r in capped) < sum(r["score"] for r in full)

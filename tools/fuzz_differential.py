@@ -51,6 +51,34 @@ FILTERS = [
 ]
 
 
+
+def _setup(sf: str, tables: tuple, spark=None):
+    """Shared harness bootstrap: ONE session config + view registration
+    for every grammar family, so they can never drift apart (review r3.2)."""
+    import duckdb
+
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("fuzz-differential")
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    con = duckdb.connect()
+    for t in tables:
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    return spark, con
+
+
 def gen_query(seed: int) -> str:
     rng = random.Random(seed)
     keys = rng.sample(KEY_EXPRS, rng.randint(1, 2))
@@ -96,28 +124,9 @@ def gen_query(seed: int) -> str:
 
 
 def run(n_seeds: int, sf: str, spark=None) -> list[int]:
-    import duckdb
-
     from tools.driver_sim import canon
 
-    if spark is None:
-        from pyspark.sql import SparkSession
-
-        spark = (
-            SparkSession.builder.master("local[8]")
-            .appName("fuzz-differential")
-            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-            .config("spark.sql.session.timeZone", "UTC")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-    from web_analytics_on_aws_spark.sources.tables import load_table
-
-    load_table(spark, sf, "events").createOrReplaceTempView("events")
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
-    )
+    spark, con = _setup(sf, ("events",), spark)
     bad = []
     for seed in range(n_seeds):
         sql = gen_query(seed)
@@ -201,29 +210,9 @@ def gen_join_query(seed: int) -> str:
 
 
 def run_joins(n_seeds: int, sf: str, spark=None) -> list[int]:
-    import duckdb
-
     from tools.driver_sim import canon
 
-    if spark is None:
-        from pyspark.sql import SparkSession
-
-        spark = (
-            SparkSession.builder.master("local[8]")
-            .appName("fuzz-differential-joins")
-            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-            .config("spark.sql.session.timeZone", "UTC")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-    from web_analytics_on_aws_spark.sources.tables import load_table
-
-    con = duckdb.connect()
-    for t in ("orders", "customer"):
-        load_table(spark, sf, t).createOrReplaceTempView(t)
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
-        )
+    spark, con = _setup(sf, ("orders", "customer"), spark)
     bad = []
     for seed in range(n_seeds):
         sql = gen_join_query(seed)
@@ -316,28 +305,9 @@ def gen_window_query(seed: int) -> str:
 
 
 def run_windows(n_seeds: int, sf: str, spark=None) -> list[int]:
-    import duckdb
-
     from tools.driver_sim import canon
 
-    if spark is None:
-        from pyspark.sql import SparkSession
-
-        spark = (
-            SparkSession.builder.master("local[8]")
-            .appName("fuzz-differential-windows")
-            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-            .config("spark.sql.session.timeZone", "UTC")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-    from web_analytics_on_aws_spark.sources.tables import load_table
-
-    con = duckdb.connect()
-    load_table(spark, sf, "orders").createOrReplaceTempView("orders")
-    con.execute(
-        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
-    )
+    spark, con = _setup(sf, ("orders",), spark)
     bad = []
     for seed in range(n_seeds):
         sql = gen_window_query(seed)
@@ -397,28 +367,9 @@ def gen_grouping_query(seed: int) -> str:
 
 
 def run_grouping_sets(n_seeds: int, sf: str, spark=None) -> list[int]:
-    import duckdb
-
     from tools.driver_sim import canon
 
-    if spark is None:
-        from pyspark.sql import SparkSession
-
-        spark = (
-            SparkSession.builder.master("local[8]")
-            .appName("fuzz-differential-grouping")
-            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-            .config("spark.sql.session.timeZone", "UTC")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-    from web_analytics_on_aws_spark.sources.tables import load_table
-
-    con = duckdb.connect()
-    load_table(spark, sf, "events").createOrReplaceTempView("events")
-    con.execute(
-        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
-    )
+    spark, con = _setup(sf, ("events",), spark)
     bad = []
     for seed in range(n_seeds):
         sql = gen_grouping_query(seed)
@@ -457,12 +408,24 @@ def gen_setop_query(seed: int) -> str:
     return f"{lhs} {op} {rhs}"
 
 
+#: order-side-only predicates for the correlated EXISTS body — a filter
+#: referencing only the outer customer row would collapse the subquery to
+#: "customer has any order" and fuzz nothing (review r3.2 finding)
+SUBQ_ORDER_FILTERS = [
+    "o.o_totalprice > 50000",
+    "o.o_orderstatus = 'F'",
+    "o.o_orderkey % 3 = 0",
+    "o.o_orderdate >= DATE '1995-01-01'",
+    "o.o_orderpriority IN ('1-URGENT', '2-HIGH')",
+]
+
+
 def gen_subquery_query(seed: int) -> str:
     rng = random.Random(66_000_013 + seed)
-    kind = rng.choice(["exists", "not_exists", "in", "scalar"])
-    f = rng.choice(J_FILTERS)
+    kind = rng.choice(["exists", "not_exists", "in", "not_in_safe", "scalar"])
     if kind in ("exists", "not_exists"):
         neg = "NOT " if kind == "not_exists" else ""
+        f = rng.choice(SUBQ_ORDER_FILTERS)
         return (
             "SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM customer c WHERE "
@@ -470,46 +433,36 @@ def gen_subquery_query(seed: int) -> str:
             f"WHERE o.o_custkey = c.c_custkey AND {f}) "
             "GROUP BY c_mktsegment"
         )
-    if kind == "in":
+    if kind in ("in", "not_in_safe"):
+        neg = "NOT " if kind == "not_in_safe" else ""
+        inner = rng.choice(
+            [
+                "SELECT c_custkey FROM customer WHERE c_acctbal > {v}",
+                "SELECT c_custkey FROM customer WHERE c_nationkey % 5 = {m}",
+                "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > {v}",
+            ]
+        ).format(v=rng.choice([0, 1000, 5000]), m=rng.randint(0, 4))
+        # c_custkey is non-null, so NOT IN has no three-valued-logic trap
+        # here (the poisoned-NULL corner is pinned by its own oracle query)
         return (
             "SELECT o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n "
-            "FROM orders o WHERE o.o_custkey IN "
-            "(SELECT c_custkey FROM customer WHERE c_acctbal > "
-            f"{rng.choice([0, 1000, 5000])}) GROUP BY o_orderstatus"
+            f"FROM orders o WHERE o.o_custkey {neg}IN ({inner}) "
+            "GROUP BY o_orderstatus"
         )
-    # scalar subquery: exact aggregate inline
+    agg = rng.choice(["MIN(o_totalprice)", "AVG(o_totalprice)", "MAX(o_totalprice) / 10"])
+    cmp_op = rng.choice([">", "<="])
     return (
         "SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM orders o WHERE o.o_totalprice > "
-        "(SELECT MIN(o_totalprice) FROM orders) * "
-        f"{rng.choice([1, 2, 3])} GROUP BY o_orderpriority"
+        f"FROM orders o WHERE o.o_totalprice {cmp_op} "
+        f"(SELECT {agg} FROM orders) * {rng.choice([1, 2, 3])} "
+        "GROUP BY o_orderpriority"
     )
 
 
 def run_setops(n_seeds: int, sf: str, spark=None) -> list[int]:
-    import duckdb
-
     from tools.driver_sim import canon
 
-    if spark is None:
-        from pyspark.sql import SparkSession
-
-        spark = (
-            SparkSession.builder.master("local[8]")
-            .appName("fuzz-differential-setops")
-            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-            .config("spark.sql.session.timeZone", "UTC")
-            .getOrCreate()
-        )
-        spark.sparkContext.setLogLevel("ERROR")
-    from web_analytics_on_aws_spark.sources.tables import load_table
-
-    con = duckdb.connect()
-    for t in ("events", "orders", "customer"):
-        load_table(spark, sf, t).createOrReplaceTempView(t)
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
-        )
+    spark, con = _setup(sf, ("events", "orders", "customer"), spark)
     bad = []
     for seed in range(n_seeds):
         for gen, tag in ((gen_setop_query, "SETOP"), (gen_subquery_query, "SUBQ")):

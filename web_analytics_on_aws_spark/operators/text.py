@@ -732,6 +732,21 @@ def bpe_encode(
     )
 
 
+
+def _per_query_topk(scored: DataFrame, score_col: str, k: int, id_col: str):
+    """Shared per-query top-k: rank by (score desc, id asc), keep 1..k —
+    one definition so the retrievers' tie-break semantics cannot drift."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -740,6 +755,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Okapi BM25 full-text retrieval (Robertson et al., TREC-3; the
     Lucene-style idf variant): each document in ``query_ids`` acts as a
@@ -761,19 +777,30 @@ def bm25_topk(
     terms (cap before join, as text_sparse_cosine does) bound the longest
     list.
 
-    Output: (query_id, doc_id, score — rounded to 6, rank 1..k)."""
-    from pyspark.sql import Window
+    ``max_df_frac`` (the scale knob): terms whose document frequency
+    exceeds that fraction of the corpus are pruned BEFORE the posting-list
+    join — stop-term lists are the longest by far, and at 100 TB bounding
+    them is what keeps the join shard-sized (same cap discipline as the
+    capped sparse-cosine twin). None = exact BM25 over every term (the
+    oracle-checked default).
 
+    Output: (query_id, doc_id, score — rounded to 6, rank 1..k)."""
     from web_analytics_on_aws_spark.functions import token_split
 
     toks = df.select(
         F.col(id_col), F.explode(token_split(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    # dl from tf, not a second pass over toks: the corpus is tokenized
+    # ONCE and tf's exchange is reused (review r3.2 finding)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = df.agg(F.count("*").alias("n_docs"))
     avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    if max_df_frac is not None:
+        dfreq = dfreq.crossJoin(F.broadcast(n)).filter(
+            F.col("df") <= F.col("n_docs") * F.lit(max_df_frac)
+        ).select("term", "df")
     qterms = (
         tf.filter(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("query_id"), "term")
@@ -802,11 +829,7 @@ def bm25_topk(
         .groupBy("query_id", id_col)
         .agg(F.round(F.sum("__s"), 6).alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    return _per_query_topk(scored, "score", k, id_col)
 
 
 def jaccard_topk(
@@ -820,8 +843,6 @@ def jaccard_topk(
     |terms_q ∪ terms_d| — the set-overlap retriever (integer counts, one
     exact division). Same inverted-index join shape as bm25_topk.
     Output: (query_id, doc_id, score rounded to 6, rank 1..k)."""
-    from pyspark.sql import Window
-
     from web_analytics_on_aws_spark.functions import token_split
 
     terms = df.select(
@@ -853,11 +874,7 @@ def jaccard_topk(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    return _per_query_topk(scored, "score", k, id_col)
 
 
 def rrf_fuse(
@@ -873,11 +890,13 @@ def rrf_fuse(
     scores never need calibration. A doc missing from a list simply
     contributes nothing. Exact arithmetic: each term is one double
     division; the sum has ≤ len(rank_lists) addends in a fixed fold.
-    Output: (query_id, doc_id, rrf_score rounded to 9, rank 1..k)."""
+    Every input list must carry (query_id, ``id_col``, rank) — query_id
+    is part of the fixed contract (the three retrievers above all emit
+    it). Output: (query_id, doc_id, rrf_score rounded to 9, rank 1..k)."""
     from functools import reduce
 
-    from pyspark.sql import Window
-
+    if not rank_lists:
+        raise ValueError("rrf_fuse needs at least one (query_id, id, rank) list")
     contribs = [
         df.select(
             "query_id",
@@ -890,10 +909,4 @@ def rrf_fuse(
     scored = unioned.groupBy("query_id", id_col).agg(
         F.round(F.sum("__c"), 9).alias("rrf_score")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("rrf_score"), F.asc(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    return _per_query_topk(scored, "rrf_score", k, id_col)

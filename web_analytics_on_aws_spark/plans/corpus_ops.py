@@ -982,58 +982,10 @@ def ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_audit(approx, exact)
 
 
-@query(
-    "text_bm25_topk",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
-    ), tf AS (
-      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
-    ), dl AS (
-      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
-    ), dfreq AS (
-      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
-    avgdl AS (SELECT AVG(dl) AS avgdl FROM dl),
-    q AS (
-      SELECT DISTINCT doc_id AS query_id, term FROM tf
-      WHERE doc_id IN (0, 1, 2)
-    ), scored AS (
-      SELECT q.query_id, tf.doc_id,
-             ROUND(SUM(
-               ln(1.0 + (n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-               * tf.tf * 2.2
-               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl))
-             ), 6) AS score
-      FROM q JOIN tf USING (term)
-      JOIN dfreq USING (term)
-      JOIN dl ON dl.doc_id = tf.doc_id
-      CROSS JOIN n CROSS JOIN avgdl
-      WHERE tf.doc_id <> q.query_id
-      GROUP BY q.query_id, tf.doc_id
-    )
-    SELECT query_id, doc_id, score, rank FROM (
-      SELECT query_id, doc_id, score,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                    ORDER BY score DESC, doc_id) AS INT) AS rank
-      FROM scored
-    ) WHERE rank <= 10
-    """,
-)
-def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 lexical retrieval: docs 0-2 as queries, top-10 corpus
-    matches each (k1=1.2, b=0.75, Lucene idf) — the full-text complement
-    to the embedding ANN surface; see text.bm25_topk for the inverted-
-    index plan shape. Scores rounded to 6 before ranking on BOTH engines,
-    so float summation order never flips a rank."""
-    docs = load_table(spark, sf_dir, "documents")
-    return text.bm25_topk(docs, query_ids=[0, 1, 2], k=10)
-
-
-@query(
-    "text_hybrid_rrf_topk",
-    oracle=f"""
-    WITH toks AS (
+# Shared BM25 scoring CTE chain (k1=1.2, b=0.75, Lucene idf; docs 0-2 as
+# queries) — ONE definition so the standalone and hybrid oracles can never
+# pin different metrics (review r3.2 finding).
+_BM25_CTES = f"""WITH toks AS (
       SELECT doc_id, unnest({_TOKS}) AS term FROM documents
     ), tf AS (
       SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
@@ -1055,7 +1007,34 @@ def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q JOIN tf USING (term) JOIN dfreq USING (term)
       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n CROSS JOIN avgdl
       WHERE tf.doc_id <> q.query_id GROUP BY q.query_id, tf.doc_id
-    ), bm AS (
+    )"""
+
+
+@query(
+    "text_bm25_topk",
+    oracle=_BM25_CTES + """
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM bm_scored
+    ) WHERE rank <= 10
+    """,
+)
+def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval: docs 0-2 as queries, top-10 corpus
+    matches each (k1=1.2, b=0.75, Lucene idf) — the full-text complement
+    to the embedding ANN surface; see text.bm25_topk for the inverted-
+    index plan shape. Scores rounded to 6 before ranking on BOTH engines,
+    so float summation order never flips a rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, query_ids=[0, 1, 2], k=10)
+
+
+@query(
+    "text_hybrid_rrf_topk",
+    oracle=_BM25_CTES + """
+    , bm AS (
       SELECT query_id, doc_id,
              ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY score DESC, doc_id) AS rank
