@@ -1190,7 +1190,7 @@ def optimize(
 def maintain_table(
     spark: SparkSession,
     table: str,
-    max_delete_files: int = 8,
+    max_delete_files: int = 10,
     small_file_mb: float = 8.0,
     min_small_files: int = 2,
     vacuum_retain: int | None = None,
@@ -1200,7 +1200,10 @@ def maintain_table(
 
     1. if outstanding merge-on-read sidecars exceed ``max_delete_files``,
        fold them in (``compact_deletes``, auto-converting equality
-       deletes) — bounds the read-side anti-join cost;
+       deletes) — bounds the read-side anti-join cost. The default 10
+       mirrors the reference's documented Iceberg setting
+       ``optimize_rewrite_delete_file_threshold = '10'``
+       (/root/reference/web-analytics-iceberg/README.md:187);
     2. if the table is sidecar-free, rewrite small files (``optimize``;
        no-ops on well-compacted tables);
     3. optionally age out old versions (``vacuum`` with
