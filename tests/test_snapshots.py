@@ -520,3 +520,42 @@ def test_table_changes_reads_only_changed_files(spark, tmp_path):
 
     # identical versions → typed empty feed
     assert table_changes(spark, t, 3, 3).count() == 0
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: every manifest carries a wall-clock commit stamp;
+    reads resolve the latest version at-or-before the timestamp (Delta's
+    contract, incl. the too-early error), and pre-stamp manifests fall
+    back to manifest mtime."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        read_snapshot,
+        version_as_of,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(spark.range(0, 5).coalesce(1), t)
+    t_between = _time.time()
+    _time.sleep(0.05)
+    commit_append(spark.range(5, 10).coalesce(1), t)
+
+    assert version_as_of(t, t_between) == 1
+    assert version_as_of(t, _time.time()) == 2
+    assert read_snapshot(spark, t, as_of_timestamp=t_between).count() == 5
+    assert read_snapshot(spark, t, as_of_timestamp=_time.time()).count() == 10
+    with pytest.raises(ValueError, match="no snapshot"):
+        version_as_of(t, t_between - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        read_snapshot(spark, t, version=1, as_of_timestamp=t_between)
+    # pre-stamp manifest: drop the stamp, mtime fallback still resolves
+    mp = _os.path.join(t, "manifests", "v1.json")
+    with open(mp) as fh:
+        m = _json.load(fh)
+    m.pop("committed_at")
+    with open(mp, "w") as fh:
+        _json.dump(m, fh)
+    assert version_as_of(t, _time.time()) == 2
+    assert read_snapshot(spark, t, as_of_timestamp=_time.time()).count() == 10

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -130,7 +131,13 @@ def _publish(
     file_seq: dict[str, int] | None = None,
 ) -> None:
     os.makedirs(os.path.join(table, MANIFEST_DIR), exist_ok=True)
-    body = {"version": version, "operation": op, "files": sorted(files)}
+    body = {
+        "version": version,
+        "operation": op,
+        "files": sorted(files),
+        # wall-clock commit stamp → TIMESTAMP AS OF time travel
+        "committed_at": time.time(),
+    }
     if delete_files:
         body["delete_files"] = sorted(delete_files)
     if eq_deletes:
@@ -414,16 +421,51 @@ def _and_all(conds):
     return functools.reduce(lambda a, b: a & b, conds)
 
 
+def _commit_time(table: str, version: int) -> float:
+    """Wall-clock commit time of a version: the manifest's
+    ``committed_at`` stamp, or (pre-stamp manifests) the manifest file's
+    mtime — the atomic ``os.link`` publish makes that the publish time."""
+    m = _read_manifest(table, version)
+    if "committed_at" in m:
+        return float(m["committed_at"])
+    return os.path.getmtime(_manifest_path(table, version))
+
+
+def version_as_of(table: str, ts: float) -> int:
+    """Latest version committed at-or-before epoch-seconds ``ts`` — the
+    resolution step behind ``TIMESTAMP AS OF`` time travel. Raises if the
+    table has no commit that old (matching Delta's error contract)."""
+    vs = _versions(table)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    eligible = [v for v in vs if _commit_time(table, v) <= ts]
+    if not eligible:
+        raise ValueError(
+            f"no snapshot of {table} at or before timestamp {ts} "
+            f"(earliest commit: {_commit_time(table, vs[0])})"
+        )
+    return eligible[-1]
+
+
 def read_snapshot(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    as_of_timestamp: float | None = None,
 ) -> DataFrame:
-    """Read the table at ``version`` (default: latest). Time travel = pin an
-    older version. Outstanding merge-on-read position deletes
-    (``delete_where_mor``) and equality deletes (``delete_keys_mor`` /
-    ``upsert_keys_mor``) are applied as anti joins."""
+    """Read the table at ``version`` (default: latest). Time travel = pin
+    an older version, or pass ``as_of_timestamp`` (epoch seconds) for
+    ``TIMESTAMP AS OF`` resolution via each manifest's commit stamp.
+    Outstanding merge-on-read position deletes (``delete_where_mor``) and
+    equality deletes (``delete_keys_mor`` / ``upsert_keys_mor``) are
+    applied as anti joins."""
+    if version is not None and as_of_timestamp is not None:
+        raise ValueError("pass version OR as_of_timestamp, not both")
     cur = current_version(table)
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table}")
+    if as_of_timestamp is not None:
+        version = version_as_of(table, as_of_timestamp)
     v = cur if version is None else version
     m = _read_manifest(table, v)
     files = m["files"]
