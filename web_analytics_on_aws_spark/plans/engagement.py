@@ -248,3 +248,112 @@ def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("minutes", 0.50), 6).alias("p50_minutes"),
         F.round(F.percentile("minutes", 0.90), 6).alias("p90_minutes"),
     )
+
+
+@query(
+    "events_attribution_multitouch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS pl, value
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, event_type AS channel, CAST(floor(epoch(ts)) AS BIGINT) AS tl
+      FROM events WHERE event_type IN ('view', 'click', 'cart')
+    ), j AS (
+      SELECT p.purchase_id, p.value, t.channel, (p.pl - t.tl) AS dt
+      FROM p JOIN t USING (user_id)
+      WHERE p.pl - t.tl BETWEEN 1 AND 604800
+    ), per_p AS (
+      -- decimal-exact sums: float addition is order-dependent and the two
+      -- engines aggregate in different orders; casting each addend to a
+      -- fixed-scale decimal makes every SUM exact and order-free
+      SELECT purchase_id, COUNT(*) AS n,
+             CAST(SUM(CAST(POWER(0.5, dt / 86400.0) AS DECIMAL(30,15)))
+                  AS DOUBLE) AS wsum
+      FROM j GROUP BY purchase_id
+    ), credits AS (
+      SELECT j.channel,
+             j.value / per_p.n AS lin,
+             j.value * POWER(0.5, j.dt / 86400.0) / per_p.wsum AS dec
+      FROM j JOIN per_p USING (purchase_id)
+    ), touched AS (
+      SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+             ROUND(CAST(SUM(CAST(lin AS DECIMAL(30,12))) AS DOUBLE), 4)
+               AS linear_revenue,
+             ROUND(CAST(SUM(CAST(dec AS DECIMAL(30,12))) AS DOUBLE), 4)
+               AS decay_revenue
+      FROM credits GROUP BY channel
+    ), direct AS (
+      SELECT 'direct' AS channel,
+             CAST(COUNT(*) AS BIGINT) AS n_credits,
+             ROUND(SUM(value), 4) AS linear_revenue,
+             ROUND(SUM(value), 4) AS decay_revenue
+      FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM j)
+    )
+    SELECT * FROM touched UNION ALL SELECT * FROM direct
+    """,
+)
+def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution, linear AND time-decay in ONE
+    credit pass: every purchase's value is split across its same-user
+    view/click/cart touchpoints of the prior 7 days — equally (linear) and
+    by 1-day-half-life weights 0.5^(Δt/86400) (time-decay); untouched
+    purchases credit a 'direct' channel in full. The join is user-keyed
+    (equi) with the range as a post-filter — per-user touch lists bound
+    the fanout, never a cross join; one (purchase) reduce for the
+    normalizers, one channel rollup. Integer-second deltas feed POWER
+    identically on both engines; revenue sums rounded to 4."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").cast("long").alias("pl"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click", "cart")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").cast("long").alias("tl"),
+    )
+    j = (
+        p.join(t, "user_id")
+        .withColumn("dt", F.col("pl") - F.col("tl"))
+        .filter((F.col("dt") >= 1) & (F.col("dt") <= 604800))
+        .select("purchase_id", "value", "channel", "dt")
+    )
+    w = F.pow(F.lit(0.5), F.col("dt") / F.lit(86400.0))
+    # decimal-exact sums (see oracle comment): order-free across engines
+    per_p = j.groupBy("purchase_id").agg(
+        F.count("*").alias("n"),
+        F.sum(w.cast("decimal(30,15)")).cast("double").alias("wsum"),
+    )
+    credits = j.join(per_p, "purchase_id").select(
+        "channel",
+        (F.col("value") / F.col("n")).alias("lin"),
+        (F.col("value") * w / F.col("wsum")).alias("dec"),
+    )
+    touched = credits.groupBy("channel").agg(
+        F.count("*").cast("bigint").alias("n_credits"),
+        F.round(
+            F.sum(F.col("lin").cast("decimal(30,12)")).cast("double"), 4
+        ).alias("linear_revenue"),
+        F.round(
+            F.sum(F.col("dec").cast("decimal(30,12)")).cast("double"), 4
+        ).alias("decay_revenue"),
+    )
+    direct = (
+        p.join(j.select("purchase_id").distinct(), "purchase_id", "left_anti")
+        .agg(
+            F.count("*").cast("bigint").alias("n_credits"),
+            F.round(F.sum("value"), 4).alias("linear_revenue"),
+            F.round(F.sum("value"), 4).alias("decay_revenue"),
+        )
+        .select(
+            F.lit("direct").alias("channel"),
+            "n_credits",
+            "linear_revenue",
+            "decay_revenue",
+        )
+    )
+    return touched.unionByName(direct)
