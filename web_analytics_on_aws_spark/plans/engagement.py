@@ -250,21 +250,31 @@ def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_attribution_multitouch",
-    oracle="""
+# Shared attribution base (purchases × prior-7-day same-user touches) —
+# one definition for every attribution model's oracle; floor(epoch)
+# matches Spark's flooring timestamp→long cast.
+_ATTRIB_CTES = """
     WITH p AS (
       SELECT event_id AS purchase_id, user_id,
              CAST(floor(epoch(ts)) AS BIGINT) AS pl, value
       FROM events WHERE event_type = 'purchase'
     ), t AS (
-      SELECT user_id, event_type AS channel, CAST(floor(epoch(ts)) AS BIGINT) AS tl
+      SELECT event_id AS touch_id, user_id, event_type AS channel,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tl
       FROM events WHERE event_type IN ('view', 'click', 'cart')
     ), j AS (
-      SELECT p.purchase_id, p.value, t.channel, (p.pl - t.tl) AS dt
+      SELECT p.purchase_id, p.value, t.touch_id, t.channel, t.tl,
+             (p.pl - t.tl) AS dt
       FROM p JOIN t USING (user_id)
       WHERE p.pl - t.tl BETWEEN 1 AND 604800
-    ), per_p AS (
+    )
+"""
+
+
+@query(
+    "events_attribution_multitouch",
+    oracle=_ATTRIB_CTES + """
+    , per_p AS (
       -- decimal-exact sums: float addition is order-dependent and the two
       -- engines aggregate in different orders; casting each addend to a
       -- fixed-scale decimal makes every SUM exact and order-free
@@ -357,3 +367,77 @@ def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return touched.unionByName(direct)
+
+
+@query(
+    "events_attribution_ushape",
+    oracle=_ATTRIB_CTES + """
+    , ranked AS (
+      SELECT purchase_id, value, channel,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+               ORDER BY tl, touch_id) AS r,
+             COUNT(*) OVER (PARTITION BY purchase_id) AS n
+      FROM j
+    ), credits AS (
+      SELECT channel,
+             value * CASE
+               WHEN n = 1 THEN 1.0
+               WHEN n = 2 THEN 0.5
+               WHEN r = 1 OR r = n THEN 0.4
+               ELSE 0.2 / (n - 2)
+             END AS cr
+      FROM ranked
+    )
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+           ROUND(CAST(SUM(CAST(cr AS DECIMAL(30,12))) AS DOUBLE), 4)
+             AS ushape_revenue
+    FROM credits GROUP BY channel
+    """,
+)
+def attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) attribution: 40% of each purchase's value
+    to the FIRST touch, 40% to the LAST, the middle 20% split across the
+    in-between touches (single touch → 100%, two → 50/50) — the third
+    standard model next to linear/time-decay. Touch order is totaled by
+    (time, touch id) so rank assignment is engine-independent; credits
+    are exact rationals over integers and sum through decimals. Same
+    user-keyed credit join as events_attribution_multitouch."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").cast("long").alias("pl"),
+        "value",
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click", "cart")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").cast("long").alias("tl"),
+    )
+    j = (
+        p.join(t, "user_id")
+        .withColumn("dt", F.col("pl") - F.col("tl"))
+        .filter((F.col("dt") >= 1) & (F.col("dt") <= 604800))
+        .select("purchase_id", "value", "touch_id", "channel", "tl")
+    )
+    wp = Window.partitionBy("purchase_id")
+    ranked = j.withColumn(
+        "r", F.row_number().over(wp.orderBy("tl", "touch_id"))
+    ).withColumn("n", F.count("*").over(wp))
+    credit = F.col("value") * (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("r") == 1) | (F.col("r") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        ranked.select("channel", credit.alias("cr"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("bigint").alias("n_credits"),
+            F.round(
+                F.sum(F.col("cr").cast("decimal(30,12)")).cast("double"), 4
+            ).alias("ushape_revenue"),
+        )
+    )
