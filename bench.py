@@ -54,6 +54,7 @@ HEADLINE = [
     "pipeline_curation_funnel",
     "ann_ivfpq_topk_raw",
     "ann_ivf_topk_indexed_raw",
+    "text_hybrid_dense_rrf_topk",
     "acl_masked_events_rollup",
     "privacy_k_anon_events",
     "trino_url_traffic_rollup",
@@ -116,18 +117,28 @@ def main() -> None:
     for name in names:
         run(name)
 
-    # Two full timed passes, per-query MIN: single-pass numbers on a shared
-    # box carry multi-second one-off stalls (GC, host neighbors) that move
-    # between queries run-to-run; the min over interleaved passes is the
-    # steady-state engine cost, which is what plan changes actually affect.
-    timings: dict[str, float] = {}
-    for _pass in range(2):
+    # Self-diagnosing timing (VERDICT r3 #1): THREE full interleaved
+    # passes; per-query MIN is the headline (steady-state engine cost —
+    # what plan changes actually affect), per-query MEDIAN and spread
+    # (max/min) ride along so a noisy box is visible IN the artifact
+    # instead of looking like a uniform plan regression. A fixed
+    # engine-independent sentinel kernel is timed before and after the
+    # suite: if the two sentinel readings disagree, or a future round's
+    # sentinel differs from this round's, the delta is machine load by
+    # construction — not plans.
+    sentinel_before = _sentinel()
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _pass in range(3):
         for name in names:
             t0 = time.perf_counter()
             run(name)
-            el = round(time.perf_counter() - t0, 4)
-            if name not in timings or el < timings[name]:
-                timings[name] = el
+            samples[name].append(round(time.perf_counter() - t0, 4))
+    sentinel_after = _sentinel()
+    timings = {n: min(s) for n, s in samples.items()}
+    medians = {n: round(sorted(s)[len(s) // 2], 4) for n, s in samples.items()}
+    spread = {
+        n: round(max(s) / max(min(s), 1e-9), 2) for n, s in samples.items()
+    }
 
     freshness = _measure_freshness(spark)
     compaction = _measure_compaction(spark)
@@ -141,12 +152,35 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "queries_spread": spread,
+        "sentinel_sec": {"before": sentinel_before, "after": sentinel_after},
         "sf": sf,
         "freshness_sec": freshness,
         "compaction_sec": compaction,
     }
     print(json.dumps(out))
     spark.stop()
+
+
+def _sentinel() -> float:
+    """Machine-load sentinel: a fixed, engine-independent CPU+memory
+    kernel (seeded 1200² float64 matmul, best of 3). Its cost depends only
+    on the box's momentary load — identical code every round — so
+    cross-round bench comparability is readable straight from the
+    artifact: sentinel moved → the box moved, queries moved alone → the
+    plans moved."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((1200, 1200))
+    b = rng.standard_normal((1200, 1200))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ b).sum()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def _measure_freshness(spark) -> float:

@@ -10,8 +10,10 @@ from web_analytics_on_aws_spark.sources.changes_stream_datasource import (
 )
 from web_analytics_on_aws_spark.sources.snapshots import (
     commit_append,
+    delete_keys_mor,
     delete_where,
     merge_into,
+    upsert_keys_mor,
 )
 
 
@@ -97,6 +99,53 @@ def test_default_start_is_head_only_new_commits(registered, tmp_path):
     )
     out = _drain(spark, t, str(tmp_path / "c1"), "headonly")
     assert len(out) == 0  # history before the stream started is skipped
+
+
+def test_streams_across_equality_delete_commits(registered, tmp_path):
+    """ADVICE r3 (medium): a stream whose offset crosses an
+    upsert_keys_mor / delete_keys_mor commit must resolve the equality
+    deletes per endpoint (driver-side, same sequence rule as the read
+    path) instead of failing permanently — mode="mor" tables ARE
+    consumable by snapshot_changes."""
+    spark = registered
+    t = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+        ).coalesce(1),
+        t,
+    )
+    # v2: MOR upsert (update 2 → B, insert 9); v3: MOR delete key 1
+    upsert_keys_mor(
+        spark, t,
+        spark.createDataFrame([(2, "B"), (9, "z")], "id long, val string"),
+        ["id"],
+    )
+    delete_keys_mor(spark, t, spark.createDataFrame([(1,)], "id long"))
+
+    out = _drain(spark, t, str(tmp_path / "ckpt"), "eqstream", starting=1)
+    got = {
+        (r["id"], r["val"], r["_change_type"], r["_commit_version"])
+        for r in out
+    }
+    assert got == {
+        (2, "B", "insert", 2),
+        (9, "z", "insert", 2),
+        (2, "b", "delete", 2),
+        (1, "a", "delete", 3),
+    }
+
+    # stream result ≡ flat head read, folded over the v1 base
+    from web_analytics_on_aws_spark.sources.snapshots import read_snapshot
+
+    live = {(1, "a"), (2, "b"), (3, "c")}
+    for r in sorted(out, key=lambda r: r["_commit_version"]):
+        tup = (r["id"], r["val"])
+        live.add(tup) if r["_change_type"] == "insert" else live.remove(tup)
+    head = {
+        (r["id"], r["val"]) for r in read_snapshot(spark, t).collect()
+    }
+    assert live == head
 
 
 def test_feed_drives_incremental_rollup(registered, tmp_path):

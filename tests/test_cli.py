@@ -73,3 +73,18 @@ def test_cli_snapshot_mor_subcommands(spark, tmp_path, capsys):
     assert read_snapshot(spark, t).count() == 10
     assert main(["snapshot", t, "restore"]) == 2  # missing version
     assert main(["snapshot", t, "restore", "xx"]) == 2
+
+
+def test_cli_out_of_range_versions_are_usage_errors(spark, tmp_path, capsys):
+    """ADVICE r3: an integer-but-out-of-range version (restore 99,
+    changes -3) must exit 2 with a message, not dump a FileNotFoundError
+    traceback; missing table path likewise."""
+    from web_analytics_on_aws_spark.sources.snapshots import commit_append
+
+    t = str(tmp_path / "t")
+    commit_append(spark.range(3), t)
+    assert main(["snapshot", t, "restore", "99"]) == 2
+    assert main(["snapshot", t, "changes", "-3"]) == 2
+    assert main(["snapshot", str(tmp_path / "nope"), "history"]) == 2
+    err = capsys.readouterr().err
+    assert "snapshot restore" in err and "snapshot changes" in err

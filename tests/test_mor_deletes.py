@@ -266,7 +266,13 @@ def test_compact_autoconverts_eq_deletes(spark, two_file_table):
     assert "eq_deletes" not in m and _manifest_deletes(m) == []
 
 
-def test_cdf_and_datasource_refuse_on_eq_deletes(spark, two_file_table):
+def test_cdf_resolves_eq_deletes_datasource_refuses(spark, two_file_table):
+    """ADVICE r3: historical manifests are immutable, so batch
+    table_changes can't demand convert_equality_deletes — it now resolves
+    eq deletes driver-side (same engine as the snapshot_changes stream).
+    The per-task `snapshot` batch DataSource still refuses loudly (it
+    ships per-file position sets only; read_snapshot is the eq-aware
+    path)."""
     from web_analytics_on_aws_spark.sources.snapshot_datasource import (
         SnapshotDataSource,
     )
@@ -275,8 +281,12 @@ def test_cdf_and_datasource_refuse_on_eq_deletes(spark, two_file_table):
     t = two_file_table
     v0 = current_version(t)
     delete_keys_mor(spark, t, spark.createDataFrame([(4,)], "id long"))
-    with pytest.raises(ValueError, match="equality deletes"):
-        table_changes(spark, t, v0)
+    ch = table_changes(spark, t, v0)
+    assert [(r["id"], r["_change_type"]) for r in ch.collect()] == [
+        (4, "delete")
+    ]
+    # and a span ENDING before the eq commit is still the pure file diff
+    assert table_changes(spark, t, 1, 2).count() == 10
     spark.dataSource.register(SnapshotDataSource)
     with pytest.raises(Exception, match="equality deletes"):
         spark.read.format("snapshot").option("path", t).load().collect()

@@ -559,3 +559,54 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         _json.dump(m, fh)
     assert version_as_of(t, _time.time()) == 2
     assert read_snapshot(spark, t, as_of_timestamp=_time.time()).count() == 10
+
+
+def test_commit_timestamps_are_monotonic_under_clock_regression(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r3: committed_at follows Delta's adjusted-commit-timestamp
+    contract — a later version NEVER stamps earlier than its predecessor,
+    even if the wall clock steps backwards (NTP, VM migration), so
+    version_as_of stays deterministic."""
+    import time as _time
+
+    from web_analytics_on_aws_spark.sources import snapshots as S
+
+    t = str(tmp_path / "t")
+    commit_append(spark.range(0, 3).coalesce(1), t)
+    t1 = S._commit_time(t, 1)
+    # clock regression: the next commit sees wall time one hour in the past
+    real = _time.time
+    monkeypatch.setattr(S.time, "time", lambda: real() - 3600.0)
+    commit_append(spark.range(3, 6).coalesce(1), t)
+    t2 = S._commit_time(t, 2)
+    assert t2 > t1
+    # TIMESTAMP AS OF between the stamps resolves v1, after t2 resolves v2
+    assert S.version_as_of(t, (t1 + t2) / 2) == 1
+    assert S.version_as_of(t, t2) == 2
+
+
+def test_eq_delete_key_type_mismatch_raises(spark, tmp_path):
+    """ADVICE r3: a mistyped equality-delete key (string ids vs bigint
+    column) would silently match nothing at read time — refused at commit
+    time instead, for both delete_keys_mor and upsert_keys_mor."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        delete_keys_mor,
+        read_snapshot,
+        upsert_keys_mor,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(spark.range(0, 5).coalesce(1), t)
+    with pytest.raises(ValueError, match="type mismatch"):
+        delete_keys_mor(spark, t, spark.createDataFrame([("3",)], "id string"))
+    with pytest.raises(ValueError, match="type mismatch"):
+        upsert_keys_mor(
+            spark, t,
+            spark.createDataFrame([("3",)], "id string"), ["id"],
+        )
+    # correctly-typed keys still commit and delete
+    delete_keys_mor(spark, t, spark.createDataFrame([(3,)], "id long"))
+    assert sorted(
+        r["id"] for r in read_snapshot(spark, t).collect()
+    ) == [0, 1, 2, 4]

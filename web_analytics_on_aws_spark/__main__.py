@@ -185,32 +185,39 @@ def _snapshot_cmd(args) -> int:
         print(f"snapshot vacuum: retain_last must be an integer, got "
               f"{args.arg3!r}", file=sys.stderr)
         return 2
-    if sub == "vacuum":
-        n = snapshots.vacuum(path, retain_last=int(args.arg3 or 1))
-        print({"deleted_files": n})
-        return 0
-    spark = get_spark(app_name="snapshot-cli")
-    spark.sparkContext.setLogLevel("ERROR")
-    if sub in ("history", "snapshots", "files", "partitions", "delete_files"):
-        snapshots.metadata_table(spark, path, sub).show(args.limit, truncate=False)
-    elif sub == "restore":
-        print({"version": snapshots.restore_version(spark, path, int(args.arg3))})
-    elif sub == "compact-deletes":
-        print(snapshots.compact_deletes(spark, path))
-    elif sub == "changes":
-        snapshots.table_changes(spark, path, int(args.arg3)).show(
-            args.limit, truncate=False
-        )
-    elif sub == "zorder":
-        print(snapshots.cluster_zorder(spark, path, args.arg3.split(",")))
-    elif sub == "bloom":
-        from web_analytics_on_aws_spark.sources.bloom_index import (
-            build_bloom_index,
-        )
+    # every dispatch below can hit a missing table / out-of-range version /
+    # domain error; those are usage errors (exit 2 + message), not
+    # tracebacks (ADVICE r2 + r3)
+    try:
+        if sub == "vacuum":
+            n = snapshots.vacuum(path, retain_last=int(args.arg3 or 1))
+            print({"deleted_files": n})
+            return 0
+        spark = get_spark(app_name="snapshot-cli")
+        spark.sparkContext.setLogLevel("ERROR")
+        if sub in ("history", "snapshots", "files", "partitions", "delete_files"):
+            snapshots.metadata_table(spark, path, sub).show(args.limit, truncate=False)
+        elif sub == "restore":
+            print({"version": snapshots.restore_version(spark, path, int(args.arg3))})
+        elif sub == "compact-deletes":
+            print(snapshots.compact_deletes(spark, path))
+        elif sub == "changes":
+            snapshots.table_changes(spark, path, int(args.arg3)).show(
+                args.limit, truncate=False
+            )
+        elif sub == "zorder":
+            print(snapshots.cluster_zorder(spark, path, args.arg3.split(",")))
+        elif sub == "bloom":
+            from web_analytics_on_aws_spark.sources.bloom_index import (
+                build_bloom_index,
+            )
 
-        print(build_bloom_index(spark, path, args.arg3.split(",")))
-    else:
-        print(f"unknown snapshot subcommand {sub!r}", file=sys.stderr)
+            print(build_bloom_index(spark, path, args.arg3.split(",")))
+        else:
+            print(f"unknown snapshot subcommand {sub!r}", file=sys.stderr)
+            return 2
+    except (FileNotFoundError, ValueError) as e:
+        print(f"snapshot {sub}: {e}", file=sys.stderr)
         return 2
     return 0
 

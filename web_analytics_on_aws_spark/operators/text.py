@@ -882,6 +882,7 @@ def rrf_fuse(
     k: int = 10,
     c: int = 60,
     id_col: str = "doc_id",
+    decimal_exact: bool = False,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al., SIGIR 2009): fuse any
     number of retrievers' (query_id, doc_id, rank) lists by
@@ -892,7 +893,12 @@ def rrf_fuse(
     division; the sum has ≤ len(rank_lists) addends in a fixed fold.
     Every input list must carry (query_id, ``id_col``, rank) — query_id
     is part of the fixed contract (the three retrievers above all emit
-    it). Output: (query_id, doc_id, rrf_score rounded to 9, rank 1..k)."""
+    it). ``decimal_exact`` routes each 1/(c+rank) addend through a
+    fixed-scale decimal cast before summing: a 2-addend IEEE sum is
+    order-exact by itself, but from 3 lists up the float sum becomes
+    order-dependent — decimal accumulation keeps the fused score
+    engine-order-free (the same trick the attribution sums use). Output:
+    (query_id, doc_id, rrf_score rounded to 9, rank 1..k)."""
     from functools import reduce
 
     if not rank_lists:
@@ -906,7 +912,13 @@ def rrf_fuse(
         for df in rank_lists
     ]
     unioned = reduce(lambda a, b: a.unionByName(b), contribs)
+    addend = (
+        F.col("__c").cast("decimal(20,18)") if decimal_exact else F.col("__c")
+    )
+    total = F.sum(addend)
+    if decimal_exact:
+        total = total.cast("double")
     scored = unioned.groupBy("query_id", id_col).agg(
-        F.round(F.sum("__c"), 9).alias("rrf_score")
+        F.round(total, 9).alias("rrf_score")
     )
     return _per_query_topk(scored, "rrf_score", k, id_col)

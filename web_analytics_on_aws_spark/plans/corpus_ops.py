@@ -1031,9 +1031,10 @@ def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk(docs, query_ids=[0, 1, 2], k=10)
 
 
-@query(
-    "text_hybrid_rrf_topk",
-    oracle=_BM25_CTES + """
+# Shared top-20 lexical rank lists (BM25 + distinct-term Jaccard) for the
+# hybrid oracles — one definition so the 2-list and 3-list fusions can
+# never pin different retrievers. Extends _BM25_CTES (uses toks/bm_scored).
+_HYBRID_LEX_CTES = """
     , bm AS (
       SELECT query_id, doc_id,
              ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1059,7 +1060,13 @@ def bm25_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY score DESC, doc_id) AS rank
       FROM j_scored QUALIFY rank <= 20
-    ), fused AS (
+    )"""
+
+
+@query(
+    "text_hybrid_rrf_topk",
+    oracle=_BM25_CTES + _HYBRID_LEX_CTES + """
+    , fused AS (
       SELECT query_id, doc_id,
              ROUND(SUM(1.0 / (60.0 + rank)), 9) AS rrf_score
       FROM (SELECT * FROM bm UNION ALL SELECT * FROM jac)
@@ -1085,6 +1092,102 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm = text.bm25_topk(docs, query_ids=[0, 1, 2], k=20)
     jac = text.jaccard_topk(docs, query_ids=[0, 1, 2], k=20)
     return text.rrf_fuse([bm, jac], k=10)
+
+
+@query(
+    "text_hybrid_dense_rrf_topk",
+    oracle=_BM25_CTES + _HYBRID_LEX_CTES + f"""
+    , geo AS (
+      -- the materialized index's sqrt-n geometry rule (_ivf_geometry):
+      -- smallest power of two >= sqrt(n), clamped to [16, 256]
+      SELECT CAST(LEAST(256, GREATEST(16,
+               POWER(2, CEIL(LOG2(SQRT(COUNT(*))))))) AS INT) AS c
+      FROM embeddings
+    ), cents AS (
+      -- deterministic_centroids: the c lowest-id corpus vectors
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+      QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= (SELECT c FROM geo)
+    ), eq AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), assigned AS (
+      -- ivf_assign: nearest centroid by cosine, ties to the HIGHER id
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                   c.centroid_id DESC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), qprobe AS (
+      -- probe selection: nprobe=4 nearest cells, ties to the LOWER id
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT eq.query_id, eq.qv, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY eq.query_id
+                 ORDER BY list_cosine_similarity(eq.qv, c.cv) DESC,
+                          c.centroid_id ASC) AS pr
+        FROM eq CROSS JOIN cents c
+      ) WHERE pr <= 4
+    ), dense_scored AS (
+      SELECT p.query_id, a.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]), p.qv), 6) AS score
+      FROM qprobe p JOIN assigned a USING (centroid_id)
+      WHERE a.vec_id <> p.query_id
+    ), dense AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rank
+      FROM dense_scored QUALIFY rank <= 20
+    ), fused AS (
+      -- 3 addends: decimal-cast accumulation keeps the sum order-free
+      -- (a 2-addend IEEE sum is order-exact; 3 is not)
+      SELECT query_id, doc_id,
+             ROUND(CAST(SUM(CAST(1.0 / (60.0 + rank) AS DECIMAL(20,18)))
+                   AS DOUBLE), 9) AS rrf_score
+      FROM (SELECT query_id, doc_id, rank FROM bm
+            UNION ALL SELECT query_id, doc_id, rank FROM jac
+            UNION ALL SELECT query_id, doc_id, rank FROM dense)
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, rank FROM (
+      SELECT query_id, doc_id, rrf_score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def hybrid_dense_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION hybrid-search shape (VERDICT r3 #2): THREE
+    retrievers fused by reciprocal rank — BM25 top-20 + distinct-term
+    Jaccard top-20 (lexical, posting-list joins) + the MATERIALIZED IVF
+    index's dense top-20 over the documents' embeddings
+    (operators/ann_index.py: persisted sqrt-n quantizer, In-filter file
+    skipping — the amortized scale path, not a per-run rebuild). The
+    testdata's `embeddings.vec_id` keys `documents.doc_id` 1:1, so rank
+    lists align on doc_id. The oracle reproduces the probe EXACTLY
+    (deterministic lowest-id centroids, argmax assignment with ties to
+    the higher cell, nprobe=4 cells per query, sims rounded to 6 before
+    ranking); with ranks exact on both engines, the 3-addend RRF sum goes
+    through fixed-scale decimals so engine summation order cannot move
+    the 9-dp score."""
+    from web_analytics_on_aws_spark.operators.ann_index import probe_ivf_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = text.bm25_topk(docs, query_ids=[0, 1, 2], k=20)
+    jac = text.jaccard_topk(docs, query_ids=[0, 1, 2], k=20)
+    table = _ensure_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    dense = probe_ivf_index(spark, table, qs, k=20, nprobe=4).select(
+        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return text.rrf_fuse([bm, jac, dense], k=10, decimal_exact=True)
 
 
 @query(

@@ -253,15 +253,30 @@ def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared attribution base (purchases × prior-7-day same-user touches) —
 # one definition for every attribution model's oracle; floor(epoch)
 # matches Spark's flooring timestamp→long cast.
-_ATTRIB_CTES = """
+#
+# Skew guard (VERDICT r3 #3): per-user touch history is capped at the most
+# recent _TOUCH_CAP touches BEFORE the credit join — a bot/whale key with
+# 10^5 touches would otherwise fan out touches × purchases inside one
+# task. Human users never approach the cap, so headline results are
+# unchanged; the cap is deterministic (ordered by (tl, touch_id) desc) so
+# both engines drop the same rows. Documented model semantics.
+_TOUCH_CAP = 1000
+
+_ATTRIB_CTES = f"""
     WITH p AS (
       SELECT event_id AS purchase_id, user_id,
              CAST(floor(epoch(ts)) AS BIGINT) AS pl, value
       FROM events WHERE event_type = 'purchase'
-    ), t AS (
+    ), t0 AS (
       SELECT event_id AS touch_id, user_id, event_type AS channel,
              CAST(floor(epoch(ts)) AS BIGINT) AS tl
       FROM events WHERE event_type IN ('view', 'click', 'cart')
+    ), t AS (
+      SELECT touch_id, user_id, channel, tl FROM (
+        SELECT t0.*, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY tl DESC, touch_id DESC) AS __tr
+        FROM t0
+      ) WHERE __tr <= {_TOUCH_CAP}
     ), j AS (
       SELECT p.purchase_id, p.value, t.touch_id, t.channel, t.tl,
              (p.pl - t.tl) AS dt
@@ -269,6 +284,27 @@ _ATTRIB_CTES = """
       WHERE p.pl - t.tl BETWEEN 1 AND 604800
     )
 """
+
+
+def _capped_touches(ev: DataFrame) -> DataFrame:
+    """view/click/cart touches, per-user history capped at the latest
+    _TOUCH_CAP rows (see _ATTRIB_CTES skew-guard note): one window pass
+    bounds the whale-key credit-join fanout at touches≤cap × purchases
+    instead of unbounded."""
+    t = ev.filter(F.col("event_type").isin("view", "click", "cart")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").cast("long").alias("tl"),
+    )
+    wu = Window.partitionBy("user_id").orderBy(
+        F.col("tl").desc(), F.col("touch_id").desc()
+    )
+    return (
+        t.withColumn("__tr", F.row_number().over(wu))
+        .filter(F.col("__tr") <= _TOUCH_CAP)
+        .drop("__tr")
+    )
 
 
 @query(
@@ -295,10 +331,15 @@ _ATTRIB_CTES = """
                AS decay_revenue
       FROM credits GROUP BY channel
     ), direct AS (
+      -- same decimal-cast accumulation as the touched channels: raw
+      -- double sums are order-dependent and can drift past the 4-dp
+      -- rounding at larger SFs (ADVICE r3)
       SELECT 'direct' AS channel,
              CAST(COUNT(*) AS BIGINT) AS n_credits,
-             ROUND(SUM(value), 4) AS linear_revenue,
-             ROUND(SUM(value), 4) AS decay_revenue
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 4)
+               AS linear_revenue,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE), 4)
+               AS decay_revenue
       FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM j)
     )
     SELECT * FROM touched UNION ALL SELECT * FROM direct
@@ -321,11 +362,7 @@ def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("long").alias("pl"),
         "value",
     )
-    t = ev.filter(F.col("event_type").isin("view", "click", "cart")).select(
-        "user_id",
-        F.col("event_type").alias("channel"),
-        F.col("ts").cast("long").alias("tl"),
-    )
+    t = _capped_touches(ev)
     j = (
         p.join(t, "user_id")
         .withColumn("dt", F.col("pl") - F.col("tl"))
@@ -356,8 +393,12 @@ def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.join(j.select("purchase_id").distinct(), "purchase_id", "left_anti")
         .agg(
             F.count("*").cast("bigint").alias("n_credits"),
-            F.round(F.sum("value"), 4).alias("linear_revenue"),
-            F.round(F.sum("value"), 4).alias("decay_revenue"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,12)")).cast("double"), 4
+            ).alias("linear_revenue"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,12)")).cast("double"), 4
+            ).alias("decay_revenue"),
         )
         .select(
             F.lit("direct").alias("channel"),
@@ -409,12 +450,7 @@ def attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("long").alias("pl"),
         "value",
     )
-    t = ev.filter(F.col("event_type").isin("view", "click", "cart")).select(
-        F.col("event_id").alias("touch_id"),
-        "user_id",
-        F.col("event_type").alias("channel"),
-        F.col("ts").cast("long").alias("tl"),
-    )
+    t = _capped_touches(ev)
     j = (
         p.join(t, "user_id")
         .withColumn("dt", F.col("pl") - F.col("tl"))

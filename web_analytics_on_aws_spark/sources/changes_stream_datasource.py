@@ -71,6 +71,57 @@ def _dv_positions(table: str, version: int) -> dict:
     return dv
 
 
+def _eq_positions(table: str, version: int, files: set[str]) -> dict:
+    """{data-file path: set of row positions} killed by the version's
+    EQUALITY-delete sidecars, resolved driver-side with the same sequence
+    rule as the Spark read path (`snapshots._apply_equality_deletes`): a
+    sidecar committed at sequence s deletes matching rows only in files
+    with sequence < s, so an upsert's own appended rows survive. Only the
+    key columns of the files in ``files`` are read (ADVICE r3: historical
+    manifests are immutable, so refusing on eq_deletes made mode="mor"
+    tables permanently unconsumable — resolve instead)."""
+    import pyarrow.parquet as pq
+
+    m = _manifest(table, version)
+    entries = m.get("eq_deletes", [])
+    if not entries:
+        return {}
+    fseq = {f: int(s) for f, s in m.get("file_seq", {}).items()}
+    target = [f for f in m["files"] if f in files]
+    out: dict = {}
+    for e in entries:
+        keys = list(e["keys"])
+        dseq = int(e["seq"])
+        sidecar = pq.read_table(e["path"], columns=keys)
+        dead = set(zip(*(sidecar.column(k).to_pylist() for k in keys)))
+        if not dead:
+            continue
+        for f in target:
+            # files from pre-sequence manifests default older than any
+            # eq delete (eq deletes postdate the file_seq format)
+            if fseq.get(f, 0) >= dseq:
+                continue
+            t = pq.read_table(f, columns=[k for k in keys])
+            have = set(t.column_names)
+            cols = [
+                t.column(k).to_pylist() if k in have else [None] * len(t)
+                for k in keys
+            ]
+            for i, tup in enumerate(zip(*cols)):
+                if tup in dead:
+                    out.setdefault(f, set()).add(i)
+    return out
+
+
+def _merged_deletes(table: str, version: int, files: set[str]) -> dict:
+    """Effective per-file deleted-position sets at ``version`` over the
+    listed ``files``: position sidecars ∪ resolved equality deletes."""
+    dv = _dv_positions(table, version)
+    for p, ps in _eq_positions(table, version, files).items():
+        dv.setdefault(p, set()).update(ps)
+    return dv
+
+
 def _read_rows(
     paths: list[str], names: list[str], dv: dict | None = None,
     only_positions: dict | None = None,
@@ -106,6 +157,56 @@ def _read_rows(
     return bag
 
 
+def changes_rows(
+    table: str, v_from: int, v_to: int, names: list[str]
+) -> Iterator[Tuple]:
+    """Row-level change events between two versions, driver-side (pyarrow
+    only): yields (*data columns, change_type, v_to). The engine behind
+    both the streaming reader (per-commit) and `snapshots.table_changes`'
+    equality-delete fallback (arbitrary spans). Each endpoint applies ITS
+    version's merge-on-read deletes — position sidecars AND resolved
+    equality deletes — so MOR upserts diff as delete(old)+insert(new) and
+    compaction/convert maintenance commits diff as no-ops."""
+    vs = _versions(table)
+    for v in (v_from, v_to):
+        if v not in vs:
+            raise FileNotFoundError(
+                f"version {v} not present at {table} "
+                "(vacuumed past the stream's offset?)"
+            )
+    f_old, f_new = set(_files(table, v_from)), set(_files(table, v_to))
+    # eq resolution reads key columns of the in-play files once per
+    # crossed eq-delete commit — bounded maintenance-stream cost, same
+    # class as convert_equality_deletes' one scan
+    dv_old = _merged_deletes(table, v_from, f_old)
+    dv_new = _merged_deletes(table, v_to, f_new)
+    old = _read_rows(sorted(f_old - f_new), names, dv=dv_old)
+    new = _read_rows(sorted(f_new - f_old), names, dv=dv_new)
+    for row, n in (new - old).items():
+        for _ in range(n):
+            yield (*row, "insert", v_to)
+    for row, n in (old - new).items():
+        for _ in range(n):
+            yield (*row, "delete", v_to)
+    # MOR effective-delete diffs on files present in BOTH versions:
+    # positions newly dead → delete events; positions revived
+    # (restore_version) → insert events
+    for change_type, lhs, rhs in (
+        ("delete", dv_new, dv_old),
+        ("insert", dv_old, dv_new),
+    ):
+        diff = {
+            p: lhs.get(p, set()) - rhs.get(p, set())
+            for p in (f_old & f_new)
+        }
+        diff = {p: ps for p, ps in diff.items() if ps}
+        if diff:
+            rows2 = _read_rows(sorted(diff), names, only_positions=diff)
+            for row, n in rows2.items():
+                for _ in range(n):
+                    yield (*row, change_type, v_to)
+
+
 class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict, names: list[str]):
         self._table = options["path"]
@@ -121,53 +222,7 @@ class SnapshotChangesStreamReader(SimpleDataSourceStreamReader):
         return {"version": self._start}
 
     def _changes(self, v_from: int, v_to: int) -> Iterator[Tuple]:
-        vs = _versions(self._table)
-        for v in (v_from, v_to):
-            if v not in vs:
-                raise FileNotFoundError(
-                    f"version {v} not present at {self._table} "
-                    "(vacuumed past the stream's offset?)"
-                )
-        f_old, f_new = set(_files(self._table, v_from)), set(
-            _files(self._table, v_to)
-        )
-        for v in (v_from, v_to):
-            if _manifest(self._table, v).get("eq_deletes"):
-                raise ValueError(
-                    f"snapshot_changes over {self._table} v{v}: outstanding "
-                    "equality deletes — run convert_equality_deletes first"
-                )
-        dv_old = _dv_positions(self._table, v_from)
-        dv_new = _dv_positions(self._table, v_to)
-        # each side applies ITS version's merge-on-read deletes, so a later
-        # compaction never re-reports MOR-deleted rows
-        old = _read_rows(sorted(f_old - f_new), self._names, dv=dv_old)
-        new = _read_rows(sorted(f_new - f_old), self._names, dv=dv_new)
-        for row, n in (new - old).items():
-            for _ in range(n):
-                yield (*row, "insert", v_to)
-        for row, n in (old - new).items():
-            for _ in range(n):
-                yield (*row, "delete", v_to)
-        # MOR sidecar diffs on files present in BOTH versions: positions
-        # added → delete events; positions removed (restore_version) →
-        # insert events — the rows are live again
-        for change_type, lhs, rhs in (
-            ("delete", dv_new, dv_old),
-            ("insert", dv_old, dv_new),
-        ):
-            diff = {
-                p: lhs.get(p, set()) - rhs.get(p, set())
-                for p in (f_old & f_new)
-            }
-            diff = {p: ps for p, ps in diff.items() if ps}
-            if diff:
-                rows2 = _read_rows(
-                    sorted(diff), self._names, only_positions=diff
-                )
-                for row, n in rows2.items():
-                    for _ in range(n):
-                        yield (*row, change_type, v_to)
+        return changes_rows(self._table, v_from, v_to, self._names)
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         v = int(start["version"])

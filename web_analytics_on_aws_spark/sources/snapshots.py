@@ -135,7 +135,10 @@ def _publish(
         "version": version,
         "operation": op,
         "files": sorted(files),
-        # wall-clock commit stamp → TIMESTAMP AS OF time travel
+        # wall-clock commit stamp → TIMESTAMP AS OF time travel; adjusted
+        # below to be monotonically increasing across versions (Delta's
+        # adjusted-commit-timestamp contract) so clock regression (NTP
+        # step, VM migration) can never make version_as_of ambiguous
         "committed_at": time.time(),
     }
     if delete_files:
@@ -152,6 +155,7 @@ def _publish(
     # detection never depends on aged-out history. Rewrites (overwrite/DML/
     # optimize) inherit the map unchanged.
     txns: dict[str, int] = {}
+    prev_committed = 0.0
     if version > 1:
         try:
             prev = _read_manifest(table, version - 1)
@@ -159,6 +163,7 @@ def _publish(
             prev_constraints = prev.get("constraints", {})
             prev_file_seq = _manifest_file_seq(prev)
             prev_files = set(prev.get("files", []))
+            prev_committed = float(prev.get("committed_at", 0.0))
         except FileNotFoundError:
             # predecessor manifest missing (e.g. manual cleanup outside
             # vacuum's contract) — fall back to the
@@ -169,6 +174,8 @@ def _publish(
                 prev_constraints = prev.get("constraints", {})
                 prev_file_seq = _manifest_file_seq(prev)
                 prev_files = set(prev.get("files", []))
+                prev_committed = float(prev.get("committed_at", 0.0))
+    body["committed_at"] = max(body["committed_at"], prev_committed + 1e-3)
     # Sequence stamping: carried files keep their original commit seq, new
     # files get THIS version — the ordering equality deletes resolve
     # against (delete seq > file seq ⇒ the delete applies). A carried file
@@ -731,6 +738,27 @@ def _table_columns(spark: SparkSession, m: dict) -> list[str]:
     )
 
 
+def _check_key_types(
+    spark: SparkSession, m: dict, key_df: DataFrame, op: str
+) -> None:
+    """Equality-delete sidecar keys must TYPE-match the table's head
+    schema: a mistyped key (string ids vs a bigint column) would commit a
+    sidecar whose read-time eqNullSafe comparison goes through implicit
+    casts and can silently match nothing — the same silent-no-op class the
+    name check prevents (ADVICE r3). Raise loudly at commit time."""
+    head = dict(
+        spark.read.option("mergeSchema", "true").parquet(*m["files"]).dtypes
+    )
+    bad = {
+        k: (t, head[k]) for k, t in key_df.dtypes if k in head and t != head[k]
+    }
+    if bad:
+        detail = ", ".join(
+            f"{k}: sidecar {s} vs table {tt}" for k, (s, tt) in sorted(bad.items())
+        )
+        raise ValueError(f"{op}: equality-delete key type mismatch ({detail})")
+
+
 def delete_keys_mor(
     spark: SparkSession,
     table: str,
@@ -766,6 +794,7 @@ def delete_keys_mor(
             f"equality-delete key columns {sorted(missing)} not in table "
             "schema"
         )
+    _check_key_types(spark, m, keys_df, "delete_keys_mor")
     _check_metadata_path_roundtrip(spark, m["files"])
     sidecars = _write_data_files(keys_df.dropDuplicates(key_cols), table)
     version = cur + 1
@@ -826,6 +855,7 @@ def upsert_keys_mor(
             )
         if not set(keys) <= set(table_cols):
             raise ValueError(f"upsert keys {keys} not all in table schema")
+        _check_key_types(spark, m, src.select(*keys), "upsert_keys_mor")
         _check_metadata_path_roundtrip(spark, m["files"])
         src_proj = src.select(*table_cols)
         sidecars = _write_data_files(src.select(*keys), table)
@@ -1585,13 +1615,37 @@ def table_changes(
             raise FileNotFoundError(f"version {v} not present at {table}")
     m_old = _read_manifest(table, from_version)
     m_new = _read_manifest(table, to_version)
-    for mm, vv in ((m_old, from_version), (m_new, to_version)):
-        if _manifest_eq_deletes(mm):
-            raise ValueError(
-                f"table_changes over {table} v{vv}: outstanding equality "
-                "deletes — run convert_equality_deletes(spark, table) "
-                "first (position-delete feeds are fully supported)"
-            )
+    if _manifest_eq_deletes(m_old) or _manifest_eq_deletes(m_new):
+        # Either endpoint carries outstanding EQUALITY deletes. Historical
+        # manifests are immutable, so "convert first" can never clear a
+        # committed version (ADVICE r3) — resolve them instead via the
+        # driver-side engine the snapshot_changes stream uses (pyarrow;
+        # reads key columns of the in-play files once). Cost is bounded by
+        # changed data + one key-column pass, acceptable for the
+        # maintenance/CDC window sizes eq deletes live in — maintenance
+        # (convert/compact) restores the pure file-diff fast path.
+        import pyspark.sql.functions as F
+        from pyspark.sql.types import StringType, StructField
+
+        from web_analytics_on_aws_spark.sources.changes_stream_datasource import (
+            changes_rows,
+        )
+        from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+            _unified_arrow_schema,
+        )
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        base = from_arrow_schema(
+            _unified_arrow_schema(m_new["files"] or m_old["files"])
+        )
+        names = [f.name for f in base.fields]
+        rows = [
+            row[:-1]  # drop the commit-version stamp; CDF output has none
+            for row in changes_rows(table, from_version, to_version, names)
+        ]
+        schema = base.add(StructField("_change_type", StringType()))
+        return spark.createDataFrame(rows, schema)
     f_old, f_new = set(m_old["files"]), set(m_new["files"])
     d_old, d_new = _manifest_deletes(m_old), _manifest_deletes(m_new)
     removed, added = sorted(f_old - f_new), sorted(f_new - f_old)
