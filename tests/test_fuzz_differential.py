@@ -36,3 +36,14 @@ def test_fuzzed_setops_and_subqueries_agree_across_engines(spark):
     from tools.fuzz_differential import run_setops
 
     assert run_setops(30, "/root/testdata/sf0.001", spark=spark) == []
+
+
+def test_fuzzed_trino_dialect_agrees_across_engines(spark):
+    """Trino-dialect text → shim → Spark vs an independent DuckDB
+    rendition (VERDICT r3 #5): the curated rewrites — quoted identifiers,
+    url fns, MySQL date patterns, unit forms, renames — hold per-row.
+    60 seeds in CI; the full-sweep CLI runs 300+."""
+    from tools.fuzz_differential import gen_trino_pair, run_trino_shim
+
+    assert gen_trino_pair(3) == gen_trino_pair(3)
+    assert run_trino_shim(60, "/root/testdata/sf0.001", spark=spark) == []

@@ -149,10 +149,12 @@ def main() -> int:
     wbad = run_windows(n, sf)
     gbad = run_grouping_sets(n // 2, sf)
     sbad = run_setops(n // 2, sf)
-    total_bad = bad + jbad + wbad + gbad + sbad
+    tbad = run_trino_shim(max(n, 300), sf)
+    total_bad = bad + jbad + wbad + gbad + sbad + tbad
     print(
         f"fuzzed {n} single-table + {n // 2} join + {n} window + "
-        f"{n // 2} grouping-sets + {n} setop/subquery queries: "
+        f"{n // 2} grouping-sets + {n} setop/subquery + "
+        f"{max(n, 300)} trino-shim queries: "
         f"{len(total_bad)} divergences {total_bad}"
     )
     return 1 if total_bad else 0
@@ -472,6 +474,134 @@ def run_setops(n_seeds: int, sf: str, spark=None) -> list[int]:
             if sorted(sdf.columns) != sorted(ddf.columns) or canon(sdf) != canon(ddf):
                 bad.append(seed)
                 print(f"{tag} DIVERGENCE seed={seed}\n  {sql}", flush=True)
+    return bad
+
+
+# ---- Trino-shim grammar (VERDICT r3 #5): the curated dialect rewrites in
+# functions/trino_compat.py are the highest dialect-drift-risk code; this
+# family generates TRINO-dialect text (quoted identifiers, url fns, MySQL
+# date patterns, date_diff/date_add unit forms, bitwise/renamed fns), runs
+# it through the shim → Spark, and compares against an independently
+# written DuckDB rendition of the same expression — per-row, ordered by
+# the unique event_id, so any rewrite slip shows as a value diff. Atoms
+# restrict to constructs with exact cross-engine semantics (day-unit
+# diffs on DATEs, minute-level formats, integer arithmetic).
+
+_URL = (
+    "concat('https://shop.example:8080/x/', \"event_type\", "
+    "'?q=', \"event_type\", '#frag')"
+)
+
+#: (trino_expr, duckdb_expr) pairs — same value row-for-row.
+TRINO_ATOMS = [
+    (f"url_extract_host({_URL})", "'shop.example'"),
+    (f"url_extract_protocol({_URL})", "'https'"),
+    (f"url_extract_port({_URL})", "CAST(8080 AS BIGINT)"),
+    (f"url_extract_path({_URL})", "concat('/x/', event_type)"),
+    (f"url_extract_query({_URL})", "concat('q=', event_type)"),
+    (f"url_extract_parameter({_URL}, 'q')", "event_type"),
+    (
+        "date_diff('day', CAST(\"ts\" AS DATE), DATE '2024-06-01')",
+        "date_diff('day', CAST(ts AS DATE), DATE '2024-06-01')",
+    ),
+    (
+        "CAST(date_add('day', 3, CAST(\"ts\" AS DATE)) AS DATE)",
+        "CAST(CAST(ts AS DATE) + INTERVAL 3 DAY AS DATE)",
+    ),
+    ("to_unixtime(\"ts\")", "CAST(floor(epoch(ts)) AS BIGINT)"),
+    (
+        "date_format(\"ts\", '%Y-%m-%d %H:%i')",
+        "strftime(ts, '%Y-%m-%d %H:%M')",
+    ),
+    (
+        "date_parse(concat('2024-01-', CAST((\"event_id\" % 9) + 10 AS "
+        "VARCHAR)), '%Y-%m-%d')",
+        "strptime(concat('2024-01-', CAST((event_id % 9) + 10 AS VARCHAR)), "
+        "'%Y-%m-%d')",
+    ),
+    ("day_of_week(CAST(\"ts\" AS DATE))", "isodow(CAST(ts AS DATE))"),
+    ("dow(CAST(\"ts\" AS DATE))", "isodow(CAST(ts AS DATE))"),
+    ("day_of_year(CAST(\"ts\" AS DATE))", "dayofyear(CAST(ts AS DATE))"),
+    ("week(CAST(\"ts\" AS DATE))", "weekofyear(CAST(ts AS DATE))"),
+    ("bitwise_and(\"event_id\", 12)", "(event_id & 12)"),
+    ("bitwise_or(\"event_id\" % 16, 5)", "((event_id % 16) | 5)"),
+    ("bitwise_xor(\"event_id\" % 32, 21)", "xor(event_id % 32, 21)"),
+    ("strpos(\"event_type\", 'i')", "strpos(event_type, 'i')"),
+    ("codepoint(\"event_type\")", "ascii(event_type)"),
+    (
+        "levenshtein_distance(\"event_type\", 'view')",
+        "levenshtein(event_type, 'view')",
+    ),
+    ("starts_with(\"event_type\", 'c')", "starts_with(event_type, 'c')"),
+    (
+        "format('%s:%d', \"event_type\", \"event_id\" % 5)",
+        "printf('%s:%d', event_type, event_id % 5)",
+    ),
+    (
+        "json_extract_scalar(\"props\", '$.k')",
+        "json_extract_string(props, '$.k')",
+    ),
+    (
+        "TRY_CAST(CAST(\"event_id\" AS VARCHAR) AS BIGINT)",
+        "TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT)",
+    ),
+    ("TRY_CAST(\"event_type\" AS DOUBLE)", "TRY_CAST(event_type AS DOUBLE)"),
+]
+
+TRINO_FILTERS = [
+    ("\"value\" > 50", "value > 50"),
+    ("\"event_type\" <> 'error'", "event_type <> 'error'"),
+    ("strpos(\"event_type\", 'c') > 0", "strpos(event_type, 'c') > 0"),
+    ("\"user_id\" % 4 = 1", "user_id % 4 = 1"),
+    (
+        "day_of_week(CAST(\"ts\" AS DATE)) <= 5",
+        "isodow(CAST(ts AS DATE)) <= 5",
+    ),
+]
+
+
+def gen_trino_pair(seed: int) -> tuple[str, str]:
+    rng = random.Random(40_000_007 + seed)
+    picks = rng.sample(range(len(TRINO_ATOMS)), rng.randint(2, 4))
+    t_cols = ['"event_id"'] + [
+        f"{TRINO_ATOMS[i][0]} AS c{j}" for j, i in enumerate(picks)
+    ]
+    d_cols = ["event_id"] + [
+        f"{TRINO_ATOMS[i][1]} AS c{j}" for j, i in enumerate(picks)
+    ]
+    tf, df_ = rng.choice(TRINO_FILTERS)
+    lim = rng.choice([50, 100, 200])
+    t_sql = (
+        f"SELECT {', '.join(t_cols)} FROM events WHERE {tf} "
+        f'ORDER BY "event_id" LIMIT {lim}'
+    )
+    d_sql = (
+        f"SELECT {', '.join(d_cols)} FROM events WHERE {df_} "
+        f"ORDER BY event_id LIMIT {lim}"
+    )
+    return t_sql, d_sql
+
+
+def run_trino_shim(n_seeds: int, sf: str, spark=None) -> list[int]:
+    from tools.driver_sim import canon
+
+    from web_analytics_on_aws_spark.functions.trino_compat import (
+        trino_to_spark_sql,
+    )
+
+    spark, con = _setup(sf, ("events",), spark)
+    bad = []
+    for seed in range(n_seeds):
+        t_sql, d_sql = gen_trino_pair(seed)
+        sdf = spark.sql(trino_to_spark_sql(t_sql)).toPandas()
+        ddf = con.execute(d_sql).df()
+        if sorted(sdf.columns) != sorted(ddf.columns) or canon(sdf) != canon(ddf):
+            bad.append(seed)
+            print(
+                f"TRINO DIVERGENCE seed={seed}\n  trino: {t_sql}\n"
+                f"  duck : {d_sql}",
+                flush=True,
+            )
     return bad
 
 

@@ -28,6 +28,20 @@ def main() -> int:
     results: dict = {"ts": time.time(), "kind": "verify_all"}
     ok = True
 
+    # Doc-count gate (VERDICT r3 #6): regenerate the query index; if that
+    # CHANGES QUERIES.md or README.md, the committed docs were stale —
+    # fail the gate (the regeneration itself leaves the tree fixed).
+    rc, out = run(
+        [sys.executable, "tools/gen_query_index.py"], "/tmp/verify_genindex.log"
+    )
+    drift = subprocess.run(
+        ["git", "diff", "--name-only", "--", "QUERIES.md", "README.md"],
+        capture_output=True, text=True, cwd=ROOT,
+    ).stdout.split()
+    results["doc_index"] = {"rc": rc, "stale": drift}
+    ok = ok and rc == 0 and not drift
+    print(f"doc_index: rc={rc} stale={drift or 'none'}", flush=True)
+
     if "--skip-pytest" not in sys.argv:
         rc, out = run(
             [sys.executable, "-m", "pytest", "tests/", "-q"],

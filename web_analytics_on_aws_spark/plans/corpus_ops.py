@@ -652,6 +652,88 @@ def top_duplicated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_bigram_lm_quality",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), bi0 AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t)),
+                    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS s
+      FROM d WHERE len(t) >= 2
+    ), bi AS (
+      SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bi0
+    ), c12 AS (
+      SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, COUNT(*) AS cc FROM bi GROUP BY w1
+    ), v AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+      FROM (SELECT UNNEST({_TOKS}) AS tok FROM documents)
+    ), scored AS (
+      SELECT b.doc_id, -LOG2((c12.c + 1) / (c1.cc + v.v)) AS bits
+      FROM bi b JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(bits) / COUNT(*), 6) AS avg_bits_per_bigram
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (the CCNet/Wikipedia-LM filter shape, one
+    order up from `text_unigram_logprob`): train an add-one-smoothed
+    conditional bigram model ON the corpus in-plan — p(w2|w1) =
+    (c(w1,w2)+1)/(c(w1)+|V|) — and score each document by its mean
+    surprisal −log2 p over its bigrams (high = garble/noise, low =
+    boilerplate; the standard perplexity-band filter keys off this
+    score). Documents with <2 tokens have no bigrams and drop out.
+
+    Plan shape: bigrams are formed MAP-SIDE (sequence+transform over the
+    token array — no positional self-join), the model is two partial-agg
+    shuffles on (w1,w2)/(w1), scoring re-joins the bigram stream to the
+    count tables (AQE broadcasts them while the vocab is small, falls
+    back to hash joins at web-scale vocab), and |V| rides as a broadcast
+    1-row aggregate. Everything stays JVM-side."""
+    from web_analytics_on_aws_spark.functions import token_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", token_split(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.w1", "s.w2")
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("cc"))
+    vocab = (
+        docs.select(F.explode(token_split(F.col("text"))).alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("v"))
+    )
+    scored = (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (-F.log2((F.col("c") + 1) / (F.col("cc") + F.col("v")))).alias(
+                "bits"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("bits") / F.count("*"), 6).alias("avg_bits_per_bigram"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Unigram log-prob scoring — the perplexity-filter stand-in (docs whose
 # tokens are improbable under the corpus unigram LM are outliers/noise)
@@ -1188,6 +1270,65 @@ def hybrid_dense_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("vec_id").alias("doc_id"), "rank"
     )
     return text.rrf_fuse([bm, jac, dense], k=10, decimal_exact=True)
+
+
+@query(
+    "pipeline_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id, len({_TOKS}) AS n FROM documents
+    ), c AS (
+      SELECT source, doc_id, n,
+             SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n AS cb
+      FROM d
+    )
+    SELECT source,
+           CAST(cb // 512 AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS doc_tokens,
+           CAST(SUM(CASE WHEN (cb + n - 1) // 512 <> cb // 512
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+    FROM c GROUP BY source, cb // 512
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): documents are
+    concatenated in doc_id order WITHIN each source and cut into 512-token
+    training sequences; each output row is one sequence — how many docs
+    start in it, their token mass, and how many straddle into the next
+    sequence (the cross-document-attention leakage a packing mask must
+    handle). Packing is per-source (the shard key a production pipeline
+    packs within), so the running-sum window parallelizes across sources
+    instead of forcing one global ordering — the 100 TB shape; one window
+    pass + one partial-agg shuffle, all integer arithmetic, exact
+    cross-engine."""
+    from web_analytics_on_aws_spark.functions import token_count
+
+    L = 512
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = docs.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n")
+    ).withColumn("cb", F.sum("n").over(w) - F.col("n"))
+    return (
+        c.withColumn("seq_id", F.expr(f"cb DIV {L}").cast("bigint"))
+        .withColumn(
+            "straddle",
+            (F.expr(f"(cb + n - 1) DIV {L}") != F.expr(f"cb DIV {L}"))
+            .cast("int"),
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("doc_tokens"),
+            F.sum("straddle").cast("bigint").alias("n_straddlers"),
+        )
+    )
 
 
 @query(

@@ -150,7 +150,16 @@ def _read_rows(
         cols = []
         for n in names:
             if n in have:
-                cols.append(t.column(n).to_pylist())
+                # nanosecond parquet timestamps (Spark's INT96 default)
+                # surface as pandas.Timestamp from to_pylist —
+                # createDataFrame and the stream's row codec want plain
+                # datetime, so normalize at the source
+                cols.append(
+                    [
+                        v.to_pydatetime() if hasattr(v, "to_pydatetime") else v
+                        for v in t.column(n).to_pylist()
+                    ]
+                )
             else:
                 cols.append([None] * len(t))
         bag.update(zip(*cols) if len(t) else [])
