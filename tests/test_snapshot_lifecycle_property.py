@@ -1,0 +1,159 @@
+"""Property-based storage-lifecycle fuzz: for ARBITRARY commit sequences
+(append / CoW merge / CoW delete / MOR position delete / MOR key delete /
+MOR upsert / restore / maintenance), three independent readers of the
+snapshot table must agree with a pure-Python model:
+
+1. the head read (`read_snapshot`) equals the model state;
+2. the streaming change feed drained from version 1 FOLDS to the model
+   (insert/delete events applied to the v1 state) — crossing every MOR
+   and maintenance commit in the sequence;
+3. `table_statistics` reports the exact live row count whenever it
+   claims exactness.
+
+This is the composition the hand-written pins can't cover: interleavings
+like mor-upsert → restore → compact → stream are exactly where change
+feeds historically break (the ADVICE r3 equality-delete refusal was one
+such). CoW ops refuse while sidecars are outstanding, so the driver
+compacts first — modeled as a no-op maintenance commit, exactly the
+production discipline.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from web_analytics_on_aws_spark.sources.snapshots import (
+    _manifest_deletes,
+    _manifest_eq_deletes,
+    _read_manifest,
+    commit_append,
+    current_version,
+    delete_keys_mor,
+    delete_where,
+    delete_where_mor,
+    maintain_table,
+    merge_into,
+    read_snapshot,
+    restore_version,
+    table_statistics,
+    upsert_keys_mor,
+)
+
+OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(1, 4)),
+        st.tuples(st.just("merge"), st.integers(1, 3)),
+        st.tuples(st.just("cow_delete"), st.integers(0, 2)),
+        st.tuples(st.just("mor_delete"), st.integers(0, 2)),
+        st.tuples(st.just("del_keys"), st.integers(1, 3)),
+        st.tuples(st.just("upsert_mor"), st.integers(1, 3)),
+        st.tuples(st.just("restore"), st.integers(1, 2)),
+        st.tuples(st.just("maintain"), st.just(0)),
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), int(v)) for i, v in rows], "id long, val long"
+    ).coalesce(1)
+
+
+def _dirty(t):
+    m = _read_manifest(t, current_version(t))
+    return bool(_manifest_deletes(m) or _manifest_eq_deletes(m))
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=OPS)
+def test_any_commit_sequence_reads_and_streams_consistently(spark, ops):
+    t = tempfile.mkdtemp(prefix="snap-prop-") + "/t"
+    model: dict[int, int] = {i: i * 10 for i in range(4)}
+    next_id = 4
+    commit_append(_df(spark, model.items()), t)
+    history = {current_version(t): dict(model)}
+
+    def clean():
+        nonlocal model
+        if _dirty(t):
+            maintain_table(spark, t, max_delete_files=0)
+            history[current_version(t)] = dict(model)
+
+    for op, arg in ops:
+        if op == "append":
+            rows = {next_id + j: (next_id + j) * 10 for j in range(arg)}
+            next_id += arg
+            commit_append(_df(spark, rows.items()), t)
+            model.update(rows)
+        elif op == "merge":
+            clean()
+            ups = {i: model[i] + 7 for i in sorted(model)[:arg]}
+            ups[next_id] = next_id * 10
+            model.update(ups)
+            next_id += 1
+            merge_into(spark, t, _df(spark, ups.items()), ["id"])
+        elif op == "cow_delete":
+            clean()
+            delete_where(spark, t, f"id % 3 = {arg}")
+            model = {i: v for i, v in model.items() if i % 3 != arg}
+        elif op == "mor_delete":
+            delete_where_mor(spark, t, f"id % 5 = {arg}")
+            model = {i: v for i, v in model.items() if i % 5 != arg}
+        elif op == "del_keys":
+            keys = sorted(model)[:arg]
+            if keys:
+                delete_keys_mor(
+                    spark, t, _df(spark, [(k, 0) for k in keys]).select("id")
+                )
+                model = {i: v for i, v in model.items() if i not in keys}
+        elif op == "upsert_mor":
+            ups = {i: model[i] + 3 for i in sorted(model)[-arg:]}
+            ups[next_id] = next_id * 10
+            next_id += 1
+            model.update(ups)
+            upsert_keys_mor(spark, t, _df(spark, ups.items()), ["id"])
+        elif op == "restore":
+            target = max(1, current_version(t) - arg)
+            restore_version(spark, t, target)
+            model = dict(history[target])
+        elif op == "maintain":
+            maintain_table(spark, t, max_delete_files=0)
+        history[current_version(t)] = dict(model)
+
+    # 1. head read ≡ model
+    head = {r["id"]: r["val"] for r in read_snapshot(spark, t).collect()}
+    assert head == model
+
+    # 2. stream fold from v1 ≡ model (exercises eq-delete resolution,
+    # restore undeletes, maintenance no-ops in ONE feed)
+    from web_analytics_on_aws_spark.sources.changes_stream_datasource import (
+        changes_rows,
+    )
+
+    state = dict(history[1])
+    hv = current_version(t)
+    for v in range(1, hv):
+        evs = list(changes_rows(t, v, v + 1, ["id", "val"]))
+        # retract-then-add within a commit: an update is delete(old) +
+        # insert(new) of the same key, unordered within the batch
+        for rid, val, kind, _v in evs:
+            if kind == "delete":
+                assert state.pop(rid) == val
+        for rid, val, kind, _v in evs:
+            if kind == "insert":
+                state[rid] = val
+    assert state == model
+
+    # 3. statistics exactness claim holds
+    st_ = table_statistics(t)
+    if st_["exact"]:
+        assert st_["row_count"] == len(model)

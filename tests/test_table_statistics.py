@@ -89,3 +89,15 @@ def test_manifest_stats_flip_join_to_broadcast(spark, tmp_path):
 def test_table_statistics_missing_table_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         table_statistics(str(tmp_path / "nope"))
+
+
+def test_stats_metadata_table_and_cli(spark, tmp_path, capsys):
+    from web_analytics_on_aws_spark.__main__ import main
+    from web_analytics_on_aws_spark.sources.snapshots import metadata_table
+
+    t = str(tmp_path / "t")
+    commit_append(spark.range(25).coalesce(1), t)
+    row = metadata_table(spark, t, "stats").collect()[0]
+    assert (row["row_count"], row["n_files"], row["exact"]) == (25, 1, True)
+    assert main(["snapshot", t, "stats"]) == 0
+    assert "row_count" in capsys.readouterr().out

@@ -236,6 +236,25 @@ def test_unnest_array_and_map(views):
         trino_to_spark_sql("SELECT y FROM t, UNNEST(x) AS q (y)")
 
 
+def test_unnest_with_ordinality(views):
+    """Trino's `UNNEST(...) WITH ORDINALITY AS t (elem, ord)` — 1-based
+    bigint position column, rewritten through inline(transform(...)) so
+    both output columns resolve as top-level names."""
+    out = trino_sql(
+        views,
+        "SELECT id, tag, n FROM t CROSS JOIN UNNEST(tags) "
+        "WITH ORDINALITY AS u (tag, n) ORDER BY id, n",
+    ).collect()
+    assert [(r["id"], r["tag"], r["n"]) for r in out] == [
+        (1, "a", 1), (1, "b", 2), (2, "b", 1),
+    ]
+    assert isinstance(out[0]["n"], int)
+    with pytest.raises(TrinoCompatError, match="ORDINALITY"):
+        trino_to_spark_sql(
+            "SELECT x FROM t CROSS JOIN UNNEST(tags) WITH ORDINALITY AS u (x)"
+        )
+
+
 def test_lambda_surface(views):
     out = trino_sql(
         views,

@@ -562,6 +562,32 @@ TRINO_FILTERS = [
 
 def gen_trino_pair(seed: int) -> tuple[str, str]:
     rng = random.Random(40_000_007 + seed)
+    if rng.random() < 0.2:
+        # FROM-level construct: CROSS JOIN UNNEST [WITH ORDINALITY] —
+        # rewritten through LATERAL VIEW explode / inline(transform)
+        tf, df_ = rng.choice(TRINO_FILTERS)
+        k = rng.choice([2, 3])
+        if rng.random() < 0.5:
+            t_sql = (
+                f'SELECT "event_id", e, n FROM events CROSS JOIN '
+                f'UNNEST(sequence(1, {k} + "event_id" % 3)) '
+                f"WITH ORDINALITY AS u (e, n) WHERE {tf} "
+                f'ORDER BY "event_id", n LIMIT 100'
+            )
+        else:
+            t_sql = (
+                f'SELECT "event_id", e, CAST(e AS BIGINT) AS n FROM events '
+                f'CROSS JOIN UNNEST(sequence(1, {k} + "event_id" % 3)) '
+                f"AS u (e) WHERE {tf} "
+                f'ORDER BY "event_id", n LIMIT 100'
+            )
+        d_sql = (
+            f"SELECT event_id, CAST(u AS BIGINT) AS e, CAST(u AS BIGINT) "
+            f"AS n FROM (SELECT event_id, UNNEST(range(1, {k} + 1 + "
+            f"event_id % 3)) AS u FROM events WHERE {df_}) "
+            f"ORDER BY event_id, n LIMIT 100"
+        )
+        return t_sql, d_sql
     picks = rng.sample(range(len(TRINO_ATOMS)), rng.randint(2, 4))
     t_cols = ['"event_id"'] + [
         f"{TRINO_ATOMS[i][0]} AS c{j}" for j, i in enumerate(picks)

@@ -29,15 +29,22 @@ def main() -> int:
     ok = True
 
     # Doc-count gate (VERDICT r3 #6): regenerate the query index; if that
-    # CHANGES QUERIES.md or README.md, the committed docs were stale —
-    # fail the gate (the regeneration itself leaves the tree fixed).
+    # CHANGES QUERIES.md or README.md, the docs were stale — fail the
+    # gate (the regeneration itself leaves the tree fixed). Content
+    # compare, not `git diff`: an unrelated uncommitted README edit must
+    # not false-positive the gate.
+    docs = ["QUERIES.md", "README.md"]
+    before = {
+        d: open(os.path.join(ROOT, d), encoding="utf-8").read() for d in docs
+    }
     rc, out = run(
         [sys.executable, "tools/gen_query_index.py"], "/tmp/verify_genindex.log"
     )
-    drift = subprocess.run(
-        ["git", "diff", "--name-only", "--", "QUERIES.md", "README.md"],
-        capture_output=True, text=True, cwd=ROOT,
-    ).stdout.split()
+    drift = [
+        d
+        for d in docs
+        if open(os.path.join(ROOT, d), encoding="utf-8").read() != before[d]
+    ]
     results["doc_index"] = {"rc": rc, "stale": drift}
     ok = ok and rc == 0 and not drift
     print(f"doc_index: rc={rc} stale={drift or 'none'}", flush=True)

@@ -195,7 +195,8 @@ def _snapshot_cmd(args) -> int:
             return 0
         spark = get_spark(app_name="snapshot-cli")
         spark.sparkContext.setLogLevel("ERROR")
-        if sub in ("history", "snapshots", "files", "partitions", "delete_files"):
+        if sub in ("history", "snapshots", "files", "partitions",
+                   "delete_files", "stats", "refs"):
             snapshots.metadata_table(spark, path, sub).show(args.limit, truncate=False)
         elif sub == "restore":
             print({"version": snapshots.restore_version(spark, path, int(args.arg3))})

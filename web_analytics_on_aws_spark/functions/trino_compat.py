@@ -102,7 +102,6 @@ _MYSQL_TO_JDK = {
 #: BERNOULLI is rewritten below — Spark's `TABLESAMPLE (p PERCENT)` is the
 #: same per-row Bernoulli trial.
 UNSUPPORTED = [
-    r"\bWITH\s+ORDINALITY\b",
     r"\bTABLESAMPLE\s+SYSTEM\b",
     r"\bMATCH_RECOGNIZE\b",
     r"\bAT\s+TIME\s+ZONE\b",
@@ -255,8 +254,12 @@ def _nargs(name: str, args: list[str], n: int) -> list[str]:
 def _rewrite_unnest(body: str, idents: list[str]) -> str:
     """``CROSS JOIN UNNEST(expr) AS t (c1[, c2])`` → ``LATERAL VIEW
     explode(expr) t AS c1[, c2]`` (1 column: array element; 2 columns: map
-    key/value — the two forms Athena web-log queries actually use). Any
-    UNNEST left standing after this refuses rather than mis-running."""
+    key/value — the two forms Athena web-log queries actually use).
+    ``... UNNEST(expr) WITH ORDINALITY AS t (c, o)`` → ``LATERAL VIEW
+    inline(transform(expr, (x, i) -> struct(x AS c, i+1 AS o))) t`` —
+    `inline` surfaces the struct fields as top-level columns, so the
+    1-based bigint ordinality Trino defines needs no post-hoc reference
+    rewriting. Any UNNEST left standing refuses rather than mis-running."""
     pat = re.compile(r"\bCROSS\s+JOIN\s+UNNEST\s*\(", re.IGNORECASE)
     while True:
         m = pat.search(body)
@@ -273,21 +276,37 @@ def _rewrite_unnest(body: str, idents: list[str]) -> str:
             raise TrinoCompatError("unbalanced parens in UNNEST")
         expr = body[m.end() : j - 1]
         alias = re.match(
-            r"\s*AS\s+([\w\x02]+)\s*\(([^)]*)\)", body[j:], re.IGNORECASE
+            r"\s*(WITH\s+ORDINALITY\s+)?AS\s+([\w\x02]+)\s*\(([^)]*)\)",
+            body[j:],
+            re.IGNORECASE,
         )
         if not alias:
             raise TrinoCompatError(
                 "UNNEST requires an `AS alias (col[, col])` clause"
             )
-        cols = [c.strip() for c in alias.group(2).split(",")]
-        if not 1 <= len(cols) <= 2:
-            raise TrinoCompatError("UNNEST supports 1 (array) or 2 (map) columns")
-        body = (
-            body[: m.start()]
-            + f" LATERAL VIEW explode({expr}) {alias.group(1)} AS "
-            + ", ".join(cols)
-            + body[j + alias.end() :]
-        )
+        ordinal = bool(alias.group(1))
+        cols = [c.strip() for c in alias.group(3).split(",")]
+        if ordinal:
+            if len(cols) != 2:
+                raise TrinoCompatError(
+                    "UNNEST WITH ORDINALITY needs exactly (element, ordinal)"
+                )
+            c, o = cols
+            rewritten = (
+                f" LATERAL VIEW inline(transform({expr}, (__x, __i) -> "
+                f"struct(__x AS {c}, CAST(__i + 1 AS BIGINT) AS {o}))) "
+                f"{alias.group(2)}"
+            )
+        else:
+            if not 1 <= len(cols) <= 2:
+                raise TrinoCompatError(
+                    "UNNEST supports 1 (array) or 2 (map) columns"
+                )
+            rewritten = (
+                f" LATERAL VIEW explode({expr}) {alias.group(2)} AS "
+                + ", ".join(cols)
+            )
+        body = body[: m.start()] + rewritten + body[j + alias.end() :]
 
 
 def trino_to_spark_sql(sql: str) -> str:

@@ -667,7 +667,9 @@ def top_duplicated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), c12 AS (
       SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2
     ), c1 AS (
-      SELECT w1, COUNT(*) AS cc FROM bi GROUP BY w1
+      -- context counts folded from c12 (|bigram types| rows), not a
+      -- third pass over the bigram stream
+      SELECT w1, SUM(c) AS cc FROM c12 GROUP BY w1
     ), v AS (
       SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
       FROM (SELECT UNNEST({_TOKS}) AS tok FROM documents)
@@ -712,7 +714,9 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     ).select("doc_id", "s.w1", "s.w2")
     c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
-    c1 = bi.groupBy("w1").agg(F.count("*").alias("cc"))
+    # context counts fold from c12's |bigram types| rows — the bigram
+    # stream is materialized twice (model + scoring), never three times
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("cc"))
     vocab = (
         docs.select(F.explode(token_split(F.col("text"))).alias("tok"))
         .agg(F.countDistinct("tok").cast("double").alias("v"))

@@ -1,0 +1,398 @@
+"""Named refs over the snapshot format: tags, branches, shallow clones,
+and write-audit-publish (WAP) staging.
+
+The reference's Iceberg tables get these from AWS-managed Iceberg
+(`web-analytics-iceberg/README.md` commits to Iceberg v2 semantics);
+Iceberg's ref spec (tags + branches as named snapshot pointers, WAP via
+`spark.wap.id` staged commits) and Delta's SHALLOW CLONE are the public
+models. This module re-creates the mechanisms over the jar-free manifest
+format in :mod:`snapshots`:
+
+- **tag**: an immutable named pointer to a version
+  (``refs/tag-<name>.json``). ``vacuum`` keeps tagged versions' manifests
+  and data files alive regardless of the retention window — exactly
+  Iceberg's tag-retention contract.
+- **branch**: an isolated writable fork. Implemented as a ZERO-COPY clone
+  of the head manifest into ``<table>/branches/<name>/`` — the branch
+  references the parent's data files by path, new commits land in the
+  branch's own ``data/`` dir, and every existing API (``commit_append``,
+  ``delete_where_mor``, ``read_snapshot``, CDF…) works on the branch path
+  unchanged. ``fast_forward`` publishes the branch head back onto main
+  iff main has not advanced since the branch point (Iceberg's
+  fast-forward requires the target to be an ancestor of the source).
+- **shallow clone**: the same manifest-copy as a standalone table
+  anywhere on disk (Delta ``CLONE ... SHALLOW``). Writes/DML on the clone
+  never touch source files; ``vacuum`` on the clone only walks the
+  clone's own ``data/`` dir. The one Delta-documented caveat is mirrored
+  here: vacuuming the SOURCE can drop files an external clone still
+  references (in-table branches are protected; external clones are not).
+- **WAP**: ``commit_append_wap`` writes data files and stages a
+  non-versioned manifest (``manifests/wap-<id>.json``) that main readers
+  never see; ``read_wap`` exposes head+staged for audit queries;
+  ``publish_wap`` CAS-publishes the staged files onto the CURRENT head
+  (append-rebase, so main advancing between stage and publish is fine);
+  ``discard_wap`` drops the stage and leaves the files to vacuum.
+
+Scale: every operation here is metadata-only — manifests are KBs at
+100 TB, no data file is ever copied or rewritten.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .snapshots import (
+    BRANCHES_DIR,
+    DATA_DIR,
+    MANIFEST_DIR,
+    REFS_DIR,
+    CommitConflict,
+    _manifest_deletes,
+    _manifest_eq_deletes,
+    _manifest_file_seq,
+    _manifest_path,
+    _publish,
+    _read_manifest,
+    _versions,
+    _write_data_files,
+    current_version,
+    read_snapshot,
+)
+
+_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+
+def _check_name(name: str) -> str:
+    if not _NAME.match(name):
+        raise ValueError(
+            f"invalid ref name {name!r}: alnum start, then [A-Za-z0-9._-], "
+            "max 64 chars"
+        )
+    return name
+
+
+def _tag_path(table: str, name: str) -> str:
+    return os.path.join(table, REFS_DIR, f"tag-{name}.json")
+
+
+def _wap_path(table: str, wap_id: str) -> str:
+    return os.path.join(table, MANIFEST_DIR, f"wap-{wap_id}.json")
+
+
+def branch_path(table: str, name: str) -> str:
+    """Filesystem path of a branch — itself a full snapshot table: pass it
+    to any snapshots API (commit_append, read_snapshot, merge_into, …)."""
+    return os.path.join(table, BRANCHES_DIR, _check_name(name))
+
+
+# ---------------------------------------------------------------- tags
+
+
+def create_tag(table: str, name: str, version: int | None = None) -> int:
+    """Pin ``version`` (default: head) under an immutable name. Returns the
+    pinned version. Tagged versions survive ``vacuum`` (manifest AND data
+    files), exactly like Iceberg tag retention."""
+    _check_name(name)
+    v = current_version(table) if version is None else int(version)
+    if v is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    if not os.path.exists(_manifest_path(table, v)):
+        raise FileNotFoundError(f"{table} has no snapshot v{v}")
+    os.makedirs(os.path.join(table, REFS_DIR), exist_ok=True)
+    body = {"name": name, "version": v, "created_at": time.time()}
+    tmp = _tag_path(table, name) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(body, f)
+    try:
+        # atomic create-if-absent: tags are immutable, re-tagging refuses
+        os.link(tmp, _tag_path(table, name))
+    except FileExistsError:
+        raise ValueError(f"tag {name!r} already exists on {table}") from None
+    finally:
+        os.unlink(tmp)
+    return v
+
+
+def drop_tag(table: str, name: str) -> None:
+    try:
+        os.remove(_tag_path(table, _check_name(name)))
+    except FileNotFoundError:
+        raise FileNotFoundError(f"no tag {name!r} on {table}") from None
+
+
+def resolve_tag(table: str, name: str) -> int:
+    try:
+        with open(_tag_path(table, _check_name(name))) as f:
+            return int(json.load(f)["version"])
+    except FileNotFoundError:
+        raise FileNotFoundError(f"no tag {name!r} on {table}") from None
+
+
+def read_ref(spark: SparkSession, table: str, name: str) -> DataFrame:
+    """Read the table at a named ref: tag → pinned version, branch →
+    branch head (``VERSION AS OF 'name'`` surface)."""
+    if os.path.exists(_tag_path(table, name)):
+        return read_snapshot(spark, table, version=resolve_tag(table, name))
+    bp = branch_path(table, name)
+    if os.path.isdir(os.path.join(bp, MANIFEST_DIR)):
+        return read_snapshot(spark, bp)
+    raise FileNotFoundError(f"no ref {name!r} on {table}")
+
+
+def list_refs(table: str) -> list[dict]:
+    """All named refs: tags, branches (with head + base version), staged
+    WAP ids. Driver-side metadata fold (KBs)."""
+    out: list[dict] = []
+    rdir = os.path.join(table, REFS_DIR)
+    if os.path.isdir(rdir):
+        for fn in sorted(os.listdir(rdir)):
+            if fn.startswith("tag-") and fn.endswith(".json"):
+                with open(os.path.join(rdir, fn)) as f:
+                    t = json.load(f)
+                out.append(
+                    {"kind": "tag", "name": t["name"],
+                     "version": int(t["version"]), "base_version": None}
+                )
+    bdir = os.path.join(table, BRANCHES_DIR)
+    if os.path.isdir(bdir):
+        for name in sorted(os.listdir(bdir)):
+            bp = os.path.join(bdir, name)
+            meta = os.path.join(bp, "branch.json")
+            if not os.path.exists(meta):
+                continue
+            with open(meta) as f:
+                b = json.load(f)
+            out.append(
+                {"kind": "branch", "name": name,
+                 "version": current_version(bp),
+                 "base_version": int(b["base_version"])}
+            )
+    mdir = os.path.join(table, MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        for fn in sorted(os.listdir(mdir)):
+            if fn.startswith("wap-") and fn.endswith(".json"):
+                with open(os.path.join(mdir, fn)) as f:
+                    w = json.load(f)
+                out.append(
+                    {"kind": "wap", "name": w["wap_id"], "version": None,
+                     "base_version": int(w["base_version"])}
+                )
+    return out
+
+
+# ------------------------------------------------- clones and branches
+
+
+def _clone_manifest(src: str, dst: str, op: str) -> int:
+    """Publish the src head's exact state as ``dst``'s v1 — file paths are
+    referenced, never copied. Carries MOR sidecars, per-file sequences
+    (missing ones stamp 0 = provably older than any carried eq delete),
+    and CHECK constraints. Per-app txn stamps are NOT carried: the clone
+    is a new table with its own exactly-once ledger."""
+    cur = current_version(src)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {src}")
+    if current_version(dst) is not None:
+        raise ValueError(f"{dst} already has snapshots")
+    m = _read_manifest(src, cur)
+    seq = _manifest_file_seq(m)
+    _publish(
+        dst, 1, [os.path.abspath(f) for f in m["files"]], op,
+        constraints=m.get("constraints", {}),
+        delete_files=[os.path.abspath(f) for f in _manifest_deletes(m)],
+        eq_deletes=[
+            e | {"path": os.path.abspath(e["path"])}
+            for e in _manifest_eq_deletes(m)
+        ],
+        file_seq={os.path.abspath(f): seq.get(f, 0) for f in m["files"]},
+    )
+    return cur
+
+
+def clone_table(src: str, dst: str) -> int:
+    """Delta-style SHALLOW CLONE: a new independent table whose v1
+    references the src head's files in place. Returns the src version
+    cloned. O(manifest) regardless of table size — cloning a 100 TB table
+    writes a few KB. Writes/DML/vacuum on the clone never touch src data
+    (new files land under the clone's own ``data/``; the clone's vacuum
+    only walks that dir). Caveat mirrored from Delta: vacuuming the
+    SOURCE does not know about external clones."""
+    return _clone_manifest(src, dst, "clone")
+
+
+def create_branch(table: str, name: str) -> str:
+    """Fork the head into a writable branch (audit/backfill/experiment
+    isolation — the Iceberg branch workflow). Zero-copy; returns the
+    branch path, usable with every snapshots API. The parent's ``vacuum``
+    protects files any branch still references."""
+    bp = branch_path(table, name)
+    if os.path.isdir(os.path.join(bp, MANIFEST_DIR)):
+        raise ValueError(f"branch {name!r} already exists on {table}")
+    base = _clone_manifest(table, bp, "branch")
+    with open(os.path.join(bp, "branch.json"), "w") as f:
+        json.dump(
+            {"name": name, "base_version": base, "created_at": time.time()}, f
+        )
+    return bp
+
+
+def drop_branch(table: str, name: str) -> None:
+    import shutil
+
+    bp = branch_path(table, name)
+    if not os.path.isdir(bp):
+        raise FileNotFoundError(f"no branch {name!r} on {table}")
+    # branch-local data files die with the branch; parent files are only
+    # referenced by path and stay untouched
+    shutil.rmtree(bp)
+
+
+def fast_forward(table: str, name: str) -> int:
+    """Publish the branch head's exact state onto main — Iceberg's
+    ``fast_forward``: requires main to still be at the branch's base
+    version (the target must be an ancestor of the source); otherwise
+    raises :class:`CommitConflict` and the caller re-branches/rebases.
+    Returns the new main version. Metadata-only: the branch's data files
+    (parent-referenced AND branch-local) are adopted by path."""
+    bp = branch_path(table, name)
+    meta = os.path.join(bp, "branch.json")
+    if not os.path.exists(meta):
+        raise FileNotFoundError(f"no branch {name!r} on {table}")
+    with open(meta) as f:
+        base = int(json.load(f)["base_version"])
+    cur = current_version(table)
+    if cur != base:
+        raise CommitConflict(
+            f"main at v{cur} has diverged from branch {name!r} base "
+            f"v{base}; re-branch from the new head and re-apply"
+        )
+    bh = _read_manifest(bp, current_version(bp))
+    seq = _manifest_file_seq(bh)
+
+    # Adopt branch-local files (data, position sidecars, eq sidecars) into
+    # the parent's data dir via hardlink — metadata-only on one filesystem,
+    # and it makes `drop_branch` after fast-forward safe: main never
+    # references a path inside the branch dir.
+    bdata = os.path.abspath(os.path.join(bp, DATA_DIR)) + os.sep
+    adopt_dir = os.path.join(table, DATA_DIR, f"ff-{uuid.uuid4().hex}")
+    moved: dict[str, str] = {}
+
+    def _adopt(path: str) -> str:
+        ap = os.path.abspath(path)
+        if not ap.startswith(bdata):
+            return path
+        if ap not in moved:
+            os.makedirs(adopt_dir, exist_ok=True)
+            dst = os.path.join(adopt_dir, os.path.basename(ap))
+            os.link(ap, dst)
+            moved[ap] = os.path.abspath(dst)
+        return moved[ap]
+
+    files = [_adopt(f) for f in bh["files"]]
+    _publish(
+        table, cur + 1, files, "fast_forward",
+        constraints=bh.get("constraints", {}),
+        delete_files=[_adopt(f) for f in _manifest_deletes(bh)],
+        eq_deletes=[
+            e | {"path": _adopt(e["path"])} for e in _manifest_eq_deletes(bh)
+        ],
+        file_seq={_adopt(f): seq.get(f, 0) for f in bh["files"]},
+    )
+    return cur + 1
+
+
+# ------------------------------------------------ write-audit-publish
+
+
+def commit_append_wap(df: DataFrame, table: str, wap_id: str) -> str:
+    """Stage an append WITHOUT making it visible (Iceberg's
+    ``spark.wap.id`` staged-commit pattern): data files are written and
+    durable, the staged manifest records them against the current base,
+    and main readers see nothing until :func:`publish_wap`. Returns the
+    wap_id. Staged files are vacuum-protected until published or
+    discarded."""
+    _check_name(wap_id)
+    if current_version(table) is None:
+        raise FileNotFoundError(
+            f"no snapshots at {table}; WAP stages onto an existing table"
+        )
+    if os.path.exists(_wap_path(table, wap_id)):
+        raise ValueError(f"wap id {wap_id!r} already staged on {table}")
+    new_files = _write_data_files(df, table)
+    body = {
+        "wap_id": wap_id,
+        "base_version": current_version(table),
+        "new_files": sorted(new_files),
+        "staged_at": time.time(),
+    }
+    tmp = _wap_path(table, wap_id) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(body, f)
+    try:
+        os.link(tmp, _wap_path(table, wap_id))
+    except FileExistsError:
+        raise ValueError(
+            f"wap id {wap_id!r} staged concurrently on {table}"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return wap_id
+
+
+def _read_wap_manifest(table: str, wap_id: str) -> dict:
+    try:
+        with open(_wap_path(table, wap_id)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no staged wap {wap_id!r} on {table} (unknown, published, "
+            "or discarded)"
+        ) from None
+
+
+def read_wap(spark: SparkSession, table: str, wap_id: str) -> DataFrame:
+    """The audit view: current head PLUS the staged files — what the table
+    WOULD contain after publish. Head-side MOR sidecars apply as usual;
+    staged files are new and outside any existing delete's scope."""
+    w = _read_wap_manifest(table, wap_id)
+    head = read_snapshot(spark, table)
+    staged = spark.read.option("mergeSchema", "true").parquet(*w["new_files"])
+    return head.unionByName(staged, allowMissingColumns=True)
+
+
+def publish_wap(table: str, wap_id: str) -> int:
+    """Make a staged WAP append visible: CAS-publish head-files +
+    staged-files as the next version. Rebases onto the CURRENT head
+    (appends are position-independent — same retry contract as
+    ``commit_append``), so main advancing between stage and publish is
+    fine. Removes the stage; a second publish of the same id raises."""
+    w = _read_wap_manifest(table, wap_id)
+    cur = current_version(table)
+    for _ in range(16):
+        prev_m = _read_manifest(table, cur)
+        version = cur + 1
+        try:
+            _publish(
+                table, version, prev_m["files"] + w["new_files"],
+                "publish_wap",
+                delete_files=_manifest_deletes(prev_m),
+                eq_deletes=_manifest_eq_deletes(prev_m),
+            )
+            os.remove(_wap_path(table, wap_id))
+            return version
+        except CommitConflict:
+            cur = current_version(table)
+    raise CommitConflict(f"publish_wap on {table} lost 16 consecutive races")
+
+
+def discard_wap(table: str, wap_id: str) -> None:
+    """Drop a staged append (audit failed). The staged data files become
+    unreferenced and the next ``vacuum`` collects them."""
+    _read_wap_manifest(table, wap_id)  # raise the precise error if absent
+    os.remove(_wap_path(table, wap_id))

@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_DIR = "manifests"
 DATA_DIR = "data"
+REFS_DIR = "refs"          # immutable tag pointers (refs.py)
+BRANCHES_DIR = "branches"  # zero-copy writable forks (refs.py)
 
 
 class CommitConflict(Exception):
@@ -508,6 +510,38 @@ def history(table: str) -> list[dict]:
     ]
 
 
+def _ref_protected(table: str) -> tuple[set[int], set[str]]:
+    """Versions and data files that named refs keep alive through vacuum:
+    tagged versions (Iceberg tag retention), files any branch manifest
+    still references (branches fork by path, not by copy), and staged
+    write-audit-publish files awaiting publish/discard. Pure metadata
+    walk — manifests and ref files are KBs."""
+    keep_vs: set[int] = set()
+    keep_files: set[str] = set()
+    rdir = os.path.join(table, REFS_DIR)
+    if os.path.isdir(rdir):
+        for fn in os.listdir(rdir):
+            if fn.startswith("tag-") and fn.endswith(".json"):
+                with open(os.path.join(rdir, fn)) as f:
+                    keep_vs.add(int(json.load(f)["version"]))
+    mdir = os.path.join(table, MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        for fn in os.listdir(mdir):
+            if fn.startswith("wap-") and fn.endswith(".json"):
+                with open(os.path.join(mdir, fn)) as f:
+                    keep_files.update(json.load(f)["new_files"])
+    bdir = os.path.join(table, BRANCHES_DIR)
+    if os.path.isdir(bdir):
+        for name in os.listdir(bdir):
+            bp = os.path.join(bdir, name)
+            for bv in _versions(bp):
+                bm = _read_manifest(bp, bv)
+                keep_files.update(bm["files"])
+                keep_files.update(_manifest_deletes(bm))
+                keep_files.update(e["path"] for e in _manifest_eq_deletes(bm))
+    return keep_vs, keep_files
+
+
 def vacuum(table: str, retain_last: int = 1) -> int:
     """Drop manifests older than the last ``retain_last`` and delete data
     files no retained snapshot references. Returns files deleted.
@@ -515,12 +549,17 @@ def vacuum(table: str, retain_last: int = 1) -> int:
     ``retain_last`` must be ≥ 1: the head manifest carries the table's
     current contents AND the per-app txn map the exactly-once streaming
     sink depends on — removing every manifest would orphan all data files
-    (the `vs[-0:]` slice would also silently keep them all live)."""
+    (the `vs[-0:]` slice would also silently keep them all live).
+
+    Named refs pin retention: tagged versions keep their manifest and
+    files, live branches keep every parent file they still reference, and
+    staged WAP appends keep their files until published or discarded."""
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1 (the head manifest must survive)")
     vs = _versions(table)
-    keep_vs = vs[-retain_last:]
-    live: set[str] = set()
+    ref_vs, ref_files = _ref_protected(table)
+    keep_vs = sorted(set(vs[-retain_last:]) | (ref_vs & set(vs)))
+    live: set[str] = set(ref_files)
     for v in keep_vs:
         m = _read_manifest(table, v)
         live.update(m["files"])
@@ -535,7 +574,8 @@ def vacuum(table: str, retain_last: int = 1) -> int:
                 os.remove(p)
                 deleted += 1
     for v in vs[:-retain_last]:
-        os.remove(_manifest_path(table, v))
+        if v not in ref_vs:
+            os.remove(_manifest_path(table, v))
     return deleted
 
 
@@ -1549,8 +1589,25 @@ def metadata_table(spark: SparkSession, table: str, kind: str) -> DataFrame:
             ],
             "partition string, n_files long, record_count long, total_bytes long",
         )
+    if kind == "stats":
+        # planner-grade head statistics (table_statistics) as a 1-row
+        # inspection table — the `$stats` analog
+        st = table_statistics(table)
+        return spark.createDataFrame(
+            [st],
+            "row_count long, size_bytes long, n_files long, exact boolean",
+        ).select("row_count", "size_bytes", "n_files", "exact")
+    if kind == "refs":
+        # Iceberg's "table$refs" analog: tags, branches, staged WAP ids
+        from .refs import list_refs
+
+        return spark.createDataFrame(
+            list_refs(table),
+            "kind string, name string, version long, base_version long",
+        ).select("kind", "name", "version", "base_version")
     raise ValueError(
-        f"unknown metadata table {kind!r}; one of history/snapshots/files/partitions"
+        f"unknown metadata table {kind!r}; one of "
+        "history/snapshots/files/partitions/delete_files/stats/refs"
     )
 
 
