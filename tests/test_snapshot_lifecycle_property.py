@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import tempfile
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from web_analytics_on_aws_spark.sources.snapshots import (
@@ -74,6 +74,17 @@ def _dirty(t):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+# r4 falsifier #1: restore crossing a MOR upsert left the upsert's file
+# fully eq-dead — changes_rows' dv branch called t.take([]) and pyarrow
+# raised ArrowNotImplementedError (fixed: empty-alive guard mirrors the
+# only_positions branch).
+@example(ops=[("append", 1), ("upsert_mor", 1), ("restore", 2)])
+# r4 falsifier #2: maintain_table advances up to 3 versions per call
+# (convert → fold → optimize) but the model recorded only final-version
+# state, so a restore targeting an intermediate version KeyError'd the
+# TEST's model (product restore was fine). Fixed: restore targets are
+# drawn from recorded versions only.
+@example(ops=[("upsert_mor", 1), ("merge", 1), ("restore", 2)])
 @given(ops=OPS)
 def test_any_commit_sequence_reads_and_streams_consistently(spark, ops):
     t = tempfile.mkdtemp(prefix="snap-prop-") + "/t"
@@ -122,7 +133,13 @@ def test_any_commit_sequence_reads_and_streams_consistently(spark, ops):
             model.update(ups)
             upsert_keys_mor(spark, t, _df(spark, ups.items()), ["id"])
         elif op == "restore":
-            target = max(1, current_version(t) - arg)
+            # Multi-commit ops (maintain_table: convert → fold → optimize,
+            # up to 3 versions per call) leave gaps in `history` — restore
+            # targets must come from RECORDED versions, walking `arg` steps
+            # back through them (the product handles intermediates fine;
+            # the model deliberately only tracks op boundaries).
+            recorded = sorted(history)
+            target = recorded[max(0, len(recorded) - 1 - arg)]
             restore_version(spark, t, target)
             model = dict(history[target])
         elif op == "maintain":

@@ -261,3 +261,90 @@ def test_refs_metadata_table_and_cli(spark, tmp_path, capsys):
     t2 = str(tmp_path / "t2")
     commit_append(_df(spark, 0, 3), t2)
     assert metadata_table(spark, t2, "refs").count() == 0
+
+
+# ----------------------------------------------- ADVICE r4 regressions
+
+
+def test_vacuum_protects_branch_files_with_relative_table_path(
+    spark, tmp_path
+):
+    """ADVICE r4 (high): branch manifests store ABSOLUTE paths while a
+    relative table path makes vacuum's data-dir walk relative — a literal
+    string compare GC'd ref-protected files. Liveness must compare
+    normalized paths. (No chdir: Spark's JVM resolves relative writes
+    against ITS cwd, so build the relative spelling from the real one.)"""
+    t = os.path.relpath(str(tmp_path / "t"))  # deliberately relative
+    assert not os.path.isabs(t)
+    commit_append(_df(spark, 0, 10).coalesce(1), t)
+    create_branch(t, "exp")
+    # advance main twice so v1's file leaves the retained window
+    from web_analytics_on_aws_spark.sources.snapshots import commit_overwrite
+
+    commit_overwrite(_df(spark, 100, 110).coalesce(1), t)
+    commit_overwrite(_df(spark, 200, 210).coalesce(1), t)
+    vacuum(t, retain_last=1)
+    # the branch still reads its fork of v1 — its referenced files survive
+    assert _ids(read_ref(spark, t, "exp")) == set(range(10))
+    # and head reads stay intact after the walk-path normalization
+    assert _ids(read_snapshot(spark, t)) == set(range(200, 210))
+
+
+def test_vacuum_after_fast_forward_keeps_adopted_files(spark, tmp_path):
+    """After fast_forward the head manifest references ABSOLUTE adopted
+    paths; vacuum with a relative table path must not GC them."""
+    t = os.path.relpath(str(tmp_path / "fftab"))
+    assert not os.path.isabs(t)
+    commit_append(_df(spark, 0, 5).coalesce(1), t)
+    create_branch(t, "b")
+    commit_append(_df(spark, 5, 8).coalesce(1), branch_path(t, "b"))
+    fast_forward(t, "b")
+    drop_branch(t, "b")
+    vacuum(t, retain_last=1)
+    assert _ids(read_snapshot(spark, t)) == set(range(8))
+
+
+def test_wap_stage_validates_check_constraints(spark, tmp_path):
+    """ADVICE r4 (medium): the WAP path must not bypass CHECK constraints —
+    staging validates the written bytes exactly like commit_append."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        ConstraintViolation,
+        set_constraints,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(_df(spark, 0, 5), t)
+    set_constraints(spark, t, {"v_nonneg": "v >= 0"})
+    with pytest.raises(ConstraintViolation):
+        commit_append_wap(
+            spark.range(1).selectExpr("id + 90 AS id", "-1 AS v"), t, "bad"
+        )
+    # valid rows stage and publish fine under the constraint
+    commit_append_wap(_df(spark, 5, 7), t, "good")
+    publish_wap(t, "good")
+    assert _ids(read_snapshot(spark, t)) == set(range(7))
+
+
+def test_wap_publish_revalidates_when_constraints_changed(spark, tmp_path):
+    """Constraints added AFTER staging: publish refuses without a session,
+    re-validates (and rejects violating stages) with one."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        ConstraintViolation,
+        set_constraints,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(_df(spark, 0, 5), t)
+    commit_append_wap(
+        spark.range(1).selectExpr("id + 90 AS id", "-1 AS v"), t, "w1"
+    )
+    set_constraints(spark, t, {"v_nonneg": "v >= 0"})
+    with pytest.raises(ValueError, match="re-validate"):
+        publish_wap(t, "w1")
+    with pytest.raises(ConstraintViolation):
+        publish_wap(t, "w1", spark=spark)
+    # the stage survives a failed publish; a clean stage publishes
+    discard_wap(t, "w1")
+    commit_append_wap(_df(spark, 5, 6), t, "w2")
+    publish_wap(t, "w2", spark=spark)
+    assert _ids(read_snapshot(spark, t)) == set(range(6))

@@ -1270,8 +1270,23 @@ def hybrid_dense_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    dense = probe_ivf_index(spark, table, qs, k=20, nprobe=4).select(
-        "query_id", F.col("vec_id").alias("doc_id"), "rank"
+    # Rank the dense list on the SAME key the oracle uses — sim rounded to
+    # 6 dp with doc_id tiebreak. probe_ivf_index orders by the unrounded
+    # sim, so two docs within 1e-6 could rank differently across engines;
+    # probe with an unbounded k (the probe already scores every row in the
+    # selected cells — the k filter is the only cost) and re-rank here.
+    dense = probe_ivf_index(spark, table, qs, k=1 << 30, nprobe=4).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round("sim", 6).alias("score"),
+    )
+    wd = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    dense = (
+        dense.withColumn("rank", F.row_number().over(wd).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
     )
     return text.rrf_fuse([bm, jac, dense], k=10, decimal_exact=True)
 
@@ -1280,7 +1295,12 @@ def hybrid_dense_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_sequence_packing",
     oracle=f"""
     WITH d AS (
+      -- documents with no tokens pack nothing; they are ALSO where the
+      -- straddler formula diverges across engines (DuckDB // floors,
+      -- Spark DIV truncates toward zero, and (cb+n-1) goes negative
+      -- exactly when n=0 on a sequence boundary)
       SELECT source, doc_id, len({_TOKS}) AS n FROM documents
+      WHERE len({_TOKS}) >= 1
     ), c AS (
       SELECT source, doc_id, n,
              SUM(n) OVER (PARTITION BY source ORDER BY doc_id
@@ -1316,9 +1336,15 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    c = docs.select(
-        "source", "doc_id", token_count(F.col("text")).alias("n")
-    ).withColumn("cb", F.sum("n").over(w) - F.col("n"))
+    c = (
+        docs.select(
+            "source", "doc_id", token_count(F.col("text")).alias("n")
+        )
+        # zero-token docs pack nothing (and make (cb+n-1) DIV L diverge
+        # from the oracle's floor division) — drop them pre-window
+        .filter(F.col("n") >= 1)
+        .withColumn("cb", F.sum("n").over(w) - F.col("n"))
+    )
     return (
         c.withColumn("seq_id", F.expr(f"cb DIV {L}").cast("bigint"))
         .withColumn(

@@ -143,9 +143,11 @@ def _read_rows(
         elif dv:
             dead = dv.get(p, ())
             if dead:
-                t = t.take(
-                    [i for i in range(len(t)) if i not in dead]
-                )
+                alive = [i for i in range(len(t)) if i not in dead]
+                # a fully MOR-dead file yields an empty alive list —
+                # pyarrow infers a null-typed index array for [] and
+                # take() raises, so mirror the only_positions guard
+                t = t.take(alive) if alive else t.slice(0, 0)
         have = set(t.column_names)
         cols = []
         for n in names:

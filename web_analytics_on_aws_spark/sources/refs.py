@@ -61,8 +61,10 @@ from .snapshots import (
     _read_manifest,
     _versions,
     _write_data_files,
+    check_constraints,
     current_version,
     read_snapshot,
+    table_constraints,
 )
 
 _NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
@@ -325,11 +327,19 @@ def commit_append_wap(df: DataFrame, table: str, wap_id: str) -> str:
     if os.path.exists(_wap_path(table, wap_id)):
         raise ValueError(f"wap id {wap_id!r} already staged on {table}")
     new_files = _write_data_files(df, table)
+    # CHECK constraints gate the stage exactly like commit_append gates
+    # the publish: validate the WRITTEN BYTES so a staged append can never
+    # carry constraint-violating rows toward publish_wap. The validated
+    # set rides the stage manifest so publish can detect drift.
+    cons = table_constraints(table)
+    if cons:
+        check_constraints(df.sparkSession.read.parquet(*new_files), cons)
     body = {
         "wap_id": wap_id,
         "base_version": current_version(table),
         "new_files": sorted(new_files),
         "staged_at": time.time(),
+        "validated_constraints": cons,
     }
     tmp = _wap_path(table, wap_id) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -366,16 +376,34 @@ def read_wap(spark: SparkSession, table: str, wap_id: str) -> DataFrame:
     return head.unionByName(staged, allowMissingColumns=True)
 
 
-def publish_wap(table: str, wap_id: str) -> int:
+def publish_wap(
+    table: str, wap_id: str, spark: SparkSession | None = None
+) -> int:
     """Make a staged WAP append visible: CAS-publish head-files +
     staged-files as the next version. Rebases onto the CURRENT head
     (appends are position-independent — same retry contract as
     ``commit_append``), so main advancing between stage and publish is
-    fine. Removes the stage; a second publish of the same id raises."""
+    fine. Removes the stage; a second publish of the same id raises.
+
+    CHECK constraints: the stage already validated against the constraint
+    set at stage time. If the head's constraints have CHANGED since, the
+    staged bytes were never validated against them — re-validate here
+    (needs ``spark``) or refuse, never silently publish."""
     w = _read_wap_manifest(table, wap_id)
     cur = current_version(table)
+    validated = w.get("validated_constraints", {})
     for _ in range(16):
         prev_m = _read_manifest(table, cur)
+        head_cons = prev_m.get("constraints", {})
+        if head_cons and head_cons != validated:
+            if spark is None:
+                raise ValueError(
+                    f"constraints on {table} changed since wap {wap_id!r} "
+                    "was staged; pass spark= to re-validate the staged "
+                    "files before publish"
+                )
+            check_constraints(spark.read.parquet(*w["new_files"]), head_cons)
+            validated = head_cons
         version = cur + 1
         try:
             _publish(

@@ -559,18 +559,25 @@ def vacuum(table: str, retain_last: int = 1) -> int:
     vs = _versions(table)
     ref_vs, ref_files = _ref_protected(table)
     keep_vs = sorted(set(vs[-retain_last:]) | (ref_vs & set(vs)))
-    live: set[str] = set(ref_files)
+    # Liveness compares ABSOLUTE paths on both sides: branch/clone/
+    # fast-forward manifests store abspaths while a relative ``table``
+    # makes the walk (and possibly the table's own manifests) relative —
+    # a literal string compare would GC ref-protected files.
+    live: set[str] = {os.path.abspath(f) for f in ref_files}
     for v in keep_vs:
         m = _read_manifest(table, v)
-        live.update(m["files"])
-        live.update(_manifest_deletes(m))  # MOR sidecars are data too
-        live.update(e["path"] for e in _manifest_eq_deletes(m))
+        live.update(os.path.abspath(f) for f in m["files"])
+        # MOR sidecars are data too
+        live.update(os.path.abspath(f) for f in _manifest_deletes(m))
+        live.update(
+            os.path.abspath(e["path"]) for e in _manifest_eq_deletes(m)
+        )
     deleted = 0
     data_root = os.path.join(table, DATA_DIR)
     for root, _dirs, files in os.walk(data_root):
         for f in files:
             p = os.path.join(root, f)
-            if f.endswith(".parquet") and p not in live:
+            if f.endswith(".parquet") and os.path.abspath(p) not in live:
                 os.remove(p)
                 deleted += 1
     for v in vs[:-retain_last]:
@@ -1772,8 +1779,15 @@ def table_changes(
 
         from pyspark.sql.pandas.types import from_arrow_schema
 
+        # Schema unifies BOTH endpoints' files (allowMissingColumns
+        # semantics, matching the fast path's mergeSchema reads): a column
+        # present only in one endpoint must survive into the events, or
+        # delete rows lose those values and rows differing only in that
+        # column wrongly cancel.
         base = from_arrow_schema(
-            _unified_arrow_schema(m_new["files"] or m_old["files"])
+            _unified_arrow_schema(
+                list(dict.fromkeys(m_new["files"] + m_old["files"]))
+            )
         )
         names = [f.name for f in base.fields]
         rows = [
