@@ -59,6 +59,9 @@ HEADLINE = [
     "privacy_k_anon_events",
     "trino_url_traffic_rollup",
     "privacy_dp_event_counts",
+    "snapshot_read_at_tag",
+    "snapshot_read_at_branch",
+    "dedup_incremental_admission",
 ]
 
 
@@ -159,7 +162,17 @@ def main() -> None:
         "freshness_sec": freshness,
         "compaction_sec": compaction,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # Durable artifact (VERDICT r4 #7): the driver captures only the tail
+    # of stdout, which truncated BENCH_r04.json — persist the full JSON
+    # beside the repo so every per-query min survives regardless of
+    # capture. Committed per round.
+    try:
+        with open(Path(__file__).resolve().parent / "BENCH_LOCAL.json", "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line remains the artifact
     spark.stop()
 
 

@@ -88,3 +88,46 @@ def test_cli_out_of_range_versions_are_usage_errors(spark, tmp_path, capsys):
     assert main(["snapshot", str(tmp_path / "nope"), "history"]) == 2
     err = capsys.readouterr().err
     assert "snapshot restore" in err and "snapshot changes" in err
+
+
+def test_cli_ref_verbs(spark, tmp_path, capsys):
+    """VERDICT r4 #6: the refs surface is CLI-reachable — tag, branch,
+    fast-forward, read-ref, wap publish/discard, all exit-coded."""
+    from web_analytics_on_aws_spark.sources.refs import commit_append_wap
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        commit_append,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(spark.range(5).selectExpr("id", "id * 2 AS v"), t)
+    assert main(["snapshot", t, "tag", "rel-1"]) == 0
+    assert "'version': 1" in capsys.readouterr().out
+    assert main(["snapshot", t, "tag", "rel-1"]) == 2  # immutable
+    assert main(["snapshot", t, "branch", "exp"]) == 0
+    bp = capsys.readouterr().out
+    assert "exp" in bp
+    # advance the branch, fast-forward main onto it
+    from web_analytics_on_aws_spark.sources.refs import branch_path
+
+    commit_append(
+        spark.range(5, 8).selectExpr("id", "id * 2 AS v"),
+        branch_path(t, "exp"),
+    )
+    assert main(["snapshot", t, "read-ref", "exp"]) == 0
+    assert main(["snapshot", t, "fast-forward", "exp"]) == 0
+    assert read_snapshot(spark, t).count() == 8
+    # second fast-forward: main has advanced past the base → conflict = 2
+    assert main(["snapshot", t, "fast-forward", "exp"]) == 2
+    assert "diverged" in capsys.readouterr().err
+    assert main(["snapshot", t, "drop-branch", "exp"]) == 0
+    assert main(["snapshot", t, "read-ref", "exp"]) == 2  # gone
+    # WAP: stage via API, publish and discard via CLI
+    commit_append_wap(
+        spark.range(8, 9).selectExpr("id", "id * 2 AS v"), t, "w1"
+    )
+    assert main(["snapshot", t, "wap-publish", "w1"]) == 0
+    assert read_snapshot(spark, t).count() == 9
+    assert main(["snapshot", t, "wap-discard", "w1"]) == 2  # already gone
+    assert main(["snapshot", t, "tag"]) == 2  # missing name → usage
+    assert "usage" in capsys.readouterr().err

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import tempfile
 
+import pytest
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
@@ -171,6 +172,174 @@ def test_any_commit_sequence_reads_and_streams_consistently(spark, ops):
     assert state == model
 
     # 3. statistics exactness claim holds
+    st_ = table_statistics(t)
+    if st_["exact"]:
+        assert st_["row_count"] == len(model)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 #3: the SAME consistency contract with the NAMED-REFS surface
+# interleaved — branch adoption (hardlinked files), WAP rebase-publish, and
+# vacuum crossing a change feed is exactly the interleaving class where the
+# r4 bug lived.
+# ---------------------------------------------------------------------------
+
+REF_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(1, 3)),
+        st.tuples(st.just("upsert_mor"), st.integers(1, 2)),
+        st.tuples(st.just("mor_delete"), st.integers(0, 2)),
+        st.tuples(st.just("branch_create"), st.just(0)),
+        st.tuples(st.just("branch_append"), st.integers(1, 2)),
+        st.tuples(st.just("fast_forward"), st.just(0)),
+        st.tuples(st.just("wap_stage"), st.integers(1, 2)),
+        st.tuples(st.just("wap_publish"), st.just(0)),
+        st.tuples(st.just("wap_discard"), st.just(0)),
+        st.tuples(st.just("vacuum"), st.just(0)),
+        st.tuples(st.just("maintain"), st.just(0)),
+    ),
+    min_size=3,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+# seed shapes that exercise each cross-surface interleaving at least once
+@example(ops=[("branch_create", 0), ("branch_append", 2), ("fast_forward", 0),
+              ("fast_forward", 0)])
+@example(ops=[("wap_stage", 2), ("upsert_mor", 1), ("wap_publish", 0),
+              ("vacuum", 0)])
+@example(ops=[("branch_create", 0), ("mor_delete", 0), ("vacuum", 0),
+              ("branch_append", 1), ("fast_forward", 0)])
+@example(ops=[("upsert_mor", 1), ("maintain", 0), ("vacuum", 0),
+              ("append", 1)])
+@given(ops=REF_OPS)
+def test_refs_lifecycle_reads_and_streams_consistently(spark, ops):
+    from web_analytics_on_aws_spark.sources.changes_stream_datasource import (
+        changes_rows,
+    )
+    from web_analytics_on_aws_spark.sources.refs import (
+        branch_path,
+        commit_append_wap,
+        create_branch,
+        discard_wap,
+        fast_forward,
+        publish_wap,
+    )
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        CommitConflict,
+        _versions,
+        delete_where_mor,
+        vacuum,
+    )
+
+    t = tempfile.mkdtemp(prefix="refs-prop-") + "/t"
+    model: dict[int, int] = {i: i * 10 for i in range(4)}
+    next_id = 4
+    commit_append(_df(spark, model.items()), t)
+    history = {current_version(t): dict(model)}
+    fold_start = 1  # oldest version the change feed can still start from
+    bmodel: dict[int, int] | None = None
+    branch_base: int | None = None
+    staged: dict[int, int] | None = None
+
+    for op, arg in ops:
+        if op == "append":
+            rows = {next_id + j: (next_id + j) * 10 for j in range(arg)}
+            next_id += arg
+            commit_append(_df(spark, rows.items()), t)
+            model.update(rows)
+        elif op == "upsert_mor":
+            ups = {i: model[i] + 3 for i in sorted(model)[-arg:]}
+            ups[next_id] = next_id * 10
+            next_id += 1
+            model.update(ups)
+            upsert_keys_mor(spark, t, _df(spark, ups.items()), ["id"])
+        elif op == "mor_delete":
+            delete_where_mor(spark, t, f"id % 5 = {arg}")
+            model = {i: v for i, v in model.items() if i % 5 != arg}
+        elif op == "branch_create":
+            if bmodel is None:
+                create_branch(t, "b")
+                bmodel = dict(model)
+                branch_base = current_version(t)
+        elif op == "branch_append":
+            if bmodel is not None:
+                rows = {next_id + j: (next_id + j) * 10 for j in range(arg)}
+                next_id += arg
+                commit_append(_df(spark, rows.items()), branch_path(t, "b"))
+                bmodel.update(rows)
+        elif op == "fast_forward":
+            if bmodel is not None:
+                if current_version(t) == branch_base:
+                    fast_forward(t, "b")
+                    model = dict(bmodel)
+                else:
+                    # Iceberg contract: target must be branch's ancestor
+                    with pytest.raises(CommitConflict):
+                        fast_forward(t, "b")
+        elif op == "wap_stage":
+            if staged is None:
+                rows = {next_id + j: (next_id + j) * 10 for j in range(arg)}
+                next_id += arg
+                commit_append_wap(_df(spark, rows.items()), t, "w1")
+                staged = rows
+                continue  # no commit happened on main
+        elif op == "wap_publish":
+            if staged is not None:
+                publish_wap(t, "w1")
+                model.update(staged)
+                staged = None
+        elif op == "wap_discard":
+            if staged is not None:
+                discard_wap(t, "w1")
+                staged = None
+        elif op == "vacuum":
+            # retain back to the previous RECORDED version so the feed's
+            # replay window stays aligned with the model's op boundaries
+            recorded = sorted(v for v in history if v >= fold_start)
+            target = recorded[-2] if len(recorded) >= 2 else recorded[-1]
+            vacuum(t, retain_last=current_version(t) - target + 1)
+            fold_start = min(
+                v for v in _versions(t) if v >= target
+            )
+        elif op == "maintain":
+            maintain_table(spark, t, max_delete_files=0)
+        history[current_version(t)] = dict(model)
+
+    # 1. head read ≡ model
+    head = {r["id"]: r["val"] for r in read_snapshot(spark, t).collect()}
+    assert head == model
+
+    # 2. branch read ≡ branch model (vacuum on main must never have
+    # collected files the branch still references)
+    if bmodel is not None:
+        bh = {
+            r["id"]: r["val"]
+            for r in read_snapshot(spark, branch_path(t, "b")).collect()
+        }
+        assert bh == bmodel
+
+    # 3. change feed folds to the model from the oldest surviving
+    # recorded version — crossing fast-forward adoptions, WAP rebases,
+    # MOR upserts, and maintenance
+    state = dict(history[fold_start])
+    hv = current_version(t)
+    for v in range(fold_start, hv):
+        evs = list(changes_rows(t, v, v + 1, ["id", "val"]))
+        for rid, val, kind, _v in evs:
+            if kind == "delete":
+                assert state.pop(rid) == val
+        for rid, val, kind, _v in evs:
+            if kind == "insert":
+                state[rid] = val
+    assert state == model
+
+    # 4. statistics exactness claim holds
     st_ = table_statistics(t)
     if st_["exact"]:
         assert st_["row_count"] == len(model)

@@ -49,6 +49,30 @@ def main() -> int:
     ok = ok and rc == 0 and not drift
     print(f"doc_index: rc={rc} stale={drift or 'none'}", flush=True)
 
+    # Plan-audit gate (VERDICT r4 #4): every bench headline query must have
+    # a row in PLANS.md — a new headline query without a physical-plan
+    # audit fails verify (regenerate with tools/gen_plan_report.py).
+    sys.path.insert(0, ROOT)
+    from bench import HEADLINE
+
+    plans_md = open(os.path.join(ROOT, "PLANS.md"), encoding="utf-8").read()
+    unaudited = [n for n in HEADLINE if f"| {n} |" not in plans_md]
+    results["plan_audit"] = {"unaudited": unaudited}
+    ok = ok and not unaudited
+    print(f"plan_audit: unaudited={unaudited or 'none'}", flush=True)
+
+    # Coverage gate (VERDICT r4 #4): every registered query name must be
+    # mentioned somewhere in COVERAGE.md (rows reference their queries) —
+    # catches the r4 class of drift where new surface ships undocumented.
+    from web_analytics_on_aws_spark import plans as _plans
+
+    _plans.load_all()
+    cov = open(os.path.join(ROOT, "COVERAGE.md"), encoding="utf-8").read()
+    uncovered = [n for n in sorted(_plans.QUERIES) if n not in cov]
+    results["coverage_doc"] = {"uncovered": uncovered}
+    ok = ok and not uncovered
+    print(f"coverage_doc: uncovered={uncovered or 'none'}", flush=True)
+
     if "--skip-pytest" not in sys.argv:
         rc, out = run(
             [sys.executable, "-m", "pytest", "tests/", "-q"],
@@ -69,6 +93,23 @@ def main() -> int:
     results["driver_sim"] = {"rc": rc, "done": done, "rows_only": n_rows_only}
     ok = ok and rc == 0
     print(f"driver_sim: rc={rc} {done} (+{n_rows_only} rows-only)", flush=True)
+
+    # Pin the verified tree (VERDICT r4 #2): record git HEAD + dirty flag
+    # so the end-of-round snapshot can be checked against the last green
+    # verify — commits postdating it are, by construction, unverified.
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=ROOT, capture_output=True,
+            text=True,
+        ).stdout.strip()
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain"], cwd=ROOT, capture_output=True,
+            text=True,
+        ).stdout.strip())
+        results["git_head"] = head
+        results["git_dirty"] = dirty
+    except OSError:
+        pass
 
     results["ok"] = ok
     with open(os.path.join(ROOT, "PROGRESS.jsonl"), "a") as fh:

@@ -162,6 +162,9 @@ def _snapshot_cmd(args) -> int:
         ... snapshot <path> vacuum [retain_last]
         ... snapshot <path> restore <version>
         ... snapshot <path> compact-deletes
+        ... snapshot <path> tag|drop-tag|branch|drop-branch|fast-forward <name>
+        ... snapshot <path> read-ref <name>
+        ... snapshot <path> wap-publish|wap-discard <wap-id>
     """
     from web_analytics_on_aws_spark.session import get_spark
     from web_analytics_on_aws_spark.sources import snapshots
@@ -172,10 +175,16 @@ def _snapshot_cmd(args) -> int:
     path, sub = args.arg, args.arg2
     # changes/zorder/bloom require the third argument; fail with the usage
     # message, not an AttributeError traceback (ADVICE r2)
-    if sub in ("changes", "zorder", "bloom", "restore") and not args.arg3:
+    _REF_VERBS = ("tag", "drop-tag", "branch", "drop-branch",
+                  "fast-forward", "read-ref", "wap-publish", "wap-discard")
+    if (sub in ("changes", "zorder", "bloom", "restore") or
+            sub in _REF_VERBS) and not args.arg3:
         needs = {"changes": "<from-version>", "zorder": "<cols>",
                  "bloom": "<cols>", "restore": "<version>"}
-        print(f"usage: snapshot <path> {sub} {needs[sub]}", file=sys.stderr)
+        arg_name = needs.get(
+            sub, "<wap-id>" if sub.startswith("wap-") else "<name>"
+        )
+        print(f"usage: snapshot <path> {sub} {arg_name}", file=sys.stderr)
         return 2
     if sub in ("changes", "restore") and not args.arg3.lstrip("-").isdigit():
         print(f"snapshot {sub}: version must be an integer, got "
@@ -193,6 +202,32 @@ def _snapshot_cmd(args) -> int:
             n = snapshots.vacuum(path, retain_last=int(args.arg3 or 1))
             print({"deleted_files": n})
             return 0
+        if sub in _REF_VERBS and sub != "read-ref":
+            # metadata-only ref verbs — no Spark session needed (a
+            # wap-publish under CHANGED constraints asks for one and is
+            # surfaced as the usage error below)
+            from web_analytics_on_aws_spark.sources import refs
+
+            if sub == "tag":
+                print({"tag": args.arg3,
+                       "version": refs.create_tag(path, args.arg3)})
+            elif sub == "drop-tag":
+                refs.drop_tag(path, args.arg3)
+                print({"dropped_tag": args.arg3})
+            elif sub == "branch":
+                print({"branch": args.arg3,
+                       "path": refs.create_branch(path, args.arg3)})
+            elif sub == "drop-branch":
+                refs.drop_branch(path, args.arg3)
+                print({"dropped_branch": args.arg3})
+            elif sub == "fast-forward":
+                print({"version": refs.fast_forward(path, args.arg3)})
+            elif sub == "wap-publish":
+                print({"version": refs.publish_wap(path, args.arg3)})
+            elif sub == "wap-discard":
+                refs.discard_wap(path, args.arg3)
+                print({"discarded_wap": args.arg3})
+            return 0
         spark = get_spark(app_name="snapshot-cli")
         spark.sparkContext.setLogLevel("ERROR")
         if sub in ("history", "snapshots", "files", "partitions",
@@ -206,6 +241,12 @@ def _snapshot_cmd(args) -> int:
             snapshots.table_changes(spark, path, int(args.arg3)).show(
                 args.limit, truncate=False
             )
+        elif sub == "read-ref":
+            from web_analytics_on_aws_spark.sources import refs
+
+            refs.read_ref(spark, path, args.arg3).show(
+                args.limit, truncate=False
+            )
         elif sub == "zorder":
             print(snapshots.cluster_zorder(spark, path, args.arg3.split(",")))
         elif sub == "bloom":
@@ -217,7 +258,9 @@ def _snapshot_cmd(args) -> int:
         else:
             print(f"unknown snapshot subcommand {sub!r}", file=sys.stderr)
             return 2
-    except (FileNotFoundError, ValueError) as e:
+    except (FileNotFoundError, ValueError, snapshots.CommitConflict) as e:
+        # CommitConflict: fast-forward onto a diverged main / lost publish
+        # race — an operator error to report, not a traceback
         print(f"snapshot {sub}: {e}", file=sys.stderr)
         return 2
     return 0

@@ -747,6 +747,27 @@ def _per_query_topk(scored: DataFrame, score_col: str, k: int, id_col: str):
     )
 
 
+def corpus_term_freqs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One corpus tokenization reduced to (id, term, tf) — THE shared
+    upstream of every lexical retriever: BM25 derives tf/dl/df from it and
+    Jaccard's distinct-term sets are exactly its keys. Passing the same
+    instance to both lets Catalyst reuse the tokenize+partial-agg exchange
+    (ReusedExchange) instead of scanning and exploding the corpus once per
+    retriever (VERDICT r4 #5)."""
+    from web_analytics_on_aws_spark.functions import token_split
+
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(token_split(F.col(text_col))).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -756,6 +777,7 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df_frac: float | None = None,
+    term_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 full-text retrieval (Robertson et al., TREC-3; the
     Lucene-style idf variant): each document in ``query_ids`` acts as a
@@ -784,13 +806,15 @@ def bm25_topk(
     capped sparse-cosine twin). None = exact BM25 over every term (the
     oracle-checked default).
 
-    Output: (query_id, doc_id, score — rounded to 6, rank 1..k)."""
-    from web_analytics_on_aws_spark.functions import token_split
+    ``term_freqs``: a pre-built :func:`corpus_term_freqs` DataFrame to
+    share ONE tokenization across co-running retrievers (hybrid search).
 
-    toks = df.select(
-        F.col(id_col), F.explode(token_split(F.col(text_col))).alias("term")
+    Output: (query_id, doc_id, score — rounded to 6, rank 1..k)."""
+    tf = (
+        term_freqs
+        if term_freqs is not None
+        else corpus_term_freqs(df, text_col, id_col)
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     # dl from tf, not a second pass over toks: the corpus is tokenized
     # ONCE and tf's exchange is reused (review r3.2 finding)
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
@@ -838,16 +862,24 @@ def jaccard_topk(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    term_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct-term Jaccard retrieval: score = |terms_q ∩ terms_d| /
     |terms_q ∪ terms_d| — the set-overlap retriever (integer counts, one
     exact division). Same inverted-index join shape as bm25_topk.
+    ``term_freqs`` (a :func:`corpus_term_freqs` frame) supplies the
+    distinct (id, term) pairs — its keys ARE the term sets — so a hybrid
+    stack tokenizes the corpus once for all lexical retrievers.
     Output: (query_id, doc_id, score rounded to 6, rank 1..k)."""
-    from web_analytics_on_aws_spark.functions import token_split
+    if term_freqs is not None:
+        terms = term_freqs.select(F.col(id_col), "term")
+    else:
+        from web_analytics_on_aws_spark.functions import token_split
 
-    terms = df.select(
-        F.col(id_col), F.explode(token_split(F.col(text_col))).alias("term")
-    ).distinct()
+        terms = df.select(
+            F.col(id_col),
+            F.explode(token_split(F.col(text_col))).alias("term"),
+        ).distinct()
     sizes = terms.groupBy(id_col).agg(F.count("*").alias("n_terms"))
     q = terms.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), "term"

@@ -1175,8 +1175,11 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-addend RRF sum is order-exact in IEEE, so both engines agree
     bit-for-bit before the rounding."""
     docs = load_table(spark, sf_dir, "documents")
-    bm = text.bm25_topk(docs, query_ids=[0, 1, 2], k=20)
-    jac = text.jaccard_topk(docs, query_ids=[0, 1, 2], k=20)
+    # ONE tokenization feeds both retrievers — identical subplans, so the
+    # tokenize+partial-agg exchange is reused, not re-scanned
+    tf = text.corpus_term_freqs(docs)
+    bm = text.bm25_topk(docs, query_ids=[0, 1, 2], k=20, term_freqs=tf)
+    jac = text.jaccard_topk(docs, query_ids=[0, 1, 2], k=20, term_freqs=tf)
     return text.rrf_fuse([bm, jac], k=10)
 
 
@@ -1263,8 +1266,12 @@ def hybrid_dense_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from web_analytics_on_aws_spark.operators.ann_index import probe_ivf_index
 
     docs = load_table(spark, sf_dir, "documents")
-    bm = text.bm25_topk(docs, query_ids=[0, 1, 2], k=20)
-    jac = text.jaccard_topk(docs, query_ids=[0, 1, 2], k=20)
+    # shared tokenization (VERDICT r4 #5): BM25 and Jaccard consume the
+    # SAME corpus_term_freqs subplan, so the suite's most expensive query
+    # drops one full corpus scan+explode via exchange reuse
+    tf = text.corpus_term_freqs(docs)
+    bm = text.bm25_topk(docs, query_ids=[0, 1, 2], k=20, term_freqs=tf)
+    jac = text.jaccard_topk(docs, query_ids=[0, 1, 2], k=20, term_freqs=tf)
     table = _ensure_ivf_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
@@ -1606,4 +1613,123 @@ def bpe_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         F.concat_ws(" ", F.slice("tokens", 1, 8)).alias("head_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup admission (operators/incremental_dedup.py) — driver-
+# checked as a PURE READ: the digest index is built once per machine+sf_dir
+# from the corpus's FIRST half (shard A), and the registered query computes
+# shard B's admission stats against the index PINNED AT v1 — idempotent
+# across driver/bench reruns (the query itself never commits).
+# --------------------------------------------------------------------------
+
+
+def _ensure_dedup_index(spark: SparkSession, sf_dir: str) -> str:
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from web_analytics_on_aws_spark.operators.incremental_dedup import (
+        dedup_shard_against_index,
+    )
+    from web_analytics_on_aws_spark.sources import snapshots
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    fingerprint = {
+        "n": pq.ParquetFile(src).metadata.num_rows,
+        "bytes": os.path.getsize(src),
+        "layout": 1,
+    }
+    key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    table = os.path.join(
+        tempfile.gettempdir(), "spark_graft_dedup_index_v1", key
+    )
+    marker = table + ".meta.json"
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if json.load(fh) == fingerprint and (
+                    snapshots.current_version(table) is not None
+                ):
+                    return table
+        except (ValueError, OSError):
+            pass
+    shutil.rmtree(table, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    half = docs.count() // 2
+    dedup_shard_against_index(
+        spark, docs.filter(F.col("doc_id") < half), table, txn=("seed", 1)
+    )
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        json.dump(fingerprint, fh)
+    return table
+
+
+@query(
+    "dedup_incremental_admission",
+    oracle="""
+    WITH half AS (SELECT COUNT(*) // 2 AS h FROM documents),
+    a AS (
+      SELECT DISTINCT md5(text) AS digest
+      FROM documents, half WHERE doc_id < h
+    ), b AS (
+      SELECT md5(text) AS digest FROM documents, half WHERE doc_id >= h
+    ), cand AS (
+      SELECT digest FROM b GROUP BY digest
+    )
+    SELECT CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_shard,
+           CAST((SELECT COUNT(*) FROM b)
+                - (SELECT COUNT(*) FROM cand) AS BIGINT) AS n_within_dups,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM cand JOIN a USING (digest))
+                AS BIGINT) AS n_index_dups,
+           CAST((SELECT COUNT(*) FROM cand
+                 WHERE digest NOT IN (SELECT digest FROM a))
+                AS BIGINT) AS n_admitted
+    """,
+)
+def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-at-a-time dedup admission (the daily-crawl production shape,
+    operators/incremental_dedup.py): corpus first half = the already-
+    admitted index (built once, snapshot-committed), second half = the
+    arriving shard. Reports the full admission ledger — shard size,
+    within-shard dups, candidate digests, index hits, admitted count.
+    Pure-read plan: one digest partial agg + one left join against the
+    v1-pinned index (broadcast at this scale; digest-keyed and skew-free
+    at any scale). The index anti-join cost is O(shard + touched index
+    partitions), never O(corpus) — see SCALE.md."""
+    from web_analytics_on_aws_spark.sources import snapshots
+
+    table = _ensure_dedup_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    half = docs.count() // 2
+    b = docs.filter(F.col("doc_id") >= half).select(
+        F.md5("text").alias("digest")
+    )
+    cand = b.groupBy("digest").agg(F.count("*").alias("__c"))
+    idx = (
+        snapshots.read_snapshot(spark, table, version=1)
+        .select("digest")
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = cand.join(F.broadcast(idx), "digest", "left")
+    stats = joined.agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.sum(F.coalesce("__hit", F.lit(0))).cast("bigint")
+        .alias("n_index_dups"),
+        F.sum("__c").cast("bigint").alias("n_shard"),
+    )
+    return stats.select(
+        "n_shard",
+        (F.col("n_shard") - F.col("n_candidates")).cast("bigint")
+        .alias("n_within_dups"),
+        "n_candidates",
+        "n_index_dups",
+        (F.col("n_candidates") - F.col("n_index_dups")).cast("bigint")
+        .alias("n_admitted"),
     )
