@@ -163,12 +163,19 @@ def probe_ivf_index(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     reader: str = "native",
+    rank_rounding: int | None = None,
 ) -> DataFrame:
     """Approximate top-k against the materialized index: pick each query's
     ``nprobe`` nearest cells from the persisted quantizer, read only the
     probed cells, brute-force exactly within. Output: (query_id, vec_id,
     sim, rank) — same contract as ``similarity.ivf_topk``, and identical
     results for the same quantizer and nprobe.
+
+    ``rank_rounding``: rank on ``round(sim, r)`` with an id tiebreak
+    instead of the raw float — the cross-engine-stable ordering an
+    oracle-checked consumer needs (two sims within 1e-r become an explicit
+    id-ordered tie rather than an engine-dependent float comparison).
+    Default None keeps raw-sim ordering.
 
     ``reader="native"`` (default) scans through the JVM parquet reader
     with the ``centroid_id IN (probed)`` predicate pushed into the scan —
@@ -237,7 +244,13 @@ def probe_ivf_index(
             _pair_sim("__dv", "__nrm", "__qdv", "__qnrm").alias("sim"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    rank_key = (
+        F.round("sim", rank_rounding) if rank_rounding is not None
+        else F.col("sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(rank_key), F.asc(id_col)
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)

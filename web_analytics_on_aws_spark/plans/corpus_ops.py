@@ -1278,23 +1278,12 @@ def hybrid_dense_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     # Rank the dense list on the SAME key the oracle uses — sim rounded to
-    # 6 dp with doc_id tiebreak. probe_ivf_index orders by the unrounded
-    # sim, so two docs within 1e-6 could rank differently across engines;
-    # probe with an unbounded k (the probe already scores every row in the
-    # selected cells — the k filter is the only cost) and re-rank here.
-    dense = probe_ivf_index(spark, table, qs, k=1 << 30, nprobe=4).select(
-        "query_id",
-        F.col("vec_id").alias("doc_id"),
-        F.round("sim", 6).alias("score"),
-    )
-    wd = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    dense = (
-        dense.withColumn("rank", F.row_number().over(wd).cast("int"))
-        .filter(F.col("rank") <= 20)
-        .select("query_id", "doc_id", "rank")
-    )
+    # 6 dp with doc_id tiebreak (rank_rounding): two docs within 1e-6
+    # become an explicit id-ordered tie on both engines instead of an
+    # engine-dependent raw-float comparison.
+    dense = probe_ivf_index(
+        spark, table, qs, k=20, nprobe=4, rank_rounding=6
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
     return text.rrf_fuse([bm, jac, dense], k=10, decimal_exact=True)
 
 
