@@ -141,7 +141,7 @@ def test_index_join_stays_jvm_side(spark, tmp_path):
     from web_analytics_on_aws_spark.sources import snapshots
 
     index = snapshots.read_snapshot(spark, idx).select("digest")
-    d = batch.select(F.md5("text").alias("digest"), "doc_id")
+    d = batch.select(F.unhex(F.md5("text")).alias("digest"), "doc_id")
     plan = (
         d.join(index, "digest", "left_anti")
         ._jdf.queryExecution().executedPlan().toString()
@@ -189,3 +189,93 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     }
     assert got == {(0, "alpha"), (1, "beta"), (11, "gamma"), (21, "delta")}
     assert read_snapshot(spark, idx).count() == 4
+
+
+BASE = ("the quick brown fox jumps over the lazy dog while the sly cat "
+        "watches from the warm sunny windowsill every single afternoon")
+NEAR = ("the quick brown fox jumps over the lazy dog while the sly cat "
+        "watches from the warm sunny windowsill every single evening")
+OTHER = ("completely different subject matter entirely about spark "
+         "partitions shuffles joins aggregations and columnar storage "
+         "formats for analytical workloads")
+OTHER_NEAR = ("completely different subject matter entirely about spark "
+              "partitions shuffles joins aggregations and columnar storage "
+              "formats for analytical pipelines")
+
+
+def test_near_dedup_incremental_admission(spark, tmp_path):
+    from web_analytics_on_aws_spark.operators.incremental_dedup import (
+        near_dedup_shard_against_index,
+    )
+
+    idx = str(tmp_path / "nidx")
+    # shard 1: BASE + a short (unshingleable) doc
+    r1 = near_dedup_shard_against_index(
+        spark, _shard(spark, [(0, BASE), (1, "hi")]), idx, txn=("nd", 1)
+    )
+    assert r1["n_accepted"] == 2 and r1["n_index_rejected"] == 0
+    # shard 2: near-dup of BASE (reject vs index), OTHER + its near-dup
+    # (within-shard: larger key rejected), clean repeat of the short doc
+    # (no LSH identity → admitted; exact index handles those)
+    r2 = near_dedup_shard_against_index(
+        spark,
+        _shard(spark, [(10, NEAR), (11, OTHER), (12, OTHER_NEAR), (13, "yo")]),
+        idx,
+        txn=("nd", 2),
+    )
+    assert r2["n_index_rejected"] == 1          # NEAR vs admitted BASE
+    assert r2["n_within_rejected"] == 1         # OTHER_NEAR loses to OTHER
+    assert r2["n_accepted"] == 2                # OTHER + "yo"
+    got = {r["doc_id"] for r in r2["accepted"].collect()}
+    assert got == {11, 13}
+
+
+def test_near_dedup_replay_rejects_everything_and_commits_nothing(
+    spark, tmp_path
+):
+    from web_analytics_on_aws_spark.operators.incremental_dedup import (
+        near_dedup_shard_against_index,
+    )
+
+    idx = str(tmp_path / "nidx")
+    near_dedup_shard_against_index(
+        spark, _shard(spark, [(0, BASE), (1, OTHER)]), idx, txn=("nd", 1)
+    )
+    v_sig = current_version(idx + "_sigs")
+    v_band = current_version(idx + "_bands")
+    # replayed shard: every doc now collides with ITSELF in the index at
+    # est_jaccard 1.0 → rejected; txn stamps make both commits no-ops
+    r = near_dedup_shard_against_index(
+        spark, _shard(spark, [(0, BASE), (1, OTHER)]), idx, txn=("nd", 1)
+    )
+    assert r["n_accepted"] == 0 and r["n_index_rejected"] == 2
+    assert current_version(idx + "_sigs") == v_sig
+    assert current_version(idx + "_bands") == v_band
+
+
+def test_near_dedup_matches_one_shot_lsh_on_planted_corpus(spark, tmp_path):
+    """Cross-shard parity: docs the ONE-SHOT minhash_lsh_pairs operator
+    pairs up must collapse to a single survivor through the incremental
+    path, and unpaired docs must all survive."""
+    from web_analytics_on_aws_spark.operators.dedup import minhash_lsh_pairs
+    from web_analytics_on_aws_spark.operators.incremental_dedup import (
+        near_dedup_shard_against_index,
+    )
+
+    all_rows = [(0, BASE), (1, OTHER), (10, NEAR), (11, OTHER_NEAR)]
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            _shard(spark, all_rows), threshold=0.5
+        ).collect()
+    }
+    assert pairs == {(0, 10), (1, 11)}  # planted near-dup structure
+
+    idx = str(tmp_path / "nidx")
+    acc = []
+    for i, rows in enumerate([all_rows[:2], all_rows[2:]], 1):
+        r = near_dedup_shard_against_index(
+            spark, _shard(spark, rows), idx, txn=("nd", i)
+        )
+        acc += [x["doc_id"] for x in r["accepted"].collect()]
+    assert sorted(acc) == [0, 1]  # one survivor per near-dup class

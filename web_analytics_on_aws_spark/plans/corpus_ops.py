@@ -1631,7 +1631,7 @@ def _ensure_dedup_index(spark: SparkSession, sf_dir: str) -> str:
     fingerprint = {
         "n": pq.ParquetFile(src).metadata.num_rows,
         "bytes": os.path.getsize(src),
-        "layout": 1,
+        "layout": 2,  # v2: binary digests
     }
     key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
     table = os.path.join(
@@ -1698,7 +1698,7 @@ def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     half = docs.count() // 2
     b = docs.filter(F.col("doc_id") >= half).select(
-        F.md5("text").alias("digest")
+        F.unhex(F.md5("text")).alias("digest")  # index stores raw 16 bytes
     )
     cand = b.groupBy("digest").agg(F.count("*").alias("__c"))
     idx = (
