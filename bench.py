@@ -62,6 +62,7 @@ HEADLINE = [
     "snapshot_read_at_tag",
     "snapshot_read_at_branch",
     "dedup_incremental_admission",
+    "embedding_pca_whiten_audit",
 ]
 
 

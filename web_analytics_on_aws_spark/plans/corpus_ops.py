@@ -1722,3 +1722,89 @@ def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_candidates") - F.col("n_index_dups")).cast("bigint")
         .alias("n_admitted"),
     )
+
+
+@query(
+    "embedding_pca_whiten_audit",
+    oracle=goldens.pca_whiten_audit_sql(k=8),
+)
+def pca_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening trained IN-PLAN (operators/embeddings.py) and audited
+    in-plan: fit the top-8 whitener on the corpus embeddings (distributed
+    Gram pass → driver eigh, sign-canonicalized), project every vector
+    through JVM fold expressions, then verify the whitened space — per
+    component: eigenvalue + explained-variance share (6 dp), mean ≈ 0,
+    variance ≈ 1, decorrelated from every other component. The oracle is
+    an independent numpy reimplementation (plans/goldens.py) on the same
+    parquet; audit thresholds (1e-9/1e-6) sit 6 orders above double-sum
+    noise, so engine summation order cannot flip a value. Scale: the
+    statistics pass ships d² doubles per partition (KBs); the projection
+    is map-only codegen arithmetic; the k×k audit agg is one explode join
+    over k²·n tiny rows."""
+    from web_analytics_on_aws_spark.operators.embeddings import (
+        train_pca_whitener,
+        whiten,
+    )
+
+    k = 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = train_pca_whitener(emb, "embedding", dim=64, k=k)
+    y = whiten(emb, model, "embedding", "white").select("vec_id", "white")
+
+    comp = y.select(
+        "vec_id", F.posexplode("white").alias("comp", "v")
+    )
+    stats = comp.groupBy("comp").agg(
+        F.avg("v").alias("mean_v"),
+        F.avg(F.col("v") * F.col("v")).alias("mean_sq"),
+        F.count("*").alias("n"),
+    )
+    # cross moments for the decorrelation check: k×k pairs per vector
+    a, b = comp.alias("a"), comp.alias("b")
+    cross = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .filter(F.col("a.comp") != F.col("b.comp"))
+        .groupBy(F.col("a.comp").alias("comp"), F.col("b.comp").alias("comp2"))
+        .agg(F.avg(F.col("a.v") * F.col("b.v")).alias("mean_ab"))
+    )
+    means = stats.select("comp", "mean_v")
+    offmax = (
+        cross.join(means, "comp")
+        .join(
+            means.select(
+                F.col("comp").alias("comp2"), F.col("mean_v").alias("mean_v2")
+            ),
+            "comp2",
+        )
+        .withColumn(
+            "cov_ab",
+            F.abs(F.col("mean_ab") - F.col("mean_v") * F.col("mean_v2")),
+        )
+        .groupBy("comp")
+        .agg(F.max("cov_ab").alias("max_off"))
+    )
+    eig = spark.createDataFrame(
+        [
+            (j, float(model["eigvals"][j]), float(model["explained"][j]))
+            for j in range(k)
+        ],
+        "comp int, eigval double, explained double",
+    )
+    return (
+        stats.join(offmax, "comp")
+        .join(F.broadcast(eig), "comp")
+        .select(
+            F.col("comp").cast("int").alias("comp"),
+            F.round("eigval", 6).alias("eigval"),
+            F.round("explained", 6).alias("explained"),
+            (F.abs("mean_v") < 1e-9).alias("mean_ok"),
+            (
+                F.abs(
+                    F.col("mean_sq") - F.col("mean_v") * F.col("mean_v")
+                    - F.lit(1.0)
+                )
+                < 1e-6
+            ).alias("unit_var_ok"),
+            (F.col("max_off") < 1e-6).alias("decorrelated_ok"),
+        )
+    )

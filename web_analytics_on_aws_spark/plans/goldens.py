@@ -148,3 +148,82 @@ def bpe_encode_oracle(n_merges: int = 12, sample: int = 50, head: int = 8):
         )
 
     return resolve
+
+
+# ------------------------------------------------------------- whitening
+
+
+@lru_cache(maxsize=4)
+def _load_embeddings(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    m = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    return m
+
+
+def _ref_pca_whiten_audit(m, k: int):
+    """Independent numpy reference of operators/embeddings.py: fit the
+    top-k PCA whitener (same /n covariance convention, same canonical
+    sign rule) and audit the whitened matrix. Thresholds are 6 orders of
+    magnitude above float noise, so engine summation order cannot flip a
+    boolean or a 6-dp rounding."""
+    import numpy as np
+
+    n, _d = m.shape
+    mean = m.mean(axis=0)
+    c = (m.T @ m) / n - np.outer(mean, mean)
+    lam, vec = np.linalg.eigh(c)
+    order = np.argsort(lam)[::-1][:k]
+    lam_k, v_k = lam[order], vec[:, order]
+    for j in range(k):
+        i = int(np.argmax(np.abs(v_k[:, j])))
+        if v_k[i, j] < 0:
+            v_k[:, j] = -v_k[:, j]
+    w = (v_k / np.sqrt(lam_k)).T  # k×d
+    y = (m - mean) @ w.T
+    my = y.mean(axis=0)
+    cy = (y.T @ y) / n - np.outer(my, my)
+    off = np.abs(cy - np.diag(np.diag(cy)))
+    total = float(lam.sum())
+    rows = []
+    for j in range(k):
+        rows.append(
+            (
+                j,
+                round(float(lam_k[j]), 6),
+                round(float(lam_k[j] / total), 6),
+                bool(abs(my[j]) < 1e-9),
+                bool(abs(cy[j, j] - 1.0) < 1e-6),
+                bool(off[j].max() < 1e-6),
+            )
+        )
+    return rows
+
+
+def pca_whiten_audit_sql(k: int = 8):
+    """Lazy oracle: VALUES-literal of the numpy reference's audit rows."""
+
+    def build() -> str:
+        rows = _ref_pca_whiten_audit(_load_embeddings(_sf_dir()), k)
+        vals = ",\n".join(
+            f"({c}, {ev!r}, {ex!r}, {m}, {v}, {d})"
+            for c, ev, ex, m, v, d in rows
+        )
+        return (
+            "SELECT CAST(comp AS INT) AS comp,"
+            " CAST(eigval AS DOUBLE) AS eigval,"
+            " CAST(explained AS DOUBLE) AS explained,"
+            " CAST(mean_ok AS BOOLEAN) AS mean_ok,"
+            " CAST(unit_var_ok AS BOOLEAN) AS unit_var_ok,"
+            " CAST(decorrelated_ok AS BOOLEAN) AS decorrelated_ok"
+            " FROM (VALUES\n" + vals +
+            "\n) AS t(comp, eigval, explained, mean_ok, unit_var_ok,"
+            " decorrelated_ok)"
+        )
+
+    return build
