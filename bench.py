@@ -168,9 +168,14 @@ def main() -> None:
     # Durable artifact (VERDICT r4 #7): the driver captures only the tail
     # of stdout, which truncated BENCH_r04.json — persist the full JSON
     # beside the repo so every per-query min survives regardless of
-    # capture. Committed per round.
+    # capture. Committed per round. Overridable so the 10x harness doesn't
+    # clobber the sf0.1 artifact with its own run.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        str(Path(__file__).resolve().parent / "BENCH_LOCAL.json"),
+    )
     try:
-        with open(Path(__file__).resolve().parent / "BENCH_LOCAL.json", "w") as f:
+        with open(out_path, "w") as f:
             f.write(line + "\n")
     except OSError:
         pass  # read-only checkout: stdout line remains the artifact

@@ -402,3 +402,95 @@ def test_bpe_encode_checkpoint_chunking(spark):
     rules = [("a", "a", "aa"), ("aa", "aa", "aaaa")]
     out = text.bpe_encode(docs, rules, checkpoint_every=1).collect()[0]
     assert list(out["tokens"]) == ["aaaa", "aaaa"] and out["n_tokens"] == 2
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    """The point of MMR: the diversified list's worst-case internal
+    redundancy (max pairwise sim among picks) must not exceed the plain
+    relevance top-10's — and picks are 10 distinct members of the top-20
+    candidate pool led by the argmax-relevance doc."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMOKE
+    from web_analytics_on_aws_spark.functions import (
+        as_double_vec,
+        cosine_similarity,
+    )
+    from web_analytics_on_aws_spark import plans
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    plans.load_all()
+    out = plans.QUERIES["retrieval_mmr_topk"](spark, SF_SMOKE).toPandas()
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("ev")
+    )
+
+    def max_pairwise(ids: list[int]) -> float:
+        sub = emb.filter(F.col("vec_id").isin(ids))
+        return (
+            sub.alias("x")
+            .join(sub.alias("y"), F.col("x.vec_id") < F.col("y.vec_id"))
+            .select(cosine_similarity("x.ev", "y.ev").alias("s"))
+            .agg(F.max("s"))
+            .collect()[0][0]
+        )
+
+    for qid, grp in out.groupby("query_id"):
+        picks = grp.sort_values("mmr_rank")["vec_id"].tolist()
+        assert len(picks) == 10 == len(set(picks))
+        qv = emb.filter(F.col("vec_id") == int(qid)).select(
+            F.col("ev").alias("qv")
+        )
+        plain = (
+            emb.filter(F.col("vec_id") != int(qid))
+            .crossJoin(qv)
+            .select(
+                "vec_id",
+                F.round(cosine_similarity("ev", "qv"), 6).alias("rel"),
+            )
+            .orderBy(F.desc("rel"), F.asc("vec_id"))
+            .limit(10)
+            .toPandas()
+        )
+        # rank 1 is pure relevance
+        assert picks[0] == int(plain.iloc[0]["vec_id"])
+        assert max_pairwise(picks) <= max_pairwise(
+            plain["vec_id"].tolist()
+        ) + 1e-12, f"query {qid}: MMR list more redundant than plain top-k"
+
+
+def test_match_recognize_funnel_bounds(spark):
+    """Structural pins for the row-pattern funnel: every funnel is >= 3
+    symbols (v c+ p), non-overlapping matches fit in the sequence, and the
+    per-user symbol string the plan aggregates reproduces an independent
+    Python re.findall on the same capped ordering."""
+    import re
+
+    from tests.conftest import SF_SMOKE
+    from web_analytics_on_aws_spark import plans
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    plans.load_all()
+    out = plans.QUERIES["events_match_recognize_funnel"](spark, SF_SMOKE).toPandas()
+    assert len(out) > 0
+    got = {
+        int(r.user_id): (int(r.seq_len), int(r.n_funnels),
+                         None if r.max_funnel_len != r.max_funnel_len
+                         else int(r.max_funnel_len))
+        for r in out.itertuples()
+    }
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    for uid, grp in ev.groupby("user_id"):
+        seq = "".join(t[0] for t in grp["event_type"].head(2000))
+        funnels = re.findall("vc+p", seq)
+        want = (
+            len(seq),
+            len(funnels),
+            max((len(f) for f in funnels), default=None),
+        )
+        assert got[int(uid)] == want, (uid, got[int(uid)], want)

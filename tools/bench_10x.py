@@ -36,6 +36,11 @@ def main() -> int:
 
     env = os.environ | {
         "SPARK_GRAFT_SF_DIR": OUT_DIR,
+        # keep the sf0.1 BENCH_LOCAL.json artifact intact — this harness
+        # writes its own output file below
+        "SPARK_GRAFT_BENCH_OUT": os.path.join(
+            ROOT, "BENCH_10x_LOCAL.json"
+        ),
         # 10x input bytes → 4x the default initial shuffle width (what a
         # cluster's scan-stats sizing would pick); AQE still coalesces
         "SPARK_GRAFT_SHUFFLE_PARTS": os.environ.get(

@@ -1808,3 +1808,302 @@ def pca_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_off") < 1e-6).alias("decorrelated_ok"),
         )
     )
+
+
+@query(
+    "embedding_matryoshka_recall",
+    oracle="""
+    WITH dims AS (SELECT unnest([8, 16, 32, 64]) AS d),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), ranked AS (
+      SELECT dims.d, q.query_id, e.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY dims.d, q.query_id
+               ORDER BY ROUND(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[])[1:dims.d], q.qv[1:dims.d]
+               ), 6) DESC, e.vec_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN q CROSS JOIN dims
+      WHERE e.vec_id <> q.query_id
+    ), topk AS (
+      SELECT d, query_id, vec_id FROM ranked WHERE rn <= 10
+    ), full_topk AS (
+      SELECT query_id, vec_id FROM topk WHERE d = 64
+    )
+    SELECT t.d AS dims, t.query_id,
+           CAST(COUNT(f.vec_id) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(f.vec_id) / 10.0, 6) AS recall_at_10
+    FROM topk t LEFT JOIN full_topk f
+      ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+    GROUP BY t.d, t.query_id
+    """,
+)
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncated-embedding retrieval audit (Kusupati et al.
+    2022): re-rank the brute-force top-10 using only the FIRST d dims of
+    the embedding (d ∈ {8,16,32,64}) and report recall@10 against the
+    full-dimension ranking per query — the measurement that decides how
+    far a production index can truncate vectors (4 fewer dims = 4 fewer
+    multiply-adds AND bytes per comparison at 100 TB). Exact cross-engine:
+    sims rounded to 6 dp before ranking with vec_id tiebreaks, so the
+    top-10 sets are deterministic on both engines. Plan: one corpus×3
+    query broadcast join scored at 4 prefix lengths (slice is zero-copy
+    on the array), one rank window per (d, query), a self-join on the
+    d=64 baseline."""
+    from web_analytics_on_aws_spark.functions import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    dims = spark.createDataFrame([(8,), (16,), (32,), (64,)], "d int")
+    scored = (
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("ev"),
+        )
+        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(dims))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "d",
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_similarity(
+                    F.slice("ev", 1, F.col("d")),
+                    F.slice("qv", 1, F.col("d")),
+                ),
+                6,
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("d", "query_id").orderBy(
+        F.desc("s"), F.asc("vec_id")
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("d", "query_id", "vec_id")
+    )
+    full = topk.filter(F.col("d") == 64).select(
+        F.col("query_id").alias("fq"), F.col("vec_id").alias("fv")
+    )
+    return (
+        topk.join(
+            full,
+            (F.col("query_id") == F.col("fq"))
+            & (F.col("vec_id") == F.col("fv")),
+            "left",
+        )
+        .groupBy(F.col("d").alias("dims"), "query_id")
+        .agg(
+            F.count("fv").cast("bigint").alias("n_overlap"),
+            F.round(F.count("fv") / F.lit(10.0), 6).alias("recall_at_10"),
+        )
+    )
+
+
+def _mmr_oracle() -> str:
+    """10-step greedy MMR as a mechanically unrolled CTE chain (k is fixed
+    and small, so the unrolled form is both exact and cheap for DuckDB —
+    each step picks per query the argmax of 0.7*rel - 0.3*max-sim-to-
+    selected over the not-yet-selected candidates. All scoring is integer
+    micro-sim arithmetic (rel/sim rounded to 6 dp then scaled to BIGINT
+    micro-units; score = 7*rel_u - 3*ms_u) — multiplying exact 6-dp
+    decimals by 0.7 in doubles lands exactly on half-ulp boundaries where
+    the two engines' ROUND disagree, integers never do."""
+    steps = []
+    for t in range(2, 11):
+        steps.append(f"""
+sel{t} AS MATERIALIZED (
+  SELECT query_id, vec_id, mmr_score, {t} AS mmr_rank FROM (
+    SELECT r.query_id, r.vec_id,
+           (7 * r.rel_u - 3 * COALESCE(m.ms, 0)) / 10000000.0 AS mmr_score,
+           ROW_NUMBER() OVER (
+             PARTITION BY r.query_id
+             ORDER BY 7 * r.rel_u - 3 * COALESCE(m.ms, 0) DESC,
+                      r.vec_id) AS rn
+    FROM c r
+    LEFT JOIN (
+      SELECT p.query_id, p.a, MAX(p.sim_u) AS ms
+      FROM pairs p
+      JOIN acc{t - 1} s ON p.query_id = s.query_id AND p.b = s.vec_id
+      GROUP BY p.query_id, p.a
+    ) m ON m.query_id = r.query_id AND m.a = r.vec_id
+    WHERE NOT EXISTS (SELECT 1 FROM acc{t - 1} s2
+                      WHERE s2.query_id = r.query_id
+                        AND s2.vec_id = r.vec_id)
+  ) WHERE rn = 1
+),
+acc{t} AS MATERIALIZED (SELECT * FROM acc{t - 1} UNION ALL SELECT * FROM sel{t})""")
+    return (
+        """
+WITH qs AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT qs.query_id, e.vec_id,
+         CAST(ROUND(1000000 * ROUND(list_cosine_similarity(
+                CAST(e.embedding AS DOUBLE[]), qs.qv), 6)) AS BIGINT)
+           AS rel_u
+  FROM embeddings e JOIN qs ON e.vec_id <> qs.query_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rel_u DESC, vec_id) AS rn
+  FROM scored
+), c AS MATERIALIZED (SELECT query_id, vec_id, rel_u FROM ranked WHERE rn <= 20),
+pairs AS MATERIALIZED (
+  SELECT ca.query_id, ca.vec_id AS a, cb.vec_id AS b,
+         CAST(ROUND(1000000 * ROUND(list_cosine_similarity(
+                CAST(ea.embedding AS DOUBLE[]),
+                CAST(eb.embedding AS DOUBLE[])), 6)) AS BIGINT) AS sim_u
+  FROM c ca
+  JOIN c cb ON ca.query_id = cb.query_id AND ca.vec_id <> cb.vec_id
+  JOIN embeddings ea ON ea.vec_id = ca.vec_id
+  JOIN embeddings eb ON eb.vec_id = cb.vec_id
+),
+acc1 AS MATERIALIZED (
+  SELECT query_id, vec_id, (7 * rel_u) / 10000000.0 AS mmr_score,
+         1 AS mmr_rank
+  FROM (SELECT c.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rel_u DESC, vec_id) AS rn
+        FROM c)
+  WHERE rn = 1
+),"""
+        + ",".join(steps)
+        + """
+SELECT query_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, vec_id, mmr_score
+FROM acc10"""
+    )
+
+
+@query("retrieval_mmr_topk", oracle=_mmr_oracle)
+def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-10 (Carbonell & Goldstein
+    1998): per query, greedily pick argmax of 0.7*relevance - 0.3*max-sim-
+    to-already-selected from a top-20 cosine candidate pool — the standard
+    redundancy-removal rerank between ANN retrieval and a training batch /
+    RAG context. Exact cross-engine: rel, pairwise sims, and the combined
+    score use integer micro-sim arithmetic (6-dp-rounded sims scaled to
+    BIGINT; score = 7*rel_u - 3*ms_u) with vec_id tiebreaks, so both
+    engines pick the identical sequence — scoring 6-dp DECIMALS in doubles
+    would land exactly on half-ulp ROUND boundaries where engines disagree;
+    the oracle unrolls the same greedy as a CTE chain.
+
+    Scale shape: the greedy is inherently sequential in k but DISTRIBUTED
+    over queries — state is one row per (query, remaining candidate) with
+    an incrementally-maintained max-sim-to-selected (greatest(ms, sim-to-
+    new-pick)), so each of the k steps is one window + one tiny keyed join,
+    never a growing selected-set join; lineage is localCheckpoint-truncated
+    per step (house pattern of the BPE trainer). Pairwise sims are computed
+    once over candidates (|Q| x 20 x 19 rows), not per step."""
+    from web_analytics_on_aws_spark.functions import (
+        as_double_vec,
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("ev")
+    )
+    qs = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "ev",
+            F.round(1000000 * F.round(cosine_similarity("ev", "qv"), 6))
+            .cast("long")
+            .alias("rel_u"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_u"), F.asc("vec_id")
+    )
+    cv = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("query_id", "vec_id", "rel_u", "ev")
+        .localCheckpoint()
+    )
+    pairs = (
+        cv.alias("x")
+        .join(
+            cv.alias("y"),
+            (F.col("x.query_id") == F.col("y.query_id"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.query_id").alias("query_id"),
+            F.col("x.vec_id").alias("a"),
+            F.col("y.vec_id").alias("b"),
+            F.round(1000000 * F.round(cosine_similarity("x.ev", "y.ev"), 6))
+            .cast("long")
+            .alias("sim_u"),
+        )
+        .localCheckpoint()
+    )
+    # ms starts NULL (empty selected set), NOT 0: sims can be NEGATIVE,
+    # and flooring the running max at 0 would under-penalize nothing but
+    # OVER-penalize candidates whose true max-sim-to-selected is negative
+    # (score = 7*rel - 3*ms grows when ms < 0). greatest() skips NULLs, so
+    # the first update seeds the true max.
+    state = cv.select(
+        "query_id", "vec_id", "rel_u", F.lit(None).cast("long").alias("ms")
+    )
+    picks: list[DataFrame] = []
+    wsel = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    for t in range(1, 11):
+        st = (
+            state.withColumn(
+                "score",
+                7 * F.col("rel_u")
+                - 3 * F.coalesce("ms", F.lit(0).cast("long")),
+            )
+            .withColumn("rn", F.row_number().over(wsel))
+            .localCheckpoint()
+        )
+        picks.append(
+            st.filter(F.col("rn") == 1).select(
+                "query_id",
+                F.lit(t).cast("long").alias("mmr_rank"),
+                "vec_id",
+                (F.col("score") / F.lit(10000000.0)).alias("mmr_score"),
+            )
+        )
+        if t == 10:
+            break
+        pick_sims = pairs.join(
+            st.filter(F.col("rn") == 1).select(
+                "query_id", F.col("vec_id").alias("b")
+            ),
+            ["query_id", "b"],
+        ).select(
+            "query_id",
+            F.col("a").alias("vec_id"),
+            F.col("sim_u").alias("s_new"),
+        )
+        state = (
+            st.filter(F.col("rn") > 1)
+            .select("query_id", "vec_id", "rel_u", "ms")
+            .join(pick_sims, ["query_id", "vec_id"], "left")
+            .select(
+                "query_id",
+                "vec_id",
+                "rel_u",
+                F.greatest("ms", "s_new").alias("ms"),
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select("query_id", "mmr_rank", "vec_id", "mmr_score")

@@ -318,3 +318,72 @@ def trino_url_traffic_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).createOrReplaceTempView("weblog_uris")
     return trino_sql(spark, _TRINO_URL_TEXT)
+
+
+# MATCH_RECOGNIZE-style row-pattern matching (Trino/Athena engine v3:
+# SELECT ... FROM t MATCH_RECOGNIZE(PARTITION BY u ORDER BY ts PATTERN
+# (V C+ P) DEFINE ...)). Spark has no MATCH_RECOGNIZE clause; the engine
+# expresses the same semantics as symbolization + regex: each partition's
+# rows, in ORDER BY order, become one symbol string (one char per row —
+# the DEFINE classifier), and the PATTERN is a regex scanned left-to-right
+# non-overlapping == AFTER MATCH SKIP PAST LAST ROW. Both engines run the
+# identical derivation, so the oracle checks the symbolization AND the
+# match semantics. Per-partition sequences are capped at the first 2000
+# rows (deterministic ROW_NUMBER cap on both sides) — the skew guard a
+# 100 TB run needs before building per-user strings.
+_MATCH_RECOGNIZE_BODY = """
+WITH ordered AS (
+  SELECT user_id, substring(event_type, 1, 1) AS sym,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), capped AS (
+  SELECT * FROM ordered WHERE rn <= 2000
+), seqs AS (
+  SELECT user_id, {AGG} AS seq
+  FROM capped GROUP BY user_id
+), matched AS (
+  SELECT user_id, seq, {EXTRACT} AS funnels
+  FROM seqs
+)
+SELECT user_id,
+       CAST(length(seq) AS BIGINT) AS seq_len,
+       CAST({NMATCH} AS BIGINT) AS n_funnels,
+       CAST({MAXLEN} AS BIGINT) AS max_funnel_len
+FROM matched
+"""
+
+_MR_SPARK = _MATCH_RECOGNIZE_BODY.format(
+    AGG="listagg(sym, '') WITHIN GROUP (ORDER BY rn)",
+    EXTRACT="regexp_extract_all(seq, 'vc+p', 0)",
+    NMATCH="size(funnels)",
+    MAXLEN="array_max(transform(funnels, x -> length(x)))",
+)
+
+_MR_DUCK = _MATCH_RECOGNIZE_BODY.format(
+    AGG="string_agg(sym, '' ORDER BY rn)",
+    EXTRACT="regexp_extract_all(seq, 'vc+p')",
+    NMATCH="len(funnels)",
+    MAXLEN="list_max(list_transform(funnels, x -> length(x)))",
+)
+
+
+@query("events_match_recognize_funnel", oracle=_MR_DUCK)
+def match_recognize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern funnel: MATCH_RECOGNIZE `PARTITION BY user_id ORDER BY
+    ts PATTERN (V C+ P)` (view, 1+ clicks, purchase) with AFTER MATCH SKIP
+    PAST LAST ROW, re-expressed Spark-first as per-user ordered
+    symbolization (event_type -> one char via the DEFINE classifier) +
+    non-overlapping greedy regex over the symbol string. Emits per user the
+    sequence length, the number of completed funnels, and the longest
+    funnel (its click-run + 2). Athena engine v3 ships MATCH_RECOGNIZE as
+    part of the Trino surface the reference queries through (SURVEY §3.3).
+
+    Scale: ONE shuffle on user_id (window + ordered listagg share the
+    partitioning); the regex scan is per-row JVM, no UDF. Per-user strings
+    are bounded by the rn <= 2000 cap, so a bot user costs the same as a
+    heavy legitimate one — same whale guard class as the attribution touch
+    cap."""
+    from web_analytics_on_aws_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_MR_SPARK)
