@@ -1,0 +1,373 @@
+"""Hidden (transform) partitioning: spec DDL, partitioned writes, manifest
+tuple pruning, spec evolution, and the Spark-parity Murmur3 behind bucket.
+
+Models Iceberg's partition-spec semantics the reference's tables rely on
+(web-analytics-iceberg: PARTITIONED BY event with hidden day/bucket
+transforms) — sources/partitioning.py."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from web_analytics_on_aws_spark.sources import partitioning as P
+from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+    SnapshotDataSource,
+    SnapshotReader,
+)
+from web_analytics_on_aws_spark.sources.snapshots import (
+    _read_manifest,
+    commit_append,
+    current_version,
+    delete_where,
+    read_snapshot,
+)
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotDataSource)
+    return spark
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _tuples(table):
+    return _read_manifest(table, current_version(table)).get(
+        "file_partitions", {}
+    )
+
+
+def _kept(table, filters):
+    r = SnapshotReader({"path": table}, None)
+    r.pushFilters(filters)
+    return len(r.partitions())
+
+
+def _total(table):
+    return len(SnapshotReader({"path": table}, None).partitions())
+
+
+# ---------------------------------------------------------------------------
+# murmur3 parity — the planning-side hash must be bit-identical to F.hash
+# ---------------------------------------------------------------------------
+
+
+def test_murmur3_matches_spark_hash(spark):
+    longs = [0, 1, -1, 42, 2**31 - 1, -(2**31), 123456789, 2**62, -(2**62)]
+    strs = ["", "a", "ab", "abc", "abcd", "abcde", "héllo wörld", "日本語"]
+    dates = [datetime.date(1970, 1, 1), datetime.date(2024, 3, 5)]
+    tss = [
+        datetime.datetime(1970, 1, 1, 0, 0, 0),
+        datetime.datetime(2024, 3, 5, 13, 7, 11, 250000),
+    ]
+    for vals, typ in [(longs, "long"), (strs, "string"), (dates, "date"),
+                      (tss, "timestamp")]:
+        got = spark.createDataFrame(
+            [(v,) for v in vals], f"v {typ}"
+        ).select("v", F.hash("v").alias("h")).collect()
+        for r in got:
+            assert P.spark_hash(r.v) == r.h, (typ, r.v)
+    ints = [0, 1, -1, 77, 2**31 - 1, -(2**31)]
+    for r in spark.createDataFrame(
+        [(v,) for v in ints], "v int"
+    ).select("v", F.hash("v").alias("h")).collect():
+        assert P.murmur3_int(r.v) == r.h
+
+
+def test_transform_expr_matches_apply_transform(spark):
+    """Write-side Catalyst transform and planning-side python transform
+    agree value-for-value (the pruning contract)."""
+    rows = [
+        (-27, "alphabet", datetime.datetime(2024, 3, 5, 23, 59, 59)),
+        (0, "", datetime.datetime(1999, 12, 31, 0, 0, 1)),
+        (103, "zz", datetime.datetime(2024, 3, 6, 0, 0, 0)),
+        (-100, "a b/c", datetime.datetime(2024, 2, 29, 12, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "n long, s string, ts timestamp")
+    fields = [
+        {"name": "a", "source": "n", "transform": "truncate[10]"},
+        {"name": "b", "source": "n", "transform": "bucket[7]"},
+        {"name": "c", "source": "s", "transform": "truncate[3]"},
+        {"name": "d", "source": "s", "transform": "bucket[5]"},
+        {"name": "e", "source": "ts", "transform": "day"},
+        {"name": "f", "source": "ts", "transform": "hour"},
+        {"name": "g", "source": "ts", "transform": "month"},
+        {"name": "h", "source": "ts", "transform": "year"},
+        {"name": "i", "source": "n", "transform": "identity"},
+    ]
+    out = df.select(
+        "n", "s", "ts",
+        *[P.transform_expr(f).cast("string").alias(f["name"]) for f in fields],
+    ).collect()
+    for r in out:
+        src = {"n": r.n, "s": r.s, "ts": r.ts}
+        for f in fields:
+            assert str(P.apply_transform(f, src[f["source"]])) == getattr(
+                r, f["name"]
+            ), (f, src[f["source"]])
+
+
+# ---------------------------------------------------------------------------
+# spec DDL + partitioned append
+# ---------------------------------------------------------------------------
+
+
+def _events_df(spark, n=200):
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("uid"),
+        F.expr(
+            "timestamp_micros(cast(1709600000000000 + id * 3600000000 as long))"
+        ).alias("ts"),
+    )
+
+
+def test_partitioned_append_roundtrip(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "t")
+    df = _events_df(spark)
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("ts", "day"), ("uid", "bucket[4]")])
+    commit_append(df, t)
+
+    assert _rows(read_snapshot(spark, t)) == _rows(df)
+    via_ds = spark.read.format("snapshot").option("path", t).load()
+    assert _rows(via_ds.select(*df.columns)) == _rows(df)
+
+    tuples = _tuples(t)
+    m = _read_manifest(t, current_version(t))
+    with_tuple = [f for f in m["files"] if f in tuples]
+    assert len(with_tuple) >= 8  # ≥ (days × buckets present) leaves
+    ex = tuples[with_tuple[0]]
+    assert ex["spec_id"] == 1
+    assert set(ex["values"]) == {"ts_day", "uid_bucket4"}
+    # hidden partitioning: data files carry exactly the table schema
+    import pyarrow.parquet as pq
+
+    assert set(pq.read_schema(with_tuple[0]).names) == set(df.columns)
+
+
+def test_day_range_prune_and_correctness(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "t")
+    df = _events_df(spark)  # ~9 distinct days, hourly rows
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("ts", "day")])
+    commit_append(df, t)
+
+    lit = datetime.datetime(2024, 3, 8, 12, 0, 0)
+    got = (
+        spark.read.format("snapshot").option("path", t).load()
+        .filter(F.col("ts") >= F.lit(lit))
+    )
+    want = df.filter(F.col("ts") >= F.lit(lit))
+    assert _rows(got.select(*df.columns)) == _rows(want)
+
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    assert 0 < _kept(t, [GreaterThanOrEqual(("ts",), lit)]) < _total(t)
+    assert 0 < _kept(t, [LessThan(("ts",), lit)]) < _total(t)
+    assert _kept(t, [EqualTo(("ts",), lit)]) == 1
+    # out-of-range probe plans ZERO files
+    assert _kept(
+        t, [GreaterThanOrEqual(("ts",), datetime.datetime(2030, 1, 1))]
+    ) == 0
+
+
+def test_bucket_prune_equality_and_in(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "t")
+    df = _events_df(spark)
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("uid", "bucket[4]")])
+    commit_append(df, t)
+
+    got = (
+        spark.read.format("snapshot").option("path", t).load()
+        .filter(F.col("uid") == 3)
+    )
+    assert _rows(got.select(*df.columns)) == _rows(df.filter("uid = 3"))
+
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    total = _total(t)
+    assert _kept(t, [EqualTo(("uid",), 3)]) < total
+    assert _kept(t, [In(("uid",), (3, 7))]) < total
+    # bucket is not monotonic: range predicates must NOT prune
+    assert _kept(t, [GreaterThan(("uid",), 3)]) == total
+
+
+def test_truncate_prunes_strings_and_ints(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("apple", -27), ("apricot", -3), ("banana", 4), ("cherry", 123)],
+        "word string, n long",
+    )
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(
+        spark, t, [("word", "truncate[2]"), ("n", "truncate[10]")]
+    )
+    commit_append(df, t)
+
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    assert _kept(t, [EqualTo(("word",), "apple")]) == 1
+    # -27 truncates to -30; files with truncation < -30 or the string prefix
+    # mismatch are gone, and range pruning floors the literal
+    assert _kept(t, [GreaterThanOrEqual(("n",), 100)]) == 1
+    got = (
+        spark.read.format("snapshot").option("path", t).load()
+        .filter("word = 'apple'")
+    )
+    assert got.count() == 1
+
+
+def test_spec_evolution_old_and_new_files_coexist(registered, tmp_path):
+    """Iceberg spec evolution: files written under spec 1 (day) keep
+    pruning by day; later files under spec 2 (bucket) prune by bucket —
+    in the same table, no rewrite."""
+    spark = registered
+    t = str(tmp_path / "t")
+    df1 = _events_df(spark, 96)
+    commit_append(df1.limit(0), t)
+    P.set_partition_spec(spark, t, [("ts", "day")])
+    commit_append(df1, t)
+    n_spec1 = _total(t)
+
+    P.set_partition_spec(spark, t, [("uid", "bucket[4]")])
+    df2 = _events_df(spark, 96).withColumn("id", F.col("id") + 1000)
+    commit_append(df2, t)
+
+    tuples = _tuples(t)
+    assert {e["spec_id"] for e in tuples.values()} == {1, 2}
+
+    from pyspark.sql.datasource import EqualTo
+
+    total = _total(t)
+    # bucket probe prunes only spec-2 files: every spec-1 file survives
+    kept = _kept(t, [EqualTo(("uid",), 2)])
+    assert n_spec1 <= kept < total
+    # read correctness across both specs
+    got = (
+        spark.read.format("snapshot").option("path", t).load()
+        .filter("uid = 2")
+    )
+    both = df1.unionByName(df2).filter("uid = 2")
+    assert _rows(got.select("id", "uid", "ts")) == _rows(both)
+
+
+def test_null_partition_pruned_for_comparisons(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, s string"
+    )
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("s", "identity")])
+    commit_append(df, t)
+
+    from pyspark.sql.datasource import EqualTo
+
+    # the all-null file can't satisfy s = 'a'; only one file survives
+    assert _kept(t, [EqualTo(("s",), "a")]) == 1
+    got = (
+        spark.read.format("snapshot").option("path", t).load()
+        .filter("s = 'a'")
+    )
+    assert [r.id for r in got.collect()] == [1]
+    # and reading back includes the null row
+    assert read_snapshot(spark, t).count() == 3
+
+
+def test_spec_on_renamed_column_still_prunes(registered, tmp_path):
+    """Column mapping interplay: evolve-rename the source column after the
+    spec exists; filters on the NEW logical name keep pruning (specs store
+    physical names; the reader maps logical→physical before matching)."""
+    spark = registered
+    t = str(tmp_path / "t")
+    df = _events_df(spark, 96)
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("uid", "bucket[4]")])
+    commit_append(df, t)
+
+    from web_analytics_on_aws_spark.sources.evolution import (
+        evolve_rename_column,
+    )
+
+    evolve_rename_column(spark, t, "uid", "user_bucket_key")
+
+    from pyspark.sql.datasource import EqualTo
+
+    assert _kept(t, [EqualTo(("user_bucket_key",), 2)]) < _total(t)
+    got = (
+        spark.read.format("snapshot").option("path", t).load()
+        .filter("user_bucket_key = 2")
+    )
+    assert got.count() == df.filter("uid = 2").count()
+
+    # and a NEW spec set via the logical name works (translated to phys)
+    P.set_partition_spec(spark, t, [("user_bucket_key", "identity")])
+    commit_append(
+        df.withColumnRenamed("uid", "user_bucket_key").withColumn(
+            "id", F.col("id") + 5000
+        ),
+        t,
+    )
+    assert _kept(t, [EqualTo(("user_bucket_key",), 2)]) < _total(t)
+
+
+def test_unpartition_and_tuple_carry_through_dml(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "t")
+    df = _events_df(spark, 96)
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("uid", "bucket[4]")])
+    commit_append(df, t)
+    before = _tuples(t)
+    assert before
+
+    # CoW delete rewrites SOME files; untouched files keep their tuples
+    delete_where(spark, t, "id % 7 = 0")
+    after = _tuples(t)
+    m = _read_manifest(t, current_version(t))
+    carried = set(before) & set(m["files"])
+    assert all(after.get(f) == before[f] for f in carried)
+    assert read_snapshot(spark, t).count() == df.filter("id % 7 != 0").count()
+
+    # unpartition: future appends are flat and tuple-less
+    P.set_partition_spec(spark, t, [])
+    commit_append(df.withColumn("id", F.col("id") + 10_000), t)
+    m2 = _read_manifest(t, current_version(t))
+    new_files = set(m2["files"]) - set(m["files"])
+    assert new_files and not any(f in _tuples(t) for f in new_files)
+
+
+def test_partition_spec_survives_restore(registered, tmp_path):
+    spark = registered
+    t = str(tmp_path / "t")
+    df = _events_df(spark, 48)
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("ts", "day")])
+    commit_append(df, t)
+    v_part = current_version(t)
+    commit_append(df.withColumn("id", F.col("id") + 100), t)
+
+    from web_analytics_on_aws_spark.sources.snapshots import restore_version
+
+    restore_version(spark, t, v_part)
+    assert read_snapshot(spark, t).count() == 48
+    # tuples for the restored files still present → pruning still works
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    assert _kept(
+        t,
+        [GreaterThanOrEqual(("ts",), datetime.datetime(2030, 1, 1))],
+    ) == 0

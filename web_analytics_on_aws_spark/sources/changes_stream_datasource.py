@@ -279,25 +279,33 @@ class SnapshotChangesDataSource(DataSource):
         return "snapshot_changes"
 
     def _data_schema(self):
+        """(arrow schema under LOGICAL names, per-field PHYSICAL read
+        names). Column mapping (sources/evolution.py): the stream's output
+        schema shows logical names, while ``_read_rows`` projects each
+        immutable data file by the stable physical names — a rename
+        mid-history changes neither the bytes nor the events."""
         from web_analytics_on_aws_spark.sources.snapshot_datasource import (
-            _unified_arrow_schema,
+            _mapped_arrow_schema,
         )
 
         vs = _versions(self.options["path"])
         if not vs:
             raise FileNotFoundError(f"no snapshots at {self.options['path']}")
-        return _unified_arrow_schema(_files(self.options["path"], vs[-1]))
+        m = _manifest(self.options["path"], vs[-1])
+        arrow, mapping = _mapped_arrow_schema(m)
+        phys_names = [mapping.get(n, n) for n in arrow.names]
+        return arrow, phys_names
 
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
         from pyspark.sql.types import LongType, StringType, StructField
 
-        base = from_arrow_schema(self._data_schema())
+        base = from_arrow_schema(self._data_schema()[0])
         return base.add(StructField("_change_type", StringType())).add(
             StructField("_commit_version", LongType())
         )
 
     def simpleStreamReader(self, schema) -> SnapshotChangesStreamReader:
         return SnapshotChangesStreamReader(
-            self.options, [f for f in self._data_schema().names]
+            self.options, self._data_schema()[1]
         )

@@ -1,0 +1,477 @@
+"""Hidden (transform) partitioning for snapshot tables — Iceberg's
+partition-spec model, jar-free.
+
+The reference's Iceberg tables are declared ``PARTITIONED BY (event)`` and
+lean on Iceberg's *hidden partitioning*: the table spec maps source columns
+through transforms (``day(ts)``, ``bucket(16, user_id)``, ``truncate(4,
+s)``), writers route rows by the TRANSFORMED value, and readers prune data
+files from the manifest without the query ever mentioning the partition
+column (web-analytics-iceberg/README.md; firehose_to_iceberg.py). This
+module closes that gap for the hand-rolled snapshot format:
+
+- the head manifest carries a ``partitioning`` block::
+
+      {"current": 2, "specs": {"1": [field...], "2": [field...]}}
+
+  where each field is ``{"name": "ts_day", "source": "<physical col>",
+  "transform": "day"}``. Specs are append-only (Iceberg spec evolution):
+  changing the spec allocates a new spec id; files written under older
+  specs keep their original tuples and still prune correctly under THEIR
+  spec — no data rewrite, ever.
+- each data file's partition tuple rides the manifest
+  (``file_partitions: {path: {"spec_id": N, "values": {...}}}``), exactly
+  like Iceberg manifests store per-file partition data. Scan planning
+  evaluates pushed filters against the tuple FIRST — a pure metadata
+  check, before any parquet footer is opened (cheaper than min/max
+  skipping, and exact for transform-aligned predicates).
+- transforms are *hidden*: queries filter on the SOURCE column
+  (``WHERE ts >= X``); monotonic transforms (identity/truncate/temporal)
+  prune range predicates, bucket prunes equality/IN probes.
+
+Writers express transforms as Catalyst expressions (`transform_expr`) so
+routing is a JVM-side ``partitionBy`` write — no Python in the data path;
+the Python twin (`apply_transform`) runs only on literals at planning
+time. Bucket parity between the two sides is guaranteed by a from-spec
+reimplementation of Spark's Murmur3 (seed 42) pinned by tests against
+``F.hash`` itself.
+
+At 100 TB this is the difference between listing manifests and scanning
+them: a day-partitioned events table answers ``WHERE ts BETWEEN a AND b``
+by opening only the matching days' files, and spec evolution means last
+year's hourly layout and this year's daily layout coexist in one table.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import re
+import struct
+import time
+import urllib.parse
+import uuid
+
+# Pushed timestamp literals arrive as NAIVE datetimes rendered in the
+# DRIVER's local timezone; the writer's date_format used the session tz
+# (UTC in this engine). Pruning on temporal transforms is only exact when
+# the two agree — on a non-UTC box we keep every file instead (correct,
+# just unpruned; Spark re-applies all filters post-scan).
+_TZ_SAFE = time.timezone == 0
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+PART_KEY = "partitioning"
+FILES_KEY = "file_partitions"
+_NULL_DIR = "__HIVE_DEFAULT_PARTITION__"
+_PREFIX = "__part_"
+
+# ---------------------------------------------------------------------------
+# Spark-parity Murmur3 x86_32 (seed 42) — the exact hash behind F.hash()
+# for int/long/string/date/timestamp inputs, reimplemented from the
+# published algorithm so bucket pruning can transform literals driver-side
+# without a SparkSession. Pinned against F.hash in tests.
+# ---------------------------------------------------------------------------
+
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+_M32 = 0xFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * _C1) & _M32
+    k1 = _rotl(k1, 15)
+    return (k1 * _C2) & _M32
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 ^= k1
+    h1 = _rotl(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & _M32
+
+
+def _fmix(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _M32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _M32
+    h1 ^= h1 >> 16
+    return h1
+
+
+def _signed32(x: int) -> int:
+    x &= _M32
+    return x - (1 << 32) if x >= (1 << 31) else x
+
+
+def murmur3_int(v: int, seed: int = 42) -> int:
+    """Spark Murmur3_x86_32.hashInt — 32-bit inputs (int columns)."""
+    h1 = _mix_h1(seed & _M32, _mix_k1(v & _M32))
+    return _signed32(_fmix(h1, 4))
+
+
+def murmur3_long(v: int, seed: int = 42) -> int:
+    """Spark Murmur3_x86_32.hashLong — 64-bit inputs (bigint columns)."""
+    low = v & _M32
+    high = (v >> 32) & _M32
+    h1 = _mix_h1(seed & _M32, _mix_k1(low))
+    h1 = _mix_h1(h1, _mix_k1(high))
+    return _signed32(_fmix(h1, 8))
+
+
+def murmur3_bytes(data: bytes, seed: int = 42) -> int:
+    """Spark Murmur3_x86_32.hashUnsafeBytes — string columns hash their
+    UTF-8 bytes: 4-byte little-endian words through the standard rounds,
+    then each TAIL byte (sign-extended) gets a full mixK1+mixH1 round —
+    Spark's variant, deliberately different from vanilla murmur3's tail."""
+    h1 = seed & _M32
+    n = len(data)
+    aligned = n - n % 4
+    for i in range(0, aligned, 4):
+        (word,) = struct.unpack_from("<i", data, i)
+        h1 = _mix_h1(h1, _mix_k1(word & _M32))
+    for i in range(aligned, n):
+        b = data[i]
+        if b >= 128:
+            b -= 256  # Java bytes are signed
+        h1 = _mix_h1(h1, _mix_k1(b & _M32))
+    return _signed32(_fmix(h1, n))
+
+
+def spark_hash(value) -> int:
+    """F.hash(col) for one literal, by python type: int → hashLong
+    (python ints bind to Spark bigint), str → utf-8 hashUnsafeBytes,
+    date → hashInt of epoch days, datetime → hashLong of epoch micros."""
+    if isinstance(value, bool):
+        raise TypeError("bucket transform over booleans is not supported")
+    if isinstance(value, int):
+        return murmur3_long(value)
+    if isinstance(value, str):
+        return murmur3_bytes(value.encode("utf-8"))
+    if isinstance(value, datetime.datetime):
+        epoch = datetime.datetime(
+            1970, 1, 1, tzinfo=value.tzinfo if value.tzinfo else None
+        )
+        micros = round((value - epoch).total_seconds() * 1_000_000)
+        return murmur3_long(micros)
+    if isinstance(value, datetime.date):
+        return murmur3_int((value - datetime.date(1970, 1, 1)).days)
+    raise TypeError(f"bucket transform: unhashable literal {type(value)}")
+
+
+# ---------------------------------------------------------------------------
+# Transforms
+# ---------------------------------------------------------------------------
+
+_BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
+_TRUNC_RE = re.compile(r"^truncate\[(\d+)\]$")
+_TEMPORAL_FMT = {
+    "year": ("yyyy", "%Y"),
+    "month": ("yyyy-MM", "%Y-%m"),
+    "day": ("yyyy-MM-dd", "%Y-%m-%d"),
+    "hour": ("yyyy-MM-dd-HH", "%Y-%m-%d-%H"),
+}
+
+
+def _parse(transform: str):
+    m = _BUCKET_RE.match(transform)
+    if m:
+        return "bucket", int(m.group(1))
+    m = _TRUNC_RE.match(transform)
+    if m:
+        return "truncate", int(m.group(1))
+    if transform in _TEMPORAL_FMT or transform == "identity":
+        return transform, None
+    raise ValueError(f"unknown partition transform {transform!r}")
+
+
+def is_monotonic(transform: str) -> bool:
+    """Monotonic transforms preserve source-column ordering, so range
+    predicates on the source prune on the transformed value. Bucket is
+    the lone non-monotonic transform (equality/IN probes only)."""
+    return _parse(transform)[0] != "bucket"
+
+
+def transform_expr(field: dict) -> Column:
+    """The WRITE side: a Catalyst expression computing the partition value
+    of ``field`` — JVM-evaluated, so routing rows to partitions never
+    leaves whole-stage codegen."""
+    import pyspark.sql.functions as F
+
+    kind, arg = _parse(field["transform"])
+    src = F.col(field["source"])
+    if kind == "identity":
+        return src
+    if kind == "bucket":
+        return F.pmod(F.hash(src), F.lit(arg))
+    if kind == "truncate":
+        # ints floor toward -inf (Iceberg semantics: -1 truncate 10 = -10);
+        # strings take the leading ``arg`` characters
+        return F.when(
+            src.cast("string").rlike("^-?[0-9]+$"),
+            (src.cast("long") - F.pmod(src.cast("long"), F.lit(arg))).cast(
+                "string"
+            ),
+        ).otherwise(F.substring(src.cast("string"), 1, arg))
+    fmt, _ = _TEMPORAL_FMT[kind]
+    return F.date_format(src, fmt)
+
+
+def apply_transform(field: dict, lit):
+    """The PLANNING side: the same transform applied to one pushed-filter
+    literal, python-evaluated. Returns a typed value (int for bucket /
+    integer-truncate, str otherwise) that `_coerce` aligns the stored
+    directory string to before comparing."""
+    kind, arg = _parse(field["transform"])
+    if lit is None:
+        return None
+    if kind == "identity":
+        return lit
+    if kind == "bucket":
+        h = spark_hash(lit)
+        return ((h % arg) + arg) % arg
+    if kind == "truncate":
+        if isinstance(lit, bool):
+            raise TypeError("truncate over booleans is not supported")
+        if isinstance(lit, int):
+            return lit - (lit % arg)  # python % already floors toward -inf
+        return str(lit)[:arg]
+    _, strf = _TEMPORAL_FMT[kind]
+    if isinstance(lit, (datetime.datetime, datetime.date)):
+        return lit.strftime(strf)
+    raise TypeError(
+        f"{kind} transform expects a date/timestamp literal, got {type(lit)}"
+    )
+
+
+def _coerce(stored: str | None, sample):
+    """Align a manifest-stored partition value (always a directory-name
+    string) with the type `apply_transform` produced for the literal."""
+    if stored is None:
+        return None
+    if isinstance(sample, bool):
+        return stored == "true"
+    if isinstance(sample, int):
+        return int(stored)
+    if isinstance(sample, float):
+        return float(stored)
+    if isinstance(sample, datetime.datetime):
+        return datetime.datetime.fromisoformat(stored.replace(" ", "T"))
+    if isinstance(sample, datetime.date):
+        return datetime.date.fromisoformat(stored)
+    return stored
+
+
+def file_may_match(pushed, entry: dict, specs: dict, attr_map: dict) -> bool:
+    """Manifest-only pruning: evaluate pushed comparison filters against one
+    file's partition tuple. ``pushed`` is the reader's list of pyspark
+    DataSource filters; ``entry`` the file's ``{"spec_id", "values"}``;
+    ``specs`` the manifest's spec-id → fields map; ``attr_map`` the
+    logical→physical column mapping (evolution.py). Conservative: any
+    doubt keeps the file (Spark re-applies every filter post-scan)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    fields = specs.get(str(entry.get("spec_id")))
+    if not fields:
+        return True
+    values = entry.get("values", {})
+    by_source: dict[str, list[dict]] = {}
+    for f in fields:
+        by_source.setdefault(f["source"], []).append(f)
+    for flt in pushed:
+        col = flt.attribute[0]
+        col = attr_map.get(col, col)
+        for field in by_source.get(col, ()):
+            if field["name"] not in values:
+                continue
+            kind, _ = _parse(field["transform"])
+            lit_sample = (
+                next(iter(flt.value), None)
+                if isinstance(flt, In)
+                else flt.value
+            )
+            if not _TZ_SAFE and (
+                kind in _TEMPORAL_FMT
+                or isinstance(lit_sample, datetime.datetime)
+            ):
+                continue
+            stored = values[field["name"]]
+            try:
+                if isinstance(flt, In):
+                    lits = [v for v in flt.value if v is not None]
+                    if not lits:
+                        continue
+                    targets = {apply_transform(field, v) for v in lits}
+                    part = _coerce(stored, next(iter(targets)))
+                    # exact for every transform: a file whose tuple isn't
+                    # any literal's bucket/truncation/day holds no match
+                    if part not in targets:
+                        return False
+                    continue
+                target = apply_transform(field, flt.value)
+                if target is None:
+                    continue
+                part = _coerce(stored, target)
+                if part is None:
+                    # whole file is NULL in the source column → no row can
+                    # satisfy a non-null comparison
+                    return False
+                if isinstance(flt, EqualTo):
+                    if part != target:
+                        return False
+                elif is_monotonic(field["transform"]):
+                    if isinstance(
+                        flt, (GreaterThan, GreaterThanOrEqual)
+                    ) and part < target:
+                        return False
+                    if isinstance(
+                        flt, (LessThan, LessThanOrEqual)
+                    ) and part > target:
+                        return False
+            except (TypeError, ValueError):
+                continue  # incomparable literal — keep the file
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Spec DDL + partitioned write
+# ---------------------------------------------------------------------------
+
+
+def _default_name(source: str, transform: str) -> str:
+    kind, arg = _parse(transform)
+    if kind == "identity":
+        return source
+    if kind in ("bucket", "truncate"):
+        return f"{source}_{kind}{arg}"
+    return f"{source}_{kind}"
+
+
+def table_partition_spec(table: str, version: int | None = None):
+    """(spec_id, fields) current at ``version`` (default head), or None."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+    )
+
+    v = current_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    block = _read_manifest(table, v).get(PART_KEY)
+    if not block or not block.get("current"):
+        return None
+    cur = block["current"]
+    return cur, block["specs"][str(cur)]
+
+
+def set_partition_spec(
+    spark: SparkSession, table: str, spec: list[tuple[str, str]]
+) -> int:
+    """ALTER TABLE ... WRITE ORDERED/PARTITIONED BY — commit a new current
+    partition spec as a METADATA-ONLY snapshot (Iceberg spec evolution:
+    prior specs stay registered; files written under them keep pruning).
+    ``spec`` is ``[(source_column, transform)]`` with source columns given
+    by their LOGICAL names; pass ``[]`` to unpartition future writes."""
+    from web_analytics_on_aws_spark.sources.evolution import translate_keys
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        _manifest_deletes,
+        _manifest_eq_deletes,
+        _manifest_file_seq,
+        _publish,
+        _read_manifest,
+        current_version,
+    )
+
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    m = _read_manifest(table, cur)
+    sch = m.get("schema")
+    fields = []
+    for source, transform in spec:
+        _parse(transform)  # validate early
+        phys = (
+            translate_keys(sch, [source], "set_partition_spec")[0]
+            if sch is not None
+            else source
+        )
+        fields.append(
+            {
+                "name": _default_name(phys, transform),
+                "source": phys,
+                "transform": transform,
+            }
+        )
+    block = dict(m.get(PART_KEY) or {"specs": {}, "current": 0})
+    specs = dict(block["specs"])
+    next_id = 1 + max((int(k) for k in specs), default=0)
+    if fields:
+        specs[str(next_id)] = fields
+        block = {"specs": specs, "current": next_id}
+    else:
+        block = {"specs": specs, "current": 0}
+    _publish(
+        table,
+        cur + 1,
+        m["files"],
+        "set-partition-spec",
+        delete_files=_manifest_deletes(m),
+        eq_deletes=_manifest_eq_deletes(m),
+        file_seq=_manifest_file_seq(m),
+        partitioning=block,
+    )
+    return cur + 1
+
+
+def write_partitioned_files(
+    df: DataFrame, table: str, spec_id: int, fields: list[dict]
+) -> tuple[list[str], dict[str, dict]]:
+    """Route ``df`` (already in PHYSICAL column names) through the current
+    spec's transforms and write one parquet leaf per partition value under
+    data/<commit-uuid>/ — the same immutable-commit-dir contract as
+    ``_write_data_files``. Transform columns are synthetic ``__part_*``
+    aliases consumed by ``partitionBy`` (so data files keep exactly the
+    table schema), and the returned tuple map is parsed back from the
+    directory names Spark wrote — the values pruning will compare against
+    are, by construction, the values the writer routed by."""
+    from web_analytics_on_aws_spark.sources.snapshots import DATA_DIR
+
+    part_dir = os.path.join(table, DATA_DIR, uuid.uuid4().hex)
+    names = [_PREFIX + f["name"] for f in fields]
+    routed = df.select(
+        "*", *[transform_expr(f).cast("string").alias(n)
+               for f, n in zip(fields, names)]
+    )
+    routed.write.mode("error").partitionBy(*names).parquet(part_dir)
+    files: list[str] = []
+    tuples: dict[str, dict] = {}
+    for root, _dirs, leaf_files in os.walk(part_dir):
+        rel = os.path.relpath(root, part_dir)
+        values: dict[str, str | None] = {}
+        if rel != ".":
+            for comp in rel.split(os.sep):
+                k, _, v = comp.partition("=")
+                if not k.startswith(_PREFIX):
+                    continue
+                values[k[len(_PREFIX):]] = (
+                    None
+                    if v == _NULL_DIR
+                    else urllib.parse.unquote(v)
+                )
+        for fn in leaf_files:
+            if fn.endswith(".parquet"):
+                p = os.path.join(root, fn)
+                files.append(p)
+                tuples[p] = {"spec_id": spec_id, "values": values}
+    return files, tuples

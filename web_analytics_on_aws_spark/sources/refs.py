@@ -213,6 +213,9 @@ def _clone_manifest(src: str, dst: str, op: str) -> int:
             for e in _manifest_eq_deletes(m)
         ],
         file_seq={os.path.abspath(f): seq.get(f, 0) for f in m["files"]},
+        # column mapping rides the clone: dst v1 has no predecessor to
+        # carry it from, so pass the src head's schema explicitly
+        schema=m.get("schema"),
     )
     return cur
 
@@ -305,6 +308,11 @@ def fast_forward(table: str, name: str) -> int:
             e | {"path": _adopt(e["path"])} for e in _manifest_eq_deletes(bh)
         ],
         file_seq={_adopt(f): seq.get(f, 0) for f in bh["files"]},
+        # the branch may have evolved its schema (or the branch predates a
+        # main-side evolution that never happened — base==cur guarantees
+        # main hasn't moved): adopt the branch head's mapping verbatim;
+        # None explicitly clears
+        schema=bh.get("schema"),
     )
     return cur + 1
 
@@ -326,6 +334,18 @@ def commit_append_wap(df: DataFrame, table: str, wap_id: str) -> str:
         )
     if os.path.exists(_wap_path(table, wap_id)):
         raise ValueError(f"wap id {wap_id!r} already staged on {table}")
+    # column-mapped tables store physical names (sources/evolution.py) —
+    # translate the staged payload exactly like commit_append
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        _logical,
+        _read_manifest,
+    )
+
+    sch = _read_manifest(table, current_version(table)).get("schema")
+    if sch is not None:
+        from web_analytics_on_aws_spark.sources.evolution import to_physical
+
+        df = to_physical(df, sch, "commit_append_wap")
     new_files = _write_data_files(df, table)
     # CHECK constraints gate the stage exactly like commit_append gates
     # the publish: validate the WRITTEN BYTES so a staged append can never
@@ -333,7 +353,9 @@ def commit_append_wap(df: DataFrame, table: str, wap_id: str) -> str:
     # set rides the stage manifest so publish can detect drift.
     cons = table_constraints(table)
     if cons:
-        check_constraints(df.sparkSession.read.parquet(*new_files), cons)
+        check_constraints(
+            _logical(df.sparkSession.read.parquet(*new_files), sch), cons
+        )
     body = {
         "wap_id": wap_id,
         "base_version": current_version(table),
@@ -370,9 +392,17 @@ def read_wap(spark: SparkSession, table: str, wap_id: str) -> DataFrame:
     """The audit view: current head PLUS the staged files — what the table
     WOULD contain after publish. Head-side MOR sidecars apply as usual;
     staged files are new and outside any existing delete's scope."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        _logical,
+        _read_manifest,
+    )
+
     w = _read_wap_manifest(table, wap_id)
     head = read_snapshot(spark, table)
-    staged = spark.read.option("mergeSchema", "true").parquet(*w["new_files"])
+    staged = _logical(
+        spark.read.option("mergeSchema", "true").parquet(*w["new_files"]),
+        _read_manifest(table, current_version(table)).get("schema"),
+    )
     return head.unionByName(staged, allowMissingColumns=True)
 
 
@@ -402,7 +432,15 @@ def publish_wap(
                     "was staged; pass spark= to re-validate the staged "
                     "files before publish"
                 )
-            check_constraints(spark.read.parquet(*w["new_files"]), head_cons)
+            from web_analytics_on_aws_spark.sources.snapshots import _logical
+
+            check_constraints(
+                _logical(
+                    spark.read.parquet(*w["new_files"]),
+                    prev_m.get("schema"),
+                ),
+                head_cons,
+            )
             validated = head_cons
         version = cur + 1
         try:

@@ -114,6 +114,31 @@ def _unified_arrow_schema(files: list[str]):
     return pa.schema([f.with_nullable(True) for f in unified])
 
 
+def _mapped_arrow_schema(m: dict):
+    """(arrow schema under LOGICAL names, {logical: physical}) for a
+    manifest. Unmapped tables return the plain file-union schema and an
+    empty mapping. Types come from the files where the physical column
+    exists (authoritative bytes); a freshly added column no file carries
+    yet falls back to its declared type."""
+    base = _unified_arrow_schema(m["files"])
+    sch = m.get("schema")
+    if sch is None:
+        return base, {}
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import _parse_datatype_string
+
+    fields, mapping = [], {}
+    for f in sch["fields"]:
+        mapping[f["name"]] = f["phys"]
+        if f["phys"] in base.names:
+            t = base.field(f["phys"]).type
+        else:
+            t = to_arrow_type(_parse_datatype_string(f["type"]))
+        fields.append(pa.field(f["name"], t, nullable=True))
+    return pa.schema(fields), mapping
+
+
 _COMPARES = {
     EqualTo: lambda lo, hi, v: lo <= v <= hi,
     GreaterThan: lambda lo, hi, v: hi > v,
@@ -131,6 +156,12 @@ class SnapshotReader(DataSourceReader):
         self._files, self._deletes = _manifest_files(options)
         self._schema = schema
         self._pushed: list[Filter] = []
+        # column mapping (sources/evolution.py): Spark plans/pushes against
+        # LOGICAL names; files store PHYSICAL names — translate at the
+        # footer-stats check, the bloom probe, and the batch read
+        mapped_arrow, self._map = _mapped_arrow_schema(
+            _resolve_manifest(options)
+        )
         # Bloom sidecar (sources/bloom_index.py): consulted at planning for
         # EqualTo/In probes where min/max envelopes can't prune (high-
         # cardinality equality lookups). Files without an entry are never
@@ -154,7 +185,7 @@ class SnapshotReader(DataSourceReader):
                 want = to_arrow_schema(schema)
             except Exception:
                 want = None
-        self._want = want if want is not None else _unified_arrow_schema(self._files)
+        self._want = want if want is not None else mapped_arrow
 
     def pushFilters(self, filters: list[Filter]):
         """Keep every comparison filter on a top-level column for file-level
@@ -178,7 +209,8 @@ class SnapshotReader(DataSourceReader):
             )
 
             for f in self._pushed:
-                entry = self._bloom.get(f.attribute[0], {}).get(path)
+                attr = self._map.get(f.attribute[0], f.attribute[0])
+                entry = self._bloom.get(attr, {}).get(path)
                 if entry is None:
                     continue
                 if type(f) is EqualTo and not may_contain(entry, f.value):
@@ -190,7 +222,7 @@ class SnapshotReader(DataSourceReader):
         meta = pq.ParquetFile(path).metadata
         names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
         for f in self._pushed:
-            col = f.attribute[0]
+            col = self._map.get(f.attribute[0], f.attribute[0])
             if col not in names:
                 continue  # evolution: column absent in this file → all-null
             lo: Any = None
@@ -231,10 +263,13 @@ class SnapshotReader(DataSourceReader):
 
         want = self._want
         # column pruning at the file read: only the requested columns that
-        # this file actually has are decoded; the rest are padded below
+        # this file actually has are decoded; the rest are padded below.
+        # want names are LOGICAL; the file stores physical names.
+        phys = {n: self._map.get(n, n) for n in want.names}
         have = set(pq.read_schema(partition.path).names)
         table = pq.read_table(
-            partition.path, columns=[n for n in want.names if n in have]
+            partition.path,
+            columns=[phys[n] for n in want.names if phys[n] in have],
         )
         # merge-on-read position deletes: mask this file's deleted row
         # positions (row order within a parquet file is stable, so the
@@ -250,8 +285,9 @@ class SnapshotReader(DataSourceReader):
         # project to the unified column order
         cols = []
         for field in want:
-            if field.name in table.column_names:
-                cols.append(table.column(field.name).cast(field.type))
+            p = phys[field.name]
+            if p in table.column_names:
+                cols.append(table.column(p).cast(field.type))
             else:
                 cols.append(pa.nulls(len(table), type=field.type))
         yield from pa.table(dict(zip(want.names, cols))).to_batches()
@@ -296,9 +332,8 @@ class SnapshotDataSource(DataSource):
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        return from_arrow_schema(
-            _unified_arrow_schema(_resolve_manifest(self.options)["files"])
-        )
+        arrow, _ = _mapped_arrow_schema(_resolve_manifest(self.options))
+        return from_arrow_schema(arrow)
 
     def reader(self, schema) -> SnapshotReader:
         return SnapshotReader(self.options, schema)

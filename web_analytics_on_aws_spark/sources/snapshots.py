@@ -121,6 +121,12 @@ def _require_no_deletes(table: str, m: dict, op: str) -> None:
         )
 
 
+# sentinel: "carry the predecessor's schema forward" — distinct from None,
+# which restore_version passes explicitly to CLEAR the mapping when
+# restoring a pre-evolution version
+_CARRY_SCHEMA = object()
+
+
 def _publish(
     table: str,
     version: int,
@@ -131,6 +137,7 @@ def _publish(
     delete_files: list[str] | None = None,
     eq_deletes: list[dict] | None = None,
     file_seq: dict[str, int] | None = None,
+    schema=_CARRY_SCHEMA,
 ) -> None:
     os.makedirs(os.path.join(table, MANIFEST_DIR), exist_ok=True)
     body = {
@@ -152,6 +159,7 @@ def _publish(
     prev_constraints: dict[str, str] = {}
     prev_file_seq: dict[str, int] = {}
     prev_files: set[str] = set()
+    prev_schema = None
     # Exactly-once stamps survive vacuum: every manifest carries the full
     # per-app txn map forward (merged from the predecessor), so replay
     # detection never depends on aged-out history. Rewrites (overwrite/DML/
@@ -166,6 +174,7 @@ def _publish(
             prev_file_seq = _manifest_file_seq(prev)
             prev_files = set(prev.get("files", []))
             prev_committed = float(prev.get("committed_at", 0.0))
+            prev_schema = prev.get("schema")
         except FileNotFoundError:
             # predecessor manifest missing (e.g. manual cleanup outside
             # vacuum's contract) — fall back to the
@@ -177,7 +186,14 @@ def _publish(
                 prev_file_seq = _manifest_file_seq(prev)
                 prev_files = set(prev.get("files", []))
                 prev_committed = float(prev.get("committed_at", 0.0))
+                prev_schema = prev.get("schema")
     body["committed_at"] = max(body["committed_at"], prev_committed + 1e-3)
+    # Column-mapping schema rides the manifest like constraints/txns:
+    # carried forward unchanged unless the commit explicitly replaces it
+    # (evolve_*) or clears it (restore to a pre-evolution version).
+    eff_schema = prev_schema if schema is _CARRY_SCHEMA else schema
+    if eff_schema:
+        body["schema"] = eff_schema
     # Sequence stamping: carried files keep their original commit seq, new
     # files get THIS version — the ordering equality deletes resolve
     # against (delete seq > file seq ⇒ the delete applies). A carried file
@@ -261,6 +277,17 @@ def commit_append(
         last = last_committed_batch(table, txn[0])
         if last is not None and int(txn[1]) <= last:
             return cur  # replayed batch — already durable, skip
+    # column-mapped tables store PHYSICAL names (evolution.py): translate
+    # the caller's logical columns before writing. Physical names are
+    # immutable across renames, so a concurrent evolve between this write
+    # and the CAS publish below cannot invalidate the written bytes.
+    sch = (
+        _read_manifest(table, cur).get("schema") if cur is not None else None
+    )
+    if sch is not None:
+        from web_analytics_on_aws_spark.sources.evolution import to_physical
+
+        df = to_physical(df, sch, "commit_append")
     new_files = _write_data_files(df, table)
     # CHECK constraints validate the WRITTEN BYTES (not df's lineage, which
     # the write already re-executed — validating the plan a second time
@@ -272,8 +299,11 @@ def commit_append(
     def _validate(cons: dict[str, str]) -> None:
         nonlocal validated
         if cons and cons != validated:
+            # constraints are expressed on LOGICAL names — view the
+            # written (physical) bytes through the mapping first
             check_constraints(
-                df.sparkSession.read.parquet(*new_files), cons
+                _logical(df.sparkSession.read.parquet(*new_files), sch),
+                cons,
             )
         validated = cons
 
@@ -321,11 +351,21 @@ def commit_overwrite(
         last = last_committed_batch(table, txn[0])
         if last is not None and int(txn[1]) <= last:
             return current_version(table)
+    cur = current_version(table)
+    sch = (
+        _read_manifest(table, cur).get("schema") if cur is not None else None
+    )
+    if sch is not None:
+        from web_analytics_on_aws_spark.sources.evolution import to_physical
+
+        df = to_physical(df, sch, "commit_overwrite")
     new_files = _write_data_files(df, table)
     cons = table_constraints(table)
     if cons:
         # validate the written bytes (see commit_append)
-        check_constraints(df.sparkSession.read.parquet(*new_files), cons)
+        check_constraints(
+            _logical(df.sparkSession.read.parquet(*new_files), sch), cons
+        )
     version = (current_version(table) or 0) + 1
     _publish(table, version, new_files, "overwrite", txn=txn)
     return version
@@ -485,8 +525,12 @@ def read_snapshot(
     # that version's files are listed.
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     dvs, eqs = _manifest_deletes(m), _manifest_eq_deletes(m)
+    # column mapping (sources/evolution.py): data files store PHYSICAL
+    # names; the projection to THIS version's logical schema is the last
+    # step, so every version time-travels under its own column names
+    sch = m.get("schema")
     if not dvs and not eqs:
-        return df
+        return _logical(df, sch)
     import pyspark.sql.functions as F
 
     # materialize the metadata pseudo-columns ONCE on the raw scan — they
@@ -500,7 +544,19 @@ def read_snapshot(
         spark, scan, dvs, file_uri_col="__mf", pos_col="__mp"
     )
     scan = _apply_equality_deletes(spark, scan, m, file_uri_col="__mf")
-    return scan.select(*cols)
+    return _logical(scan.select(*cols), sch)
+
+
+def _logical(df: DataFrame, sch: dict | None, keep: tuple = ()) -> DataFrame:
+    """Physical→logical projection when a column-mapping schema is present
+    (no-op otherwise) — see sources/evolution.py."""
+    if sch is None:
+        return df
+    from web_analytics_on_aws_spark.sources.evolution import (
+        logical_projection,
+    )
+
+    return logical_projection(df, sch, keep=keep)
 
 
 def history(table: str) -> list[dict]:
@@ -621,10 +677,16 @@ def _rewrite_matched(
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     hit = F.coalesce(pred, F.lit(False))  # SQL DML: NULL predicate = no match
 
-    df = (
+    # predicates and transforms are expressed on LOGICAL names — evaluate
+    # them on the mapped view; file discovery and the kept-file list stay
+    # physical (evolution.py)
+    sch = m.get("schema")
+    df = _logical(
         spark.read.option("mergeSchema", "true")
         .parquet(*files)
-        .withColumn("__file", F.input_file_name())
+        .withColumn("__file", F.input_file_name()),
+        sch,
+        keep=("__file",),
     )
     touched = {
         _normalize_file(r["__file"])
@@ -642,12 +704,25 @@ def _rewrite_matched(
     n_matched = 0
     new_files: list[str] = []
     if touched:
-        matched_scope = spark.read.option("mergeSchema", "true").parquet(
-            *sorted(touched)
+        matched_scope = _logical(
+            spark.read.option("mergeSchema", "true").parquet(
+                *sorted(touched)
+            ),
+            sch,
         )
         n_matched = matched_scope.filter(hit).count()
         replacement = transform(matched_scope, hit)
         if replacement is not None:
+            if sch is not None:
+                from web_analytics_on_aws_spark.sources.evolution import (
+                    to_physical,
+                )
+
+                # net-new SET columns require evolve_add_column first on a
+                # mapped table (to_physical refuses unknown names) — the
+                # implicit widening of unmapped tables would bypass field-id
+                # allocation
+                replacement = to_physical(replacement, sch, op)
             new_files = _write_data_files(replacement, table)
             # CHECK constraints: untouched files already satisfy them (the
             # head is always constraint-valid), so validating only the
@@ -657,7 +732,9 @@ def _rewrite_matched(
             # a violation leaves them unreferenced for GC.
             cons = table_constraints(table)
             if cons:
-                check_constraints(spark.read.parquet(*new_files), cons)
+                check_constraints(
+                    _logical(spark.read.parquet(*new_files), sch), cons
+                )
     version = cur + 1
     _publish(table, version, kept + new_files, op)
     return {
@@ -717,9 +794,11 @@ def delete_where_mor(spark: SparkSession, table: str, predicate) -> dict:
     # equality deletes too: already-dead rows must not re-enter a sidecar
     # (reads wouldn't care, but counts would lie and sidecars would bloat)
     scan = _apply_equality_deletes(spark, scan, m, file_uri_col="__f")
-    matched = scan.filter(hit).select(
-        F.col("__f").alias("file"), F.col("__p").alias("pos")
-    )
+    # predicate is on LOGICAL names; positions are name-agnostic, so the
+    # sidecar itself needs no translation
+    matched = _logical(scan, m.get("schema"), keep=("__f", "__p")).filter(
+        hit
+    ).select(F.col("__f").alias("file"), F.col("__p").alias("pos"))
     new_dv = _write_data_files(matched, table)
     # count from the written footers — metadata-only, no second job
     n = sum(pq.ParquetFile(f).metadata.num_rows for f in new_dv)
@@ -831,16 +910,27 @@ def delete_keys_mor(
         if last is not None and int(txn[1]) <= last:
             return {"version": cur, "operation": "delete-keys", "replayed": True}
     m = _read_manifest(table, cur)
+    if m.get("schema") is not None:
+        # column mapping: sidecars store PHYSICAL key names — the read-side
+        # resolvers (_apply_equality_deletes, the change-feed engine) all
+        # operate on raw physical files
+        from web_analytics_on_aws_spark.sources.evolution import to_physical
+
+        keys_df = to_physical(keys_df, m["schema"], "delete_keys_mor")
     key_cols = list(keys_df.columns)
     # a typo'd key column would commit a poison pill every read then
     # chokes on — validate against the table schema BEFORE publishing
-    # (review r3 finding)
-    missing = set(key_cols) - set(_table_columns(spark, m))
-    if missing:
-        raise ValueError(
-            f"equality-delete key columns {sorted(missing)} not in table "
-            "schema"
-        )
+    # (review r3 finding). Mapped tables validated the LOGICAL names in
+    # to_physical above; the file union still lists dropped physical
+    # columns and may lack freshly added ones, so it is not the contract
+    # there.
+    if m.get("schema") is None:
+        missing = set(key_cols) - set(_table_columns(spark, m))
+        if missing:
+            raise ValueError(
+                f"equality-delete key columns {sorted(missing)} not in "
+                "table schema"
+            )
     _check_key_types(spark, m, keys_df, "delete_keys_mor")
     _check_metadata_path_roundtrip(spark, m["files"])
     sidecars = _write_data_files(keys_df.dropDuplicates(key_cols), table)
@@ -885,6 +975,18 @@ def upsert_keys_mor(
         last = last_committed_batch(table, txn[0])
         if last is not None and int(txn[1]) <= last:
             return {"version": cur, "operation": "upsert-keys", "replayed": True}
+    sch = _read_manifest(table, cur).get("schema")
+    if sch is not None:
+        # translate the logical source/keys once; everything below —
+        # uniqueness check, sidecars, data files, sequence stamping —
+        # runs on physical names exactly like an unmapped table
+        from web_analytics_on_aws_spark.sources.evolution import (
+            to_physical,
+            translate_keys,
+        )
+
+        source = to_physical(source, sch, "upsert_keys_mor")
+        keys = translate_keys(sch, keys, "upsert_keys_mor")
     src = source.persist()
     try:
         n_src = src.count()
@@ -893,8 +995,15 @@ def upsert_keys_mor(
         m = _read_manifest(table, cur)
         # same column contract as merge_into (review r3 finding): the
         # source must carry the table's columns; extras are dropped —
-        # mode="mor" and mode="cow" streams produce the same table schema
-        table_cols = _table_columns(spark, m)
+        # mode="mor" and mode="cow" streams produce the same table schema.
+        # Mapped tables: the contract is the SCHEMA's physical columns —
+        # the file union still carries dropped columns and may lack
+        # freshly added ones.
+        table_cols = (
+            [f["phys"] for f in sch["fields"]]
+            if sch is not None
+            else _table_columns(spark, m)
+        )
         lacking = set(table_cols) - set(src.columns)
         if lacking:
             raise ValueError(
@@ -909,7 +1018,9 @@ def upsert_keys_mor(
         data_files = _write_data_files(src_proj, table)
         cons = table_constraints(table)
         if cons:
-            check_constraints(spark.read.parquet(*data_files), cons)
+            check_constraints(
+                _logical(spark.read.parquet(*data_files), sch), cons
+            )
         version = cur + 1
         entries = _manifest_eq_deletes(m) + [
             {"path": p, "keys": list(keys), "seq": version} for p in sidecars
@@ -1023,6 +1134,10 @@ def restore_version(spark: SparkSession, table: str, version: int) -> int:
         delete_files=_manifest_deletes(target),
         eq_deletes=_manifest_eq_deletes(target),
         file_seq=_manifest_file_seq(target),
+        # Delta RESTORE restores data AND schema: the restored version's
+        # column mapping becomes the head's (None explicitly CLEARS a
+        # mapping added after the restore target — pre-evolution reads)
+        schema=target.get("schema"),
     )
     return new_version
 
@@ -1232,6 +1347,16 @@ def cluster_zorder(
     head_m = _read_manifest(table, cur)
     _require_no_deletes(table, head_m, "cluster_zorder")
     files = head_m["files"]
+    if head_m.get("schema") is not None:
+        # caller names logical columns; the rewrite itself stays physical
+        # (files keep their storage names — clustering changes layout only)
+        from web_analytics_on_aws_spark.sources.evolution import (
+            translate_keys,
+        )
+
+        zorder_by = translate_keys(
+            head_m["schema"], list(zorder_by), "cluster_zorder"
+        )
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     z = _zorder_column(df, zorder_by, bits=bits)
     total = sum(os.path.getsize(f) for f in files)
@@ -1661,6 +1786,17 @@ def merge_into(
     head_m = _read_manifest(table, cur)
     _require_no_deletes(table, head_m, "merge")
     files = head_m["files"]
+    sch = head_m.get("schema")
+    if sch is not None:
+        # translate once at the boundary; the whole CoW engine below then
+        # runs on physical names (evolution.py)
+        from web_analytics_on_aws_spark.sources.evolution import (
+            to_physical,
+            translate_keys,
+        )
+
+        source = to_physical(source, sch, "merge_into")
+        keys = translate_keys(sch, keys, "merge_into")
 
     src = source.persist()
     try:
@@ -1673,7 +1809,14 @@ def merge_into(
             .parquet(*files)
             .withColumn("__file", F.input_file_name())
         )
-        missing = set(c for c in target.columns if c != "__file") - set(src.columns)
+        # mapped tables: the column contract is the schema's physical set
+        # (file union carries dropped columns / may lack fresh adds)
+        want_cols = (
+            [f["phys"] for f in sch["fields"]]
+            if sch is not None
+            else [c for c in target.columns if c != "__file"]
+        )
+        missing = set(want_cols) - set(src.columns)
         if missing:
             raise ValueError(f"merge source lacks table columns {sorted(missing)}")
         key_df = src.select(*keys)
@@ -1694,16 +1837,31 @@ def merge_into(
         # key hitting N>1 target rows must not inflate rows_updated or push
         # rows_inserted negative (ADVICE r2). The merge itself replaces ALL
         # matched target rows with the one source row.
-        table_cols = [c for c in target.columns if c != "__file"]
+        table_cols = want_cols
         n_matched = 0
         if touched:
             scope = spark.read.option("mergeSchema", "true").parquet(*sorted(touched))
+            if sch is not None:
+                # rewrite under the schema's physical columns: dropped
+                # columns' bytes age out here (the documented contract),
+                # freshly added columns null-pad via the union below
+                scope = scope.select(
+                    *[c for c in scope.columns if c in set(want_cols)]
+                )
             n_matched = src.join(
                 scope.select(*keys).distinct(), keys, "leftsemi"
             ).count()
             survivors = scope.join(key_df, keys, "left_anti")
+            # mapped: project src to the FULL physical schema so inserted/
+            # updated rows keep freshly-added columns scope predates
+            # (allowMissingColumns null-pads survivors there)
+            src_side = (
+                src.select(*table_cols)
+                if sch is not None
+                else src.select(*survivors.columns)
+            )
             replacement = survivors.unionByName(
-                src.select(*survivors.columns), allowMissingColumns=True
+                src_side, allowMissingColumns=True
             # replacement carries ~the touched files' volume — write it as
             # ~that many files, not one per shuffle partition (a 1-file
             # merge scope must not fragment into 17 small files)
@@ -1716,7 +1874,9 @@ def merge_into(
         new_files = _write_data_files(replacement, table)
         cons = table_constraints(table)
         if cons:
-            check_constraints(spark.read.parquet(*new_files), cons)
+            check_constraints(
+                _logical(spark.read.parquet(*new_files), sch), cons
+            )
         version = cur + 1
         _publish(table, version, kept + new_files, "merge", txn=txn)
         return {
@@ -1795,7 +1955,11 @@ def table_changes(
             for row in changes_rows(table, from_version, to_version, names)
         ]
         schema = base.add(StructField("_change_type", StringType()))
-        return spark.createDataFrame(rows, schema)
+        return _logical(
+            spark.createDataFrame(rows, schema),
+            m_new.get("schema"),
+            keep=("_change_type",),
+        )
     f_old, f_new = set(m_old["files"]), set(m_new["files"])
     d_old, d_new = _manifest_deletes(m_old), _manifest_deletes(m_new)
     removed, added = sorted(f_old - f_new), sorted(f_new - f_old)
@@ -1855,8 +2019,18 @@ def table_changes(
 
     old, new = _read(removed, d_old), _read(added, d_new)
     if old is None and new is None:
-        empty = read_snapshot(spark, table, version=to_version).limit(0)
-        out = empty.withColumn("_change_type", F.lit("insert")).limit(0)
+        # no file-level diff — the whole change set (if any) is the MOR
+        # sidecar diff below, so fall through with an empty PHYSICAL base
+        # (the final _logical projection renders names once, at the end)
+        if not common:
+            empty = read_snapshot(spark, table, version=to_version).limit(0)
+            return empty.withColumn("_change_type", F.lit("insert")).limit(0)
+        out = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*common)
+            .limit(0)
+            .withColumn("_change_type", F.lit("insert"))
+        )
     elif old is None:
         out = new.withColumn("_change_type", F.lit("insert"))
     elif new is None:
@@ -1881,4 +2055,6 @@ def table_changes(
             mor_undeletes.withColumn("_change_type", F.lit("insert")),
             allowMissingColumns=True,
         )
-    return out
+    # events render under the TO version's logical schema (column mapping):
+    # consumers see the same names a read of that version shows
+    return _logical(out, m_new.get("schema"), keep=("_change_type",))
