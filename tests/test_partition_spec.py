@@ -54,6 +54,14 @@ def _total(table):
     return len(SnapshotReader({"path": table}, None).partitions())
 
 
+def _untupled(table):
+    """Files with no partition tuple (e.g. the pre-spec seed commit) —
+    never pruned by the partition check, by design."""
+    m = _read_manifest(table, current_version(table))
+    fp = m.get("file_partitions", {})
+    return sum(1 for f in m["files"] if f not in fp)
+
+
 # ---------------------------------------------------------------------------
 # murmur3 parity — the planning-side hash must be bit-identical to F.hash
 # ---------------------------------------------------------------------------
@@ -172,13 +180,17 @@ def test_day_range_prune_and_correctness(registered, tmp_path):
 
     from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
 
-    assert 0 < _kept(t, [GreaterThanOrEqual(("ts",), lit)]) < _total(t)
-    assert 0 < _kept(t, [LessThan(("ts",), lit)]) < _total(t)
-    assert _kept(t, [EqualTo(("ts",), lit)]) == 1
-    # out-of-range probe plans ZERO files
+    un = _untupled(t)
+    assert un < _kept(t, [GreaterThanOrEqual(("ts",), lit)]) < _total(t)
+    assert un < _kept(t, [LessThan(("ts",), lit)]) < _total(t)
+    # exactly ONE day-partition file survives an equality probe (the
+    # writer's repartition bounds output at one file per value), plus the
+    # tuple-less pre-spec seed
+    assert _kept(t, [EqualTo(("ts",), lit)]) == 1 + un
+    # out-of-range probe plans zero tupled files
     assert _kept(
         t, [GreaterThanOrEqual(("ts",), datetime.datetime(2030, 1, 1))]
-    ) == 0
+    ) == un
 
 
 def test_bucket_prune_equality_and_in(registered, tmp_path):
@@ -219,10 +231,12 @@ def test_truncate_prunes_strings_and_ints(registered, tmp_path):
 
     from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
 
-    assert _kept(t, [EqualTo(("word",), "apple")]) == 1
-    # -27 truncates to -30; files with truncation < -30 or the string prefix
-    # mismatch are gone, and range pruning floors the literal
-    assert _kept(t, [GreaterThanOrEqual(("n",), 100)]) == 1
+    un = _untupled(t)
+    # partition pruning keeps the two 'ap' leaves; footer min/max pruning
+    # then drops the all-'apricot' file too → exactly one data file planned
+    assert _kept(t, [EqualTo(("word",), "apple")]) == 1 + un
+    # range pruning floors the literal: only the n∈[120,130) file survives
+    assert _kept(t, [GreaterThanOrEqual(("n",), 100)]) == 1 + un
     got = (
         spark.read.format("snapshot").option("path", t).load()
         .filter("word = 'apple'")
@@ -276,8 +290,8 @@ def test_null_partition_pruned_for_comparisons(registered, tmp_path):
 
     from pyspark.sql.datasource import EqualTo
 
-    # the all-null file can't satisfy s = 'a'; only one file survives
-    assert _kept(t, [EqualTo(("s",), "a")]) == 1
+    # the all-null file can't satisfy s = 'a'; one tupled file survives
+    assert _kept(t, [EqualTo(("s",), "a")]) == 1 + _untupled(t)
     got = (
         spark.read.format("snapshot").option("path", t).load()
         .filter("s = 'a'")
@@ -370,4 +384,4 @@ def test_partition_spec_survives_restore(registered, tmp_path):
     assert _kept(
         t,
         [GreaterThanOrEqual(("ts",), datetime.datetime(2030, 1, 1))],
-    ) == 0
+    ) == _untupled(t)

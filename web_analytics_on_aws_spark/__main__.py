@@ -165,6 +165,10 @@ def _snapshot_cmd(args) -> int:
         ... snapshot <path> tag|drop-tag|branch|drop-branch|fast-forward <name>
         ... snapshot <path> read-ref <name>
         ... snapshot <path> wap-publish|wap-discard <wap-id>
+        ... snapshot <path> partition-spec [src:transform,... | none]
+        ... snapshot <path> rename-col old:new
+        ... snapshot <path> add-col name:type
+        ... snapshot <path> drop-col name
     """
     from web_analytics_on_aws_spark.session import get_spark
     from web_analytics_on_aws_spark.sources import snapshots
@@ -247,6 +251,47 @@ def _snapshot_cmd(args) -> int:
             refs.read_ref(spark, path, args.arg3).show(
                 args.limit, truncate=False
             )
+        elif sub == "partition-spec":
+            from web_analytics_on_aws_spark.sources import partitioning
+
+            if args.arg3 is None:
+                print(partitioning.table_partition_spec(path))
+            else:
+                # e.g. ts:day,user_id:bucket[4]  —  "none" unpartitions
+                spec = (
+                    []
+                    if args.arg3.lower() == "none"
+                    else [
+                        tuple(part.split(":", 1))
+                        for part in args.arg3.split(",")
+                    ]
+                )
+                v = partitioning.set_partition_spec(spark, path, spec)
+                print({"version": v, "spec": spec})
+        elif sub in ("rename-col", "add-col", "drop-col"):
+            from web_analytics_on_aws_spark.sources import evolution
+
+            if sub == "rename-col":
+                old, _, new = (args.arg3 or "").partition(":")
+                if not old or not new:
+                    print("usage: snapshot <path> rename-col old:new",
+                          file=sys.stderr)
+                    return 2
+                v = evolution.evolve_rename_column(spark, path, old, new)
+            elif sub == "add-col":
+                name, _, typ = (args.arg3 or "").partition(":")
+                if not name or not typ:
+                    print("usage: snapshot <path> add-col name:type",
+                          file=sys.stderr)
+                    return 2
+                v = evolution.evolve_add_column(spark, path, name, typ)
+            else:
+                if not args.arg3:
+                    print("usage: snapshot <path> drop-col name",
+                          file=sys.stderr)
+                    return 2
+                v = evolution.evolve_drop_column(spark, path, args.arg3)
+            print({"version": v, "schema": evolution.table_schema(path)})
         elif sub == "zorder":
             print(snapshots.cluster_zorder(spark, path, args.arg3.split(",")))
         elif sub == "bloom":

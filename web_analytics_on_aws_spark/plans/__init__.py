@@ -62,6 +62,7 @@ def load_all() -> None:
         sampling_plans,
         sketches_plans,
         sql_features,
+        storage_partitioning,
         storage_refs,
         temporal,
         tpch,

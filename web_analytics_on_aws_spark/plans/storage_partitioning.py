@@ -1,0 +1,178 @@
+"""Registered queries over HIDDEN (transform) PARTITIONING
+(sources/partitioning.py — the Iceberg partition-spec model the reference's
+tables are declared with: web-analytics-iceberg README ``PARTITIONED BY
+event`` + firehose_to_iceberg.py routing).
+
+Two build-once snapshot tables (fingerprint-keyed scratch, same discipline
+as plans/storage_refs.py) make the surface reachable from the driver's
+correctness gate:
+
+- an ``events``-derived table partitioned by ``day(ts)``: the query filters
+  on the RAW timestamp (never mentioning any partition column — hidden
+  partitioning's contract) and the scan plans only the matching days'
+  files;
+- a ``documents``-derived table partitioned by ``bucket[8](doc_id)``: an
+  IN-probe on the key prunes to the probed buckets before any footer is
+  opened.
+
+Both read through the ``snapshot`` Python DataSource (the planning path
+where tuple pruning lives) and are oracled against plain SQL over the
+source parquet — pruning must be a pure optimization, invisible in the
+results."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from web_analytics_on_aws_spark.plans import query
+from web_analytics_on_aws_spark.sources.tables import load_table
+
+_PROBE_IDS = tuple(range(1, 200, 4))  # 50 fixed doc ids, present at sf≥0.01
+
+
+def _scratch(sf_dir: str, kind: str, fingerprint: dict):
+    key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    table = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_part_{kind}_v1", key
+    )
+    marker = table + ".meta.json"
+    fresh = False
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                fresh = json.load(fh) == fingerprint
+        except (ValueError, OSError):
+            fresh = False
+    return table, marker, fresh
+
+
+def _fingerprint(src: str) -> dict:
+    import pyarrow.parquet as pq
+
+    return {
+        "n": pq.ParquetFile(src).metadata.num_rows,
+        "bytes": os.path.getsize(src),
+        "layout": 1,
+    }
+
+
+def _snapshot_read(spark: SparkSession, table: str) -> DataFrame:
+    from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotDataSource)
+    return spark.read.format("snapshot").option("path", table).load()
+
+
+def _ensure_day_table(spark: SparkSession, sf_dir: str) -> str:
+    from web_analytics_on_aws_spark.sources import partitioning, snapshots
+
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _fingerprint(src)
+    table, marker, fresh = _scratch(sf_dir, "day", fp)
+    if fresh and snapshots.current_version(table) is not None:
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    snapshots.commit_append(ev.limit(0), table)
+    partitioning.set_partition_spec(spark, table, [("ts", "day")])
+    snapshots.commit_append(ev, table)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        json.dump(fp, fh)
+    return table
+
+
+def _ensure_bucket_table(spark: SparkSession, sf_dir: str) -> str:
+    from web_analytics_on_aws_spark.sources import partitioning, snapshots
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = _fingerprint(src)
+    table, marker, fresh = _scratch(sf_dir, "bucket", fp)
+    if fresh and snapshots.current_version(table) is not None:
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    snapshots.commit_append(docs.limit(0), table)
+    partitioning.set_partition_spec(spark, table, [("doc_id", "bucket[8]")])
+    snapshots.commit_append(docs, table)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        json.dump(fp, fh)
+    return table
+
+
+@query(
+    "snapshot_partition_day_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def snapshot_partition_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup over a day(ts)-partitioned snapshot table, filtering on the
+    RAW timestamp (hidden partitioning: the query never names a partition
+    column). Scan planning drops every pre-cutoff day's file from the
+    manifest tuple alone — no footer reads, no tasks — then one partial-agg
+    shuffle. The oracle is the same predicate over the source parquet:
+    pruning must be invisible in the results."""
+    table = _ensure_day_table(spark, sf_dir)
+    cutoff = "2024-01-25 00:00:00"
+    return (
+        _snapshot_read(spark, table)
+        .filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@query(
+    "snapshot_partition_bucket_probe",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id IN ({", ".join(str(i) for i in _PROBE_IDS)})
+    GROUP BY lang
+    """,
+)
+def snapshot_partition_bucket_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Key-probe over a bucket[8](doc_id)-partitioned snapshot table: the
+    IN list hashes (Spark-parity Murmur3, python-side) to its bucket set at
+    PLANNING time and only those buckets' files are opened — the manifest
+    equivalent of Iceberg's bucket-transform data skipping. Oracle: the
+    same IN probe over the source parquet."""
+    table = _ensure_bucket_table(spark, sf_dir)
+    return (
+        _snapshot_read(spark, table)
+        .filter(F.col("doc_id").isin(*_PROBE_IDS))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

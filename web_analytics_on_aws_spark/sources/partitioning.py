@@ -453,6 +453,12 @@ def write_partitioned_files(
         "*", *[transform_expr(f).cast("string").alias(n)
                for f, n in zip(fields, names)]
     )
+    # co-locate each partition value before the write: one file per value
+    # instead of one per (task × value) — at 1000 executors an unshuffled
+    # partitionBy writes value-count × task-count small files, the classic
+    # partitioned-write explosion. One hash exchange on the transform
+    # columns bounds output at one file per value (AQE coalesces the rest).
+    routed = routed.repartition(*names)
     routed.write.mode("error").partitionBy(*names).parquet(part_dir)
     files: list[str] = []
     tuples: dict[str, dict] = {}

@@ -159,9 +159,13 @@ class SnapshotReader(DataSourceReader):
         # column mapping (sources/evolution.py): Spark plans/pushes against
         # LOGICAL names; files store PHYSICAL names — translate at the
         # footer-stats check, the bloom probe, and the batch read
-        mapped_arrow, self._map = _mapped_arrow_schema(
-            _resolve_manifest(options)
-        )
+        m = _resolve_manifest(options)
+        mapped_arrow, self._map = _mapped_arrow_schema(m)
+        # hidden partitioning (sources/partitioning.py): per-file partition
+        # tuples + the spec registry — checked FIRST in _file_may_match
+        # (pure manifest lookup, cheaper than opening a parquet footer)
+        self._parts = m.get("file_partitions", {})
+        self._specs = (m.get("partitioning") or {}).get("specs", {})
         # Bloom sidecar (sources/bloom_index.py): consulted at planning for
         # EqualTo/In probes where min/max envelopes can't prune (high-
         # cardinality equality lookups). Files without an entry are never
@@ -203,6 +207,16 @@ class SnapshotReader(DataSourceReader):
 
         if not self._pushed:
             return True
+        entry = self._parts.get(path)
+        if entry is not None:
+            from web_analytics_on_aws_spark.sources.partitioning import (
+                file_may_match as _partition_may_match,
+            )
+
+            if not _partition_may_match(
+                self._pushed, entry, self._specs, self._map
+            ):
+                return False
         if self._bloom:
             from web_analytics_on_aws_spark.sources.bloom_index import (
                 may_contain,

@@ -138,6 +138,8 @@ def _publish(
     eq_deletes: list[dict] | None = None,
     file_seq: dict[str, int] | None = None,
     schema=_CARRY_SCHEMA,
+    partitioning=_CARRY_SCHEMA,
+    file_partitions: dict[str, dict] | None = None,
 ) -> None:
     os.makedirs(os.path.join(table, MANIFEST_DIR), exist_ok=True)
     body = {
@@ -160,6 +162,8 @@ def _publish(
     prev_file_seq: dict[str, int] = {}
     prev_files: set[str] = set()
     prev_schema = None
+    prev_part = None
+    prev_fp: dict[str, dict] = {}
     # Exactly-once stamps survive vacuum: every manifest carries the full
     # per-app txn map forward (merged from the predecessor), so replay
     # detection never depends on aged-out history. Rewrites (overwrite/DML/
@@ -175,6 +179,8 @@ def _publish(
             prev_files = set(prev.get("files", []))
             prev_committed = float(prev.get("committed_at", 0.0))
             prev_schema = prev.get("schema")
+            prev_part = prev.get("partitioning")
+            prev_fp = prev.get("file_partitions", {})
         except FileNotFoundError:
             # predecessor manifest missing (e.g. manual cleanup outside
             # vacuum's contract) — fall back to the
@@ -187,6 +193,8 @@ def _publish(
                 prev_files = set(prev.get("files", []))
                 prev_committed = float(prev.get("committed_at", 0.0))
                 prev_schema = prev.get("schema")
+                prev_part = prev.get("partitioning")
+                prev_fp = prev.get("file_partitions", {})
     body["committed_at"] = max(body["committed_at"], prev_committed + 1e-3)
     # Column-mapping schema rides the manifest like constraints/txns:
     # carried forward unchanged unless the commit explicitly replaces it
@@ -194,6 +202,18 @@ def _publish(
     eff_schema = prev_schema if schema is _CARRY_SCHEMA else schema
     if eff_schema:
         body["schema"] = eff_schema
+    # Hidden-partitioning metadata rides the manifest the same way: the
+    # spec block carries forward unless explicitly replaced
+    # (set_partition_spec / restore), and per-file partition tuples carry
+    # for carried files with this commit's new tuples merged on top
+    # (sources/partitioning.py).
+    eff_part = prev_part if partitioning is _CARRY_SCHEMA else partitioning
+    if eff_part:
+        body["partitioning"] = eff_part
+    fp = {f: prev_fp[f] for f in files if f in prev_fp}
+    fp.update(file_partitions or {})
+    if fp:
+        body["file_partitions"] = fp
     # Sequence stamping: carried files keep their original commit seq, new
     # files get THIS version — the ordering equality deletes resolve
     # against (delete seq > file seq ⇒ the delete applies). A carried file
@@ -281,14 +301,28 @@ def commit_append(
     # the caller's logical columns before writing. Physical names are
     # immutable across renames, so a concurrent evolve between this write
     # and the CAS publish below cannot invalidate the written bytes.
-    sch = (
-        _read_manifest(table, cur).get("schema") if cur is not None else None
-    )
+    m_prev = _read_manifest(table, cur) if cur is not None else {}
+    sch = m_prev.get("schema")
     if sch is not None:
         from web_analytics_on_aws_spark.sources.evolution import to_physical
 
         df = to_physical(df, sch, "commit_append")
-    new_files = _write_data_files(df, table)
+    # hidden partitioning (sources/partitioning.py): when a spec is
+    # current, route rows through its transforms — one leaf per partition
+    # value, tuple recorded in the manifest for scan-planning pruning
+    pblock = m_prev.get("partitioning") or {}
+    cur_spec = int(pblock.get("current") or 0)
+    fparts: dict[str, dict] | None = None
+    if cur_spec:
+        from web_analytics_on_aws_spark.sources.partitioning import (
+            write_partitioned_files,
+        )
+
+        new_files, fparts = write_partitioned_files(
+            df, table, cur_spec, pblock["specs"][str(cur_spec)]
+        )
+    else:
+        new_files = _write_data_files(df, table)
     # CHECK constraints validate the WRITTEN BYTES (not df's lineage, which
     # the write already re-executed — validating the plan a second time
     # would double cost AND let a nondeterministic input publish rows that
@@ -327,6 +361,7 @@ def commit_append(
                 table, version, prev + new_files, "append", txn=txn,
                 delete_files=_manifest_deletes(prev_m),
                 eq_deletes=_manifest_eq_deletes(prev_m),
+                file_partitions=fparts,
             )
             return version
         except CommitConflict:
@@ -1136,8 +1171,12 @@ def restore_version(spark: SparkSession, table: str, version: int) -> int:
         file_seq=_manifest_file_seq(target),
         # Delta RESTORE restores data AND schema: the restored version's
         # column mapping becomes the head's (None explicitly CLEARS a
-        # mapping added after the restore target — pre-evolution reads)
+        # mapping added after the restore target — pre-evolution reads);
+        # likewise the partition spec + per-file tuples re-pin to the
+        # target's (the head may have dropped the restored files)
         schema=target.get("schema"),
+        partitioning=target.get("partitioning"),
+        file_partitions=target.get("file_partitions"),
     )
     return new_version
 
