@@ -99,6 +99,7 @@ def test_transform_expr_matches_apply_transform(spark):
         (-100, "a b/c", datetime.datetime(2024, 2, 29, 12, 0, 0)),
     ]
     df = spark.createDataFrame(rows, "n long, s string, ts timestamp")
+    types = {"n": "bigint", "s": "string", "ts": "timestamp"}
     fields = [
         {"name": "a", "source": "n", "transform": "truncate[10]"},
         {"name": "b", "source": "n", "transform": "bucket[7]"},
@@ -110,6 +111,7 @@ def test_transform_expr_matches_apply_transform(spark):
         {"name": "h", "source": "ts", "transform": "year"},
         {"name": "i", "source": "n", "transform": "identity"},
     ]
+    fields = [f | {"source_type": types[f["source"]]} for f in fields]
     out = df.select(
         "n", "s", "ts",
         *[P.transform_expr(f).cast("string").alias(f["name"]) for f in fields],
@@ -120,6 +122,58 @@ def test_transform_expr_matches_apply_transform(spark):
             assert str(P.apply_transform(f, src[f["source"]])) == getattr(
                 r, f["name"]
             ), (f, src[f["source"]])
+
+
+def test_transform_parity_int_column(spark):
+    """ADVICE r5: bucket over an INT (32-bit) column — the write expression
+    casts integrals to long so the planner's murmur3_long agrees; truncate
+    over int floors numerically on both sides."""
+    vals = [0, 1, -1, 3, 77, 12345, -(2**31), 2**31 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "n int")
+    fields = [
+        {"name": "b", "source": "n", "transform": "bucket[16]",
+         "source_type": "int"},
+        {"name": "t", "source": "n", "transform": "truncate[10]",
+         "source_type": "int"},
+    ]
+    out = df.select(
+        "n", *[P.transform_expr(f).cast("string").alias(f["name"])
+               for f in fields],
+    ).collect()
+    for r in out:
+        for f in fields:
+            assert str(P.apply_transform(f, r.n)) == getattr(r, f["name"])
+
+
+def test_transform_parity_digit_string_column(spark):
+    """ADVICE r5: truncate over a STRING column whose values are digits
+    (zip codes) — static dispatch prefixes on BOTH sides; the old per-row
+    rlike dispatch floored '12345' to '12344' on write but the planner
+    prefixed the literal to '1234', wrongly pruning the file."""
+    df = spark.createDataFrame([("12345",), ("abcd",), ("-99",)], "z string")
+    f = {"name": "t", "source": "z", "transform": "truncate[4]",
+         "source_type": "string"}
+    out = df.select("z", P.transform_expr(f).alias("t")).collect()
+    for r in out:
+        assert P.apply_transform(f, r.z) == r.t == r.z[:4]
+
+
+def test_legacy_spec_mirrors_per_row_dispatch():
+    """Specs written before source_type existed routed digit strings
+    numerically; the planner must MIRROR that (equality stays exact) and
+    refuse the genuinely ambiguous cases (bucket-int width, truncate range
+    pruning)."""
+    trunc = {"name": "t", "source": "z", "transform": "truncate[4]"}
+    assert P.apply_transform(trunc, "12345") == "12344"  # numeric mirror
+    assert P.apply_transform(trunc, "abcdef") == "abcd"
+    assert P.apply_transform(trunc, 12345) == 12344
+    assert not P._range_safe(trunc)  # mixed dispatch is not monotonic
+    assert P._range_safe(trunc | {"source_type": "string"})
+    assert P._range_safe(trunc | {"source_type": "int"})
+    bucket = {"name": "b", "source": "n", "transform": "bucket[8]"}
+    with pytest.raises(TypeError, match="ambiguous"):
+        P.apply_transform(bucket, 3)  # hashInt(3) != hashLong(3)
+    assert not P._range_safe(bucket | {"source_type": "bigint"})
 
 
 # ---------------------------------------------------------------------------
@@ -362,6 +416,117 @@ def test_unpartition_and_tuple_carry_through_dml(registered, tmp_path):
     m2 = _read_manifest(t, current_version(t))
     new_files = set(m2["files"]) - set(m["files"])
     assert new_files and not any(f in _tuples(t) for f in new_files)
+
+
+def test_hot_identity_value_fans_out(registered, tmp_path):
+    """VERDICT r5 #1: a coarse identity spec (the reference's own
+    PARTITIONED BY event — six values) must not serialize a hot partition
+    value through ONE write task. The salted exchange spreads the hot value
+    over up to DEFAULT_IDENTITY_FANOUT files; pruning still resolves every
+    file of a value to the same tuple."""
+    spark = registered
+    t = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 9, "view")
+        .otherwise("click")
+        .alias("event"),
+    )
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("event", "identity")])
+    commit_append(df, t)
+    by_val: dict[str, list[str]] = {}
+    for f, e in _tuples(t).items():
+        by_val.setdefault(e["values"]["event"], []).append(f)
+    # the 90%-skewed value got >1 write task (file count bounded by fanout)
+    assert 1 < len(by_val["view"]) <= P.DEFAULT_IDENTITY_FANOUT
+    assert 1 <= len(by_val["click"]) <= P.DEFAULT_IDENTITY_FANOUT
+    from pyspark.sql.datasource import EqualTo
+
+    un = _untupled(t)
+    assert _kept(t, [EqualTo(("event",), "click")]) == len(
+        by_val["click"]
+    ) + un
+    got = (
+        spark.read.format("snapshot").option("path", t).load()
+        .filter("event = 'view'")
+    )
+    assert got.count() == df.filter("event = 'view'").count()
+
+
+def test_optimize_preserves_partition_tuples(registered, tmp_path):
+    """VERDICT r5 #2 (Iceberg binpack-within-partition): compaction groups
+    rewrite inputs by partition tuple and the outputs inherit it — a
+    day-partitioned table keeps pruning to the same day set after aging
+    through optimize, instead of degrading to footer-stat skipping."""
+    spark = registered
+    t = str(tmp_path / "t")
+    df = _events_df(spark, 96)  # 4 distinct days
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("ts", "day")])
+    for i in range(3):  # 3 small appends → 3 small files per day
+        commit_append(df.withColumn("id", F.col("id") + i * 1000), t)
+
+    from pyspark.sql.datasource import EqualTo
+
+    lit = datetime.datetime(2024, 3, 6, 12, 0, 0)
+    un = _untupled(t)
+    assert _kept(t, [EqualTo(("ts",), lit)]) == 3 + un
+    total_rows = read_snapshot(spark, t).count()
+
+    from web_analytics_on_aws_spark.sources.snapshots import optimize
+
+    res = optimize(spark, t, small_file_mb=8.0, min_small_files=2)
+    assert res["rewritten"] >= 12  # all 4 days × 3 files compacted
+    # every rewritten output carries its group's tuple: the same day probe
+    # now plans exactly ONE compacted file (plus the tuple-less seed)
+    assert _kept(t, [EqualTo(("ts",), lit)]) == 1 + _untupled(t)
+    m = _read_manifest(t, current_version(t))
+    fp = m.get("file_partitions", {})
+    days = {e["values"]["ts_day"] for e in fp.values()}
+    assert len(days) == 4  # no cross-day merge
+    assert read_snapshot(spark, t).count() == total_rows
+
+
+def test_branch_and_fast_forward_carry_partitioning(registered, tmp_path):
+    """ADVICE r5: a branch of a partitioned table keeps the spec (branch
+    appends route through it) and fast-forward carries the spec AND the
+    per-file tuples — re-keyed to the adopted paths — back onto main."""
+    spark = registered
+    t = str(tmp_path / "t")
+    df = _events_df(spark, 48)
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("ts", "day")])
+    commit_append(df, t)
+
+    from web_analytics_on_aws_spark.sources.refs import (
+        create_branch,
+        fast_forward,
+    )
+
+    bp = create_branch(t, "audit")
+    mb = _read_manifest(bp, current_version(bp))
+    assert (mb.get("partitioning") or {}).get("current") == 1
+    assert len(mb.get("file_partitions", {})) == len(_tuples(t))
+
+    # a branch append routes through the carried spec → tupled files
+    commit_append(df.withColumn("id", F.col("id") + 100), bp)
+    mb2 = _read_manifest(bp, current_version(bp))
+    new = set(mb2["files"]) - set(mb["files"])
+    assert new and all(f in mb2["file_partitions"] for f in new)
+
+    v = fast_forward(t, "audit")
+    mm = _read_manifest(t, v)
+    assert (mm.get("partitioning") or {}).get("current") == 1
+    # every tupled branch file arrived on main with a tuple (adopted
+    # branch-local paths re-keyed), so day pruning works on main
+    assert len(mm["file_partitions"]) == len(mb2["file_partitions"])
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    assert _kept(
+        t, [GreaterThanOrEqual(("ts",), datetime.datetime(2030, 1, 1))]
+    ) == _untupled(t)
+    assert read_snapshot(spark, t).count() == 96
 
 
 def test_partition_spec_survives_restore(registered, tmp_path):

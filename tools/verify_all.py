@@ -49,6 +49,28 @@ def main() -> int:
     ok = ok and rc == 0 and not drift
     print(f"doc_index: rc={rc} stale={drift or 'none'}", flush=True)
 
+    # Stray-binary gate (VERDICT r5 #3): no parquet/_SUCCESS/CRC droppings
+    # may be tracked outside declared fixture dirs — a test run with
+    # cwd=repo-root must never leak its outputs into git (the r5 `reltab/`
+    # incident). Checks TRACKED files, so a dirty working dir of local runs
+    # doesn't false-positive.
+    tracked = subprocess.run(
+        ["git", "ls-files"], cwd=ROOT, capture_output=True, text=True
+    ).stdout.splitlines()
+    allowed_prefixes = ("tests/fixtures/",)
+    stray = [
+        f
+        for f in tracked
+        if (
+            f.endswith((".parquet", ".crc", "_SUCCESS"))
+            or os.path.basename(f) == "_SUCCESS"
+        )
+        and not f.startswith(allowed_prefixes)
+    ]
+    results["stray_binaries"] = {"stray": stray}
+    ok = ok and not stray
+    print(f"stray_binaries: {stray or 'none'}", flush=True)
+
     # Plan-audit gate (VERDICT r4 #4): every bench headline query must have
     # a row in PLANS.md — a new headline query without a physical-plan
     # audit fails verify (regenerate with tools/gen_plan_report.py).
@@ -94,20 +116,43 @@ def main() -> int:
     ok = ok and rc == 0
     print(f"driver_sim: rc={rc} {done} (+{n_rows_only} rows-only)", flush=True)
 
-    # Pin the verified tree (VERDICT r4 #2): record git HEAD + dirty flag
-    # so the end-of-round snapshot can be checked against the last green
-    # verify — commits postdating it are, by construction, unverified.
+    # Pin the verified tree (VERDICT r4 #2, tightened per r5 #7): record
+    # git HEAD, and REFUSE a dirty source tree — a green record must name
+    # one unambiguous commit. Doc/artifact-only dirt (.md, BENCH/
+    # CORRECTNESS json, PROGRESS.jsonl — zero runtime surface) is allowed
+    # and listed, so the gate itself appending to PROGRESS.jsonl can't
+    # deadlock the next run.
     try:
         head = subprocess.run(
             ["git", "rev-parse", "HEAD"], cwd=ROOT, capture_output=True,
             text=True,
         ).stdout.strip()
-        dirty = bool(subprocess.run(
-            ["git", "status", "--porcelain"], cwd=ROOT, capture_output=True,
-            text=True,
-        ).stdout.strip())
+        dirt = [
+            line[3:]
+            for line in subprocess.run(
+                ["git", "status", "--porcelain"], cwd=ROOT,
+                capture_output=True, text=True,
+            ).stdout.splitlines()
+            if line.strip()
+        ]
+        source_dirt = [
+            f
+            for f in dirt
+            if not (
+                f.endswith((".md", ".jsonl"))
+                or re.fullmatch(r"(BENCH|CORRECTNESS|LEAKCHECK|COPYCHECK)"
+                                r"[._a-zA-Z0-9-]*\.json", f)
+            )
+        ]
         results["git_head"] = head
-        results["git_dirty"] = dirty
+        results["git_dirty"] = bool(dirt)
+        results["git_source_dirty"] = source_dirt
+        if source_dirt:
+            ok = False
+            print(
+                f"git: REFUSING dirty source tree ({source_dirt[:5]}…) — "
+                "commit before verifying", flush=True,
+            )
     except OSError:
         pass
 

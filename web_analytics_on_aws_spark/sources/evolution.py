@@ -212,6 +212,69 @@ def evolve_rename_column(
     return _evolve(spark, table, "evolve-rename", mutate)
 
 
+_INT_ORDER = ["tinyint", "smallint", "int", "bigint"]
+_DECIMAL = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
+
+
+def _widenable(old: str, new: str) -> bool:
+    """Iceberg's safe type promotions (spec §Schemas: int→long,
+    float→double, decimal precision growth at fixed scale) — exactly the
+    set Spark 4's vectorized parquet reader up-casts when handed an
+    explicit wider read schema, so old files stay readable byte-for-byte
+    (probed: INT32→long, FLOAT→double, DECIMAL(5,2)→(10,2) all read;
+    long→double does NOT and is refused here)."""
+    old, new = old.strip().lower(), new.strip().lower()
+    if old in _INT_ORDER and new in _INT_ORDER:
+        return _INT_ORDER.index(new) > _INT_ORDER.index(old)
+    if old == "float" and new == "double":
+        return True
+    mo, mn = _DECIMAL.match(old), _DECIMAL.match(new)
+    if mo and mn:
+        return (
+            int(mn.group(2)) == int(mo.group(2))
+            and int(mn.group(1)) > int(mo.group(1))
+        )
+    return False
+
+
+def evolve_widen_column(
+    spark: SparkSession, table: str, name: str, dtype: str
+) -> int:
+    """ALTER TABLE ALTER COLUMN ... TYPE (metadata-only type widening):
+    the field keeps its id and physical name; only its declared type
+    changes. Existing files are NEVER rewritten — the explicit-schema scan
+    (snapshots._scan_files) up-casts their narrower bytes in the parquet
+    reader, new appends write the wide type, and time travel renders each
+    version under the type it declared THEN. Only Iceberg's safe
+    promotions are accepted (int→long, float→double, decimal precision
+    growth); anything lossy raises."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    _parse_datatype_string(dtype)
+
+    def mutate(schema: dict, m: dict) -> None:
+        mapping = phys_for(schema)
+        if name not in mapping:
+            raise ValueError(f"column {name!r} does not exist")
+        cons = _constraint_mentions(m, name)
+        if cons:
+            raise ValueError(
+                f"cannot widen {name!r}: referenced by CHECK constraint(s) "
+                f"{cons} — drop or rewrite them first"
+            )
+        for f in schema["fields"]:
+            if f["name"] == name:
+                if not _widenable(f["type"], dtype):
+                    raise ValueError(
+                        f"cannot widen {name!r}: {f['type']} → {dtype} is "
+                        "not a safe promotion (int→long, float→double, "
+                        "decimal precision growth only)"
+                    )
+                f["type"] = dtype
+
+    return _evolve(spark, table, "evolve-widen", mutate)
+
+
 def evolve_drop_column(spark: SparkSession, table: str, name: str) -> int:
     """ALTER TABLE DROP COLUMN (metadata-only): reads stop projecting the
     field immediately; physical bytes age out as files are rewritten by

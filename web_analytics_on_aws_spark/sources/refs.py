@@ -204,6 +204,7 @@ def _clone_manifest(src: str, dst: str, op: str) -> int:
         raise ValueError(f"{dst} already has snapshots")
     m = _read_manifest(src, cur)
     seq = _manifest_file_seq(m)
+    fp = m.get("file_partitions", {})
     _publish(
         dst, 1, [os.path.abspath(f) for f in m["files"]], op,
         constraints=m.get("constraints", {}),
@@ -213,9 +214,16 @@ def _clone_manifest(src: str, dst: str, op: str) -> int:
             for e in _manifest_eq_deletes(m)
         ],
         file_seq={os.path.abspath(f): seq.get(f, 0) for f in m["files"]},
-        # column mapping rides the clone: dst v1 has no predecessor to
-        # carry it from, so pass the src head's schema explicitly
+        # column mapping AND the partition spec ride the clone: dst v1 has
+        # no predecessor to carry them from, so pass the src head's blocks
+        # explicitly (tuples re-keyed to the absolute paths published above
+        # — ADVICE r5: a branch of a partitioned table must keep its spec,
+        # or branch appends go unpartitioned and tuple pruning is lost)
         schema=m.get("schema"),
+        partitioning=m.get("partitioning"),
+        file_partitions={
+            os.path.abspath(f): fp[f] for f in m["files"] if f in fp
+        },
     )
     return cur
 
@@ -294,12 +302,18 @@ def fast_forward(table: str, name: str) -> int:
             return path
         if ap not in moved:
             os.makedirs(adopt_dir, exist_ok=True)
-            dst = os.path.join(adopt_dir, os.path.basename(ap))
+            # a partitioned branch write reuses one task uuid across its
+            # __part_* leaf dirs, so basenames alone collide — prefix a
+            # counter to keep the flattened adoption dir collision-proof
+            dst = os.path.join(
+                adopt_dir, f"{len(moved)}-{os.path.basename(ap)}"
+            )
             os.link(ap, dst)
             moved[ap] = os.path.abspath(dst)
         return moved[ap]
 
     files = [_adopt(f) for f in bh["files"]]
+    bfp = bh.get("file_partitions", {})
     _publish(
         table, cur + 1, files, "fast_forward",
         constraints=bh.get("constraints", {}),
@@ -308,11 +322,17 @@ def fast_forward(table: str, name: str) -> int:
             e | {"path": _adopt(e["path"])} for e in _manifest_eq_deletes(bh)
         ],
         file_seq={_adopt(f): seq.get(f, 0) for f in bh["files"]},
-        # the branch may have evolved its schema (or the branch predates a
-        # main-side evolution that never happened — base==cur guarantees
-        # main hasn't moved): adopt the branch head's mapping verbatim;
-        # None explicitly clears
+        # the branch may have evolved its schema OR its partition spec (or
+        # the branch predates a main-side evolution that never happened —
+        # base==cur guarantees main hasn't moved): adopt the branch head's
+        # blocks verbatim; None explicitly clears. Partition tuples re-key
+        # to the adopted paths so pruning survives the fast-forward
+        # (ADVICE r5).
         schema=bh.get("schema"),
+        partitioning=bh.get("partitioning"),
+        file_partitions={
+            _adopt(f): bfp[f] for f in bh["files"] if f in bfp
+        },
     )
     return cur + 1
 

@@ -117,26 +117,78 @@ def _unified_arrow_schema(files: list[str]):
 def _mapped_arrow_schema(m: dict):
     """(arrow schema under LOGICAL names, {logical: physical}) for a
     manifest. Unmapped tables return the plain file-union schema and an
-    empty mapping. Types come from the files where the physical column
-    exists (authoritative bytes); a freshly added column no file carries
-    yet falls back to its declared type."""
-    base = _unified_arrow_schema(m["files"])
+    empty mapping. Mapped tables render each field at its DECLARED type —
+    the manifest schema is the contract, and after evolve_widen_column
+    files legitimately store a narrower physical type than the table
+    declares (read() casts each file's arrow column up to the declared
+    type, mirroring snapshots._scan_files on the JVM path)."""
     sch = m.get("schema")
     if sch is None:
-        return base, {}
+        return _unified_arrow_schema(m["files"]), {}
     import pyarrow as pa
-    from pyspark.sql.pandas.types import to_arrow_type
-    from pyspark.sql.types import _parse_datatype_string
 
     fields, mapping = [], {}
     for f in sch["fields"]:
         mapping[f["name"]] = f["phys"]
-        if f["phys"] in base.names:
-            t = base.field(f["phys"]).type
-        else:
-            t = to_arrow_type(_parse_datatype_string(f["type"]))
-        fields.append(pa.field(f["name"], t, nullable=True))
+        fields.append(pa.field(f["name"], _arrow_type(f["type"]), nullable=True))
     return pa.schema(fields), mapping
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas at bracket depth 0 (array<struct<a:int,b:int>>…)."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return out
+
+
+def _arrow_type(ddl: str):
+    """Spark simpleString → arrow type WITHOUT a SparkContext — the
+    DataSource's ``schema()`` runs during planning, where
+    ``_parse_datatype_string`` would raise SESSION_OR_CONTEXT_NOT_EXISTS.
+    Covers every type df.dtypes can emit for parquet-backed tables."""
+    import re
+
+    import pyarrow as pa
+
+    s = ddl.strip().lower()
+    prim = {
+        "boolean": pa.bool_(), "tinyint": pa.int8(), "byte": pa.int8(),
+        "smallint": pa.int16(), "short": pa.int16(), "int": pa.int32(),
+        "integer": pa.int32(), "bigint": pa.int64(), "long": pa.int64(),
+        "float": pa.float32(), "real": pa.float32(), "double": pa.float64(),
+        "string": pa.string(), "binary": pa.binary(), "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ltz": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if s in prim:
+        return prim[s]
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", s)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    m = re.fullmatch(r"array<(.+)>", s, re.DOTALL)
+    if m:
+        return pa.list_(_arrow_type(m.group(1)))
+    m = re.fullmatch(r"map<(.+)>", s, re.DOTALL)
+    if m:
+        k, v = _split_top(m.group(1))
+        return pa.map_(_arrow_type(k), _arrow_type(v))
+    m = re.fullmatch(r"struct<(.+)>", s, re.DOTALL)
+    if m:
+        fields = []
+        for part in _split_top(m.group(1)):
+            name, _, t = part.partition(":")
+            fields.append(pa.field(name.strip(), _arrow_type(t)))
+        return pa.struct(fields)
+    raise ValueError(f"unsupported type in schema block: {ddl!r}")
 
 
 _COMPARES = {

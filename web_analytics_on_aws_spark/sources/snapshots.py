@@ -257,6 +257,30 @@ def _publish(
         os.unlink(tmp)
 
 
+def _scan_files(spark: SparkSession, files: list[str], sch: dict | None):
+    """Scan data files under the manifest's column-mapping schema.
+
+    Mapped tables read with an EXPLICIT physical schema instead of
+    mergeSchema: files missing an added column null-fill it, dropped
+    physical columns are not decoded, and — the point of evolve_widen_
+    column — files written before a type widening are up-cast inside the
+    vectorized parquet reader (int→long, float→double, decimal precision
+    growth are the reader's supported promotions; a mergeSchema union
+    refuses to merge int with long at all). Unmapped tables keep the
+    union-of-schemas read (additive evolution via mergeSchema)."""
+    if sch is None:
+        return spark.read.option("mergeSchema", "true").parquet(*files)
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    struct = StructType(
+        [
+            StructField(f["phys"], _parse_datatype_string(f["type"]), True)
+            for f in sch["fields"]
+        ]
+    )
+    return spark.read.schema(struct).parquet(*files)
+
+
 def _write_data_files(df: DataFrame, table: str) -> list[str]:
     """Write df as immutable parts under data/<commit-uuid>/ and return
     their paths. The directory is unique per commit, so a failed write can
@@ -553,17 +577,16 @@ def read_snapshot(
     v = cur if version is None else version
     m = _read_manifest(table, v)
     files = m["files"]
-    # mergeSchema: additive column evolution across commits (a later append
-    # may carry new columns; older files surface them as NULL — the same
-    # read-time union-of-schemas Iceberg/Delta do). Time travel to a
-    # pre-evolution version still shows the narrow schema, because only
-    # that version's files are listed.
-    df = spark.read.option("mergeSchema", "true").parquet(*files)
-    dvs, eqs = _manifest_deletes(m), _manifest_eq_deletes(m)
     # column mapping (sources/evolution.py): data files store PHYSICAL
     # names; the projection to THIS version's logical schema is the last
-    # step, so every version time-travels under its own column names
+    # step, so every version time-travels under its own column names.
+    # Unmapped tables read mergeSchema (additive union); mapped tables
+    # read under the explicit physical schema (_scan_files) — which also
+    # renders each version's WIDENED types (evolve_widen_column) without
+    # touching old files.
     sch = m.get("schema")
+    df = _scan_files(spark, files, sch)
+    dvs, eqs = _manifest_deletes(m), _manifest_eq_deletes(m)
     if not dvs and not eqs:
         return _logical(df, sch)
     import pyspark.sql.functions as F
@@ -717,9 +740,9 @@ def _rewrite_matched(
     # physical (evolution.py)
     sch = m.get("schema")
     df = _logical(
-        spark.read.option("mergeSchema", "true")
-        .parquet(*files)
-        .withColumn("__file", F.input_file_name()),
+        _scan_files(spark, files, sch).withColumn(
+            "__file", F.input_file_name()
+        ),
         sch,
         keep=("__file",),
     )
@@ -740,9 +763,7 @@ def _rewrite_matched(
     new_files: list[str] = []
     if touched:
         matched_scope = _logical(
-            spark.read.option("mergeSchema", "true").parquet(
-                *sorted(touched)
-            ),
+            _scan_files(spark, sorted(touched), sch),
             sch,
         )
         n_matched = matched_scope.filter(hit).count()
@@ -814,8 +835,7 @@ def delete_where_mor(spark: SparkSession, table: str, predicate) -> dict:
     # materialize the metadata pseudo-columns FIRST — they only resolve on
     # the file-source relation, not through later projections
     scan = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*files)
+        _scan_files(spark, files, m.get("schema"))
         .withColumn("__f", F.col("_metadata.file_path"))
         .withColumn("__p", F.col("_metadata.row_index"))
     )
@@ -894,9 +914,7 @@ def _check_metadata_path_roundtrip(spark: SparkSession, files: list[str]) -> Non
 
 def _table_columns(spark: SparkSession, m: dict) -> list[str]:
     """Head schema column names (union across files, evolution-aware)."""
-    return (
-        spark.read.option("mergeSchema", "true").parquet(*m["files"]).columns
-    )
+    return _scan_files(spark, m["files"], m.get("schema")).columns
 
 
 def _check_key_types(
@@ -907,9 +925,7 @@ def _check_key_types(
     sidecar whose read-time eqNullSafe comparison goes through implicit
     casts and can silently match nothing — the same silent-no-op class the
     name check prevents (ADVICE r3). Raise loudly at commit time."""
-    head = dict(
-        spark.read.option("mergeSchema", "true").parquet(*m["files"]).dtypes
-    )
+    head = dict(_scan_files(spark, m["files"], m.get("schema")).dtypes)
     bad = {
         k: (t, head[k]) for k, t in key_df.dtypes if k in head and t != head[k]
     }
@@ -1095,7 +1111,7 @@ def convert_equality_deletes(spark: SparkSession, table: str) -> dict:
     # and simpler: positions of (pos-delete survivors) minus (full-read
     # survivors) — both anti joins over the same base scan.
     base = (
-        spark.read.option("mergeSchema", "true").parquet(*m["files"])
+        _scan_files(spark, m["files"], m.get("schema"))
         .withColumn("__f", F.col("_metadata.file_path"))
         .withColumn("__p", F.col("_metadata.row_index"))
     )
@@ -1230,7 +1246,7 @@ def compact_deletes(spark: SparkSession, table: str) -> dict:
     kept = [f for f in files if f not in touched]
     survivors = _apply_position_deletes(
         spark,
-        spark.read.option("mergeSchema", "true").parquet(*sorted(touched)),
+        _scan_files(spark, sorted(touched), m.get("schema")),
         dvs,
     )
     new_files = _write_data_files(survivors, table)
@@ -1396,7 +1412,7 @@ def cluster_zorder(
         zorder_by = translate_keys(
             head_m["schema"], list(zorder_by), "cluster_zorder"
         )
-    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    df = _scan_files(spark, files, head_m.get("schema"))
     z = _zorder_column(df, zorder_by, bits=bits)
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, round(total / (target_file_mb * 1024 * 1024)))
@@ -1445,7 +1461,17 @@ def optimize(
     from the filesystem); the rewrite reads exactly the small files. A
     streaming table (snapshot_sink appends one version per micro-batch)
     converges under a scheduled optimize exactly like the hive-zone
-    incremental compaction planner."""
+    incremental compaction planner.
+
+    Partition-aware (VERDICT r5 #2, Iceberg binpack-within-partition): on
+    a hidden-partitioned table (sources/partitioning.py), small files are
+    grouped by their manifest partition tuple and rewritten WITHIN each
+    group, and the outputs inherit the group's tuple — compaction never
+    merges across partition boundaries, so tuple pruning survives table
+    aging instead of silently degrading to footer-stat skipping. Files
+    without a tuple (written before any spec) compact together as before.
+    A tuple group with a single small file is carried by reference — a
+    lone-file rewrite changes nothing."""
     cur = current_version(table)
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table}")
@@ -1454,20 +1480,48 @@ def optimize(
     files = head_m["files"]
     cutoff = small_file_mb * 1024 * 1024
     small = [f for f in files if os.path.getsize(f) < cutoff]
-    if len(small) < min_small_files:
+    head_fp = head_m.get("file_partitions", {})
+    groups: dict = {}
+    for f in small:
+        e = head_fp.get(f)
+        key = (
+            (e["spec_id"], tuple(sorted(e["values"].items())))
+            if e is not None
+            else None
+        )
+        groups.setdefault(key, []).append(f)
+    # singletons gain nothing from a rewrite — carry them by reference
+    groups = {k: g for k, g in groups.items() if len(g) >= 2}
+    rewritten = [f for g in groups.values() for f in g]
+    if len(rewritten) < min_small_files:
         return {"version": cur, "rewritten": 0, "kept": len(files)}
-    small_set = set(small)
+    small_set = set(rewritten)
     kept = [f for f in files if f not in small_set]
-    total = sum(os.path.getsize(f) for f in small)
-    n_out = max(1, round(total / (target_file_mb * 1024 * 1024)))
-    merged = spark.read.option("mergeSchema", "true").parquet(*small).coalesce(n_out)
-    new_files = _write_data_files(merged, table)
+    new_files: list[str] = []
+    new_fp: dict[str, dict] = {}
+    for key, grp in groups.items():
+        total = sum(os.path.getsize(f) for f in grp)
+        n_out = max(1, round(total / (target_file_mb * 1024 * 1024)))
+        merged = _scan_files(
+            spark, grp, head_m.get("schema")
+        ).coalesce(n_out)
+        outs = _write_data_files(merged, table)
+        new_files += outs
+        if key is not None:
+            spec_id, vals = key
+            for p in outs:
+                new_fp[p] = {"spec_id": spec_id, "values": dict(vals)}
     version = cur + 1
-    _publish(table, version, kept + new_files, "optimize")
+    _publish(
+        table, version, kept + new_files, "optimize",
+        file_partitions=new_fp or None,
+    )
     from web_analytics_on_aws_spark.sources.bloom_index import refresh_if_present
 
     refresh_if_present(spark, table)
-    return {"version": version, "rewritten": len(small), "kept": len(kept)}
+    return {
+        "version": version, "rewritten": len(rewritten), "kept": len(kept),
+    }
 
 
 def maintain_table(
@@ -1843,10 +1897,8 @@ def merge_into(
         if src.select(*keys).distinct().count() != n_src:
             raise ValueError(f"merge source is not unique on {keys}")
 
-        target = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*files)
-            .withColumn("__file", F.input_file_name())
+        target = _scan_files(spark, files, sch).withColumn(
+            "__file", F.input_file_name()
         )
         # mapped tables: the column contract is the schema's physical set
         # (file union carries dropped columns / may lack fresh adds)
@@ -1879,7 +1931,7 @@ def merge_into(
         table_cols = want_cols
         n_matched = 0
         if touched:
-            scope = spark.read.option("mergeSchema", "true").parquet(*sorted(touched))
+            scope = _scan_files(spark, sorted(touched), sch)
             if sch is not None:
                 # rewrite under the schema's physical columns: dropped
                 # columns' bytes age out here (the documented contract),
@@ -2011,7 +2063,10 @@ def table_changes(
         rows deleted inside the window would show as never-inserted."""
         if not paths:
             return None
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        # scan both endpoints under the TO-version schema so widened types
+        # align across the exceptAll diff (the final _logical renders with
+        # the same schema)
+        df = _scan_files(spark, paths, m_new.get("schema"))
         return _apply_position_deletes(spark, df, dvs)
 
     # MOR sidecar diffs on files present in BOTH versions: positions ADDED
@@ -2035,7 +2090,7 @@ def table_changes(
         )
         dv_added = dv_new.join(dv_old_df, ["file", "pos"], "left_anti")
         dv_removed = dv_old_df.join(dv_new, ["file", "pos"], "left_anti")
-        scan = spark.read.option("mergeSchema", "true").parquet(*common)
+        scan = _scan_files(spark, common, m_new.get("schema"))
         cols0 = scan.columns
         keyed = scan.withColumn("__f", F.col("_metadata.file_path")).withColumn(
             "__p", F.col("_metadata.row_index")
@@ -2065,8 +2120,7 @@ def table_changes(
             empty = read_snapshot(spark, table, version=to_version).limit(0)
             return empty.withColumn("_change_type", F.lit("insert")).limit(0)
         out = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*common)
+            _scan_files(spark, common, m_new.get("schema"))
             .limit(0)
             .withColumn("_change_type", F.lit("insert"))
         )
