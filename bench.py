@@ -63,6 +63,8 @@ HEADLINE = [
     "snapshot_read_at_branch",
     "dedup_incremental_admission",
     "embedding_pca_whiten_audit",
+    "weblog_event_partition_rollup",
+    "retrieval_mmr_topk_indexed",
 ]
 
 

@@ -529,6 +529,52 @@ def test_branch_and_fast_forward_carry_partitioning(registered, tmp_path):
     assert read_snapshot(spark, t).count() == 96
 
 
+def test_merge_snapshot_keeps_identity_spec(registered, tmp_path):
+    """VERDICT r5 #4: the weblog MERGE path (merge_snapshot →
+    commit_overwrite) must route through the table's identity spec — one
+    upsert must not silently de-partition the reference-parity
+    PARTITIONED BY (event) table. Pins tuple carry + equality pruning
+    after two overlapping merge batches."""
+    from web_analytics_on_aws_spark.operators.upsert import merge_snapshot
+
+    spark = registered
+    t = str(tmp_path / "t")
+    df = spark.range(300).select(
+        F.col("id").alias("event_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("event"),
+        (F.col("id") * 2).alias("value"),
+    )
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("event", "identity")])
+    merge_snapshot(spark, df.filter("event_id < 200"), t, keys=["event_id"])
+    merge_snapshot(spark, df.filter("event_id >= 100"), t, keys=["event_id"])
+
+    m = _read_manifest(t, current_version(t))
+    fp = m.get("file_partitions", {})
+    # every data file of the merged table carries a tuple (the overwrite
+    # rewrote everything under the spec; no pre-spec stragglers survive)
+    assert m["files"] and all(f in fp for f in m["files"])
+    vals = {e["values"]["event"] for e in fp.values()}
+    assert vals == {"view", "click", "purchase"}
+
+    from pyspark.sql.datasource import EqualTo
+
+    n_purchase = sum(
+        1 for e in fp.values() if e["values"]["event"] == "purchase"
+    )
+    assert _kept(t, [EqualTo(("event",), "purchase")]) == n_purchase < _total(t)
+    got = (
+        spark.read.format("snapshot").option("path", t).load()
+        .filter("event = 'purchase'")
+    )
+    assert _rows(got.select("event_id", "event", "value")) == _rows(
+        df.filter("event = 'purchase'")
+    )
+
+
 def test_partition_spec_survives_restore(registered, tmp_path):
     spark = registered
     t = str(tmp_path / "t")

@@ -1183,10 +1183,14 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.rrf_fuse([bm, jac], k=10)
 
 
-@query(
-    "text_hybrid_dense_rrf_topk",
-    oracle=_BM25_CTES + _HYBRID_LEX_CTES + f"""
-    , geo AS (
+# The materialized IVF index probe, reproduced in SQL (shared by the
+# dense-hybrid oracle and the indexed-MMR oracle — factored so the two can
+# never drift from each other or from operators/ann_index.py):
+# deterministic lowest-id centroids under the sqrt-n geometry rule, argmax
+# assignment with ties to the HIGHER cell, nprobe=4 cells per query (ties
+# LOWER), per-candidate cosine rounded to 6 dp.
+_IVF_PROBE_CTES = """
+    geo AS (
       -- the materialized index's sqrt-n geometry rule (_ivf_geometry):
       -- smallest power of two >= sqrt(n), clamped to [16, 256]
       SELECT CAST(LEAST(256, GREATEST(16,
@@ -1225,7 +1229,13 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(a.embedding AS DOUBLE[]), p.qv), 6) AS score
       FROM qprobe p JOIN assigned a USING (centroid_id)
       WHERE a.vec_id <> p.query_id
-    ), dense AS (
+    )"""
+
+
+@query(
+    "text_hybrid_dense_rrf_topk",
+    oracle=_BM25_CTES + _HYBRID_LEX_CTES + ", " + _IVF_PROBE_CTES + f"""
+    , dense AS (
       SELECT query_id, doc_id,
              ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY score DESC, doc_id) AS rank
@@ -1907,7 +1917,7 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mmr_oracle() -> str:
+def _mmr_greedy_sql(pool_ctes: str) -> str:
     """10-step greedy MMR as a mechanically unrolled CTE chain (k is fixed
     and small, so the unrolled form is both exact and cheap for DuckDB —
     each step picks per query the argmax of 0.7*rel - 0.3*max-sim-to-
@@ -1915,7 +1925,12 @@ def _mmr_oracle() -> str:
     micro-sim arithmetic (rel/sim rounded to 6 dp then scaled to BIGINT
     micro-units; score = 7*rel_u - 3*ms_u) — multiplying exact 6-dp
     decimals by 0.7 in doubles lands exactly on half-ulp boundaries where
-    the two engines' ROUND disagree, integers never do."""
+    the two engines' ROUND disagree, integers never do.
+
+    ``pool_ctes`` supplies everything through a ``c`` CTE of
+    (query_id, vec_id, rel_u) — the top-20 candidate pool; the greedy and
+    the candidate-pairwise sims are shared between the brute-pool and the
+    IVF-probed variants."""
     steps = []
     for t in range(2, 11):
         steps.append(f"""
@@ -1941,21 +1956,9 @@ sel{t} AS MATERIALIZED (
 ),
 acc{t} AS MATERIALIZED (SELECT * FROM acc{t - 1} UNION ALL SELECT * FROM sel{t})""")
     return (
-        """
-WITH qs AS (
-  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id IN (0, 1, 2)
-), scored AS (
-  SELECT qs.query_id, e.vec_id,
-         CAST(ROUND(1000000 * ROUND(list_cosine_similarity(
-                CAST(e.embedding AS DOUBLE[]), qs.qv), 6)) AS BIGINT)
-           AS rel_u
-  FROM embeddings e JOIN qs ON e.vec_id <> qs.query_id
-), ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY rel_u DESC, vec_id) AS rn
-  FROM scored
-), c AS MATERIALIZED (SELECT query_id, vec_id, rel_u FROM ranked WHERE rn <= 20),
+        "\nWITH "
+        + pool_ctes
+        + """,
 pairs AS MATERIALIZED (
   SELECT ca.query_id, ca.vec_id AS a, cb.vec_id AS b,
          CAST(ROUND(1000000 * ROUND(list_cosine_similarity(
@@ -1978,6 +1981,44 @@ acc1 AS MATERIALIZED (
         + """
 SELECT query_id, CAST(mmr_rank AS BIGINT) AS mmr_rank, vec_id, mmr_score
 FROM acc10"""
+    )
+
+
+def _mmr_oracle() -> str:
+    """Brute-pool MMR oracle: the top-20 comes from an exact full-corpus
+    cosine scan (the audit twin)."""
+    return _mmr_greedy_sql("""qs AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+), scored AS (
+  SELECT qs.query_id, e.vec_id,
+         CAST(ROUND(1000000 * ROUND(list_cosine_similarity(
+                CAST(e.embedding AS DOUBLE[]), qs.qv), 6)) AS BIGINT)
+           AS rel_u
+  FROM embeddings e JOIN qs ON e.vec_id <> qs.query_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rel_u DESC, vec_id) AS rn
+  FROM scored
+), c AS MATERIALIZED (
+  SELECT query_id, vec_id, rel_u FROM ranked WHERE rn <= 20)""")
+
+
+def _mmr_indexed_oracle() -> str:
+    """Indexed-pool MMR oracle: the top-20 comes from the materialized IVF
+    index probe (identical SQL reproduction as the dense-hybrid oracle —
+    _IVF_PROBE_CTES), ranked on the 6-dp-rounded probe score with vec_id
+    tiebreak, then the same integer-exact greedy."""
+    return _mmr_greedy_sql(
+        _IVF_PROBE_CTES
+        + """, ranked AS (
+  SELECT query_id, doc_id AS vec_id,
+         CAST(ROUND(1000000 * score) AS BIGINT) AS rel_u,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM dense_scored
+), c AS MATERIALIZED (
+  SELECT query_id, vec_id, rel_u FROM ranked WHERE rn <= 20)"""
     )
 
 
@@ -2033,6 +2074,16 @@ def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "rel_u", "ev")
         .localCheckpoint()
     )
+    return _mmr_greedy(cv)
+
+
+def _mmr_greedy(cv: DataFrame) -> DataFrame:
+    """The distributed 10-step MMR greedy over a candidate pool ``cv`` of
+    (query_id, vec_id, rel_u, ev) — shared by the brute-pool audit and the
+    IVF-probed production variant; see retrieval_mmr_topk for the scale
+    shape (per-step window + tiny keyed join, incremental max-sim state)."""
+    from web_analytics_on_aws_spark.functions import cosine_similarity
+
     pairs = (
         cv.alias("x")
         .join(
@@ -2107,3 +2158,39 @@ def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.select("query_id", "mmr_rank", "vec_id", "mmr_score")
+
+
+@query("retrieval_mmr_topk_indexed", oracle=_mmr_indexed_oracle)
+def retrieval_mmr_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR rerank over the MATERIALIZED IVF index's candidate pool
+    (VERDICT r5 #6) — the production composition: ANN retrieval supplies
+    top-20 per query (persisted quantizer, nprobe=4 cells, file-skipping
+    probe — operators/ann_index.py), then the same integer-exact greedy
+    diversifies to 10. ``retrieval_mmr_topk`` keeps the brute full-corpus
+    pool as the audit twin (the standard ANN-vs-exact pairing of every ANN
+    query here). Pool scoring ranks on round(sim, 6) + vec_id exactly like
+    the dense hybrid, so the oracle reproduces the probe verbatim
+    (_IVF_PROBE_CTES)."""
+    from web_analytics_on_aws_spark.functions import as_double_vec
+    from web_analytics_on_aws_spark.operators.ann_index import probe_ivf_index
+
+    table = _ensure_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pool = probe_ivf_index(spark, table, qs, k=20, nprobe=4, rank_rounding=6)
+    cv = (
+        pool.select(
+            "query_id",
+            "vec_id",
+            F.round(1000000 * F.round("sim", 6)).cast("long").alias("rel_u"),
+        )
+        .join(
+            emb.select("vec_id", as_double_vec("embedding").alias("ev")),
+            "vec_id",
+        )
+        .select("query_id", "vec_id", "rel_u", "ev")
+        .localCheckpoint()
+    )
+    return _mmr_greedy(cv)

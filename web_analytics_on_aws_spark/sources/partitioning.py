@@ -31,9 +31,13 @@ module closes that gap for the hand-rolled snapshot format:
 Writers express transforms as Catalyst expressions (`transform_expr`) so
 routing is a JVM-side ``partitionBy`` write — no Python in the data path;
 the Python twin (`apply_transform`) runs only on literals at planning
-time. Bucket parity between the two sides is guaranteed by a from-spec
-reimplementation of Spark's Murmur3 (seed 42) pinned by tests against
-``F.hash`` itself.
+time. Both sides dispatch on a spec-recorded ``source_type``, never on
+runtime values. Bucket parity between the two sides is guaranteed by a
+from-spec reimplementation of Spark's Murmur3 (seed 42) pinned by tests
+against ``F.hash`` itself. Coarse identity/truncate specs write through a
+salted exchange (``_write_fanout``): a hot partition value gets up to n
+parallel write tasks with at most n files — Iceberg's fanout-writer
+answer to one-task-per-value serialization.
 
 At 100 TB this is the difference between listing manifests and scanning
 them: a day-partitioned events table answers ``WHERE ts BETWEEN a AND b``

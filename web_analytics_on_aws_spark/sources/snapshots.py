@@ -411,14 +411,28 @@ def commit_overwrite(
         if last is not None and int(txn[1]) <= last:
             return current_version(table)
     cur = current_version(table)
-    sch = (
-        _read_manifest(table, cur).get("schema") if cur is not None else None
-    )
+    m_prev = _read_manifest(table, cur) if cur is not None else {}
+    sch = m_prev.get("schema")
     if sch is not None:
         from web_analytics_on_aws_spark.sources.evolution import to_physical
 
         df = to_physical(df, sch, "commit_overwrite")
-    new_files = _write_data_files(df, table)
+    # hidden partitioning routes overwrites exactly like appends (the
+    # weblog MERGE path — merge_snapshot — rewrites the table per batch:
+    # without this, one upsert would silently de-partition it)
+    pblock = m_prev.get("partitioning") or {}
+    cur_spec = int(pblock.get("current") or 0)
+    fparts: dict[str, dict] | None = None
+    if cur_spec:
+        from web_analytics_on_aws_spark.sources.partitioning import (
+            write_partitioned_files,
+        )
+
+        new_files, fparts = write_partitioned_files(
+            df, table, cur_spec, pblock["specs"][str(cur_spec)]
+        )
+    else:
+        new_files = _write_data_files(df, table)
     cons = table_constraints(table)
     if cons:
         # validate the written bytes (see commit_append)
@@ -426,7 +440,10 @@ def commit_overwrite(
             _logical(df.sparkSession.read.parquet(*new_files), sch), cons
         )
     version = (current_version(table) or 0) + 1
-    _publish(table, version, new_files, "overwrite", txn=txn)
+    _publish(
+        table, version, new_files, "overwrite", txn=txn,
+        file_partitions=fparts,
+    )
     return version
 
 
