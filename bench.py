@@ -65,6 +65,7 @@ HEADLINE = [
     "embedding_pca_whiten_audit",
     "weblog_event_partition_rollup",
     "retrieval_mmr_topk_indexed",
+    "snapshot_stats_minmax_rollup",
 ]
 
 

@@ -1,0 +1,195 @@
+"""Manifest column statistics (snapshots.collect_file_stats) — Iceberg's
+per-file lower/upper bounds, collected once at commit time so scan
+PLANNING never opens a parquet footer: min/max skipping becomes a dict
+lookup next to the partition-tuple check.
+
+Reference parity: Iceberg manifests store lower_bounds/upper_bounds per
+data file and Athena plans scans from them (the reference's tables get
+this from managed Iceberg); this is the jar-free equivalent.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+    SnapshotDataSource,
+    SnapshotReader,
+)
+from web_analytics_on_aws_spark.sources.snapshots import (
+    _read_manifest,
+    commit_append,
+    commit_overwrite,
+    current_version,
+    optimize,
+    read_snapshot,
+)
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotDataSource)
+    return spark
+
+
+def _kept(table, filters):
+    r = SnapshotReader({"path": table}, None)
+    r.pushFilters(filters)
+    return len(r.partitions())
+
+
+def _stats(table):
+    return _read_manifest(table, current_version(table)).get("file_stats", {})
+
+
+def _mk(spark, tmp_path, name="t"):
+    t = str(tmp_path / name)
+    # three value-disjoint files: k in [0,10), [100,110), [200,210)
+    for base in (0, 100, 200):
+        commit_append(
+            spark.range(base, base + 10)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") * 2).cast("double").alias("v"),
+                F.concat(F.lit("u"), F.col("id")).alias("s"),
+            )
+            .coalesce(1),
+            t,
+        )
+    return t
+
+
+def test_commit_records_min_max(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    st = _stats(t)
+    m = _read_manifest(t, current_version(t))
+    assert set(st) == set(m["files"])  # every data file has an entry
+    los = sorted(e["k"][0] for e in st.values())
+    his = sorted(e["k"][1] for e in st.values())
+    assert los == [0, 100, 200] and his == [9, 109, 209]
+    # doubles and strings ride too
+    assert any(e["v"] == [0.0, 18.0] for e in st.values())
+    assert any(e["s"][0] == "u0" for e in st.values())
+
+
+def test_planning_skips_without_footer_io(registered, tmp_path, monkeypatch):
+    """The core claim: with manifest stats present, partitions() decides
+    min/max pruning with ZERO ParquetFile opens (at 100k files that is the
+    difference between one manifest read and 100k footer reads)."""
+    t = _mk(registered, tmp_path)
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In, LessThan
+
+    import pyarrow.parquet as pq
+
+    real = pq.ParquetFile
+    opens = []
+
+    def counting(path, *a, **kw):
+        opens.append(path)
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(pq, "ParquetFile", counting)
+    assert _kept(t, [EqualTo(("k",), 105)]) == 1
+    assert _kept(t, [GreaterThan(("k",), 150)]) == 1
+    assert _kept(t, [LessThan(("k",), 50)]) == 1
+    assert _kept(t, [In(("k",), (5, 205))]) == 2
+    # string bounds prune lexicographically: "u105" sorts inside [u0,u9]
+    # so that file survives too — 2 kept, the [u200,u209] file pruned
+    assert _kept(t, [EqualTo(("s",), "u105")]) == 2
+    assert _kept(t, [EqualTo(("k",), 99999)]) == 0
+    assert opens == []  # planning never touched a footer
+
+
+def test_pruning_results_match_data(registered, tmp_path):
+    t = _mk(registered, tmp_path)
+    got = (
+        registered.read.format("snapshot").option("path", t).load()
+        .filter("k > 150")
+    )
+    assert sorted(r.k for r in got.collect()) == list(range(200, 210))
+
+
+def test_timestamp_and_date_bounds_roundtrip(registered, tmp_path):
+    t = str(tmp_path / "t")
+    rows = [
+        (datetime.datetime(2024, 1, 1 + i, 12), datetime.date(2024, 1, 1 + i))
+        for i in range(3)
+    ]
+    for r in rows:
+        commit_append(
+            registered.createDataFrame(
+                [r], "ts timestamp, d date"
+            ).coalesce(1),
+            t,
+        )
+    st = _stats(t)
+    assert len(st) == 3
+    assert all(e["ts"][0][0] == "t" and e["d"][0][0] == "d"
+               for e in st.values())
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    assert _kept(
+        t, [GreaterThanOrEqual(("ts",), datetime.datetime(2024, 1, 3))]
+    ) == 1
+    assert _kept(
+        t, [GreaterThanOrEqual(("d",), datetime.date(2024, 1, 3))]
+    ) == 1
+
+
+def test_stats_carry_and_refresh_through_rewrites(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    before = _stats(t)
+    # overwrite replaces stats wholesale
+    commit_overwrite(
+        spark.range(500, 505).select(
+            F.col("id").alias("k"),
+            F.lit(1.0).alias("v"),
+            F.lit("x").alias("s"),
+        ),
+        t,
+    )
+    st = _stats(t)
+    assert set(st) != set(before)
+    # empty part files record {} (no stats, conservatively kept)
+    nonempty = [e for e in st.values() if e]
+    assert nonempty and all(
+        500 <= e["k"][0] <= e["k"][1] <= 504 for e in nonempty
+    )
+    # optimize outputs get fresh stats covering the merged range
+    res = optimize(spark, t, small_file_mb=8.0, min_small_files=2)
+    if res["rewritten"]:
+        st2 = _stats(t)
+        m = _read_manifest(t, current_version(t))
+        assert set(st2) == set(m["files"])
+    assert read_snapshot(spark, t).count() == 5
+
+
+def test_legacy_manifest_footer_fallback(registered, tmp_path):
+    """Tables committed before file_stats existed keep pruning via the
+    footer path — drop the stats block from the head manifest and verify
+    identical pruning."""
+    import json
+    import os
+
+    t = _mk(registered, tmp_path)
+    v = current_version(t)
+    mp = os.path.join(t, "manifests", f"v{v:012d}.json")
+    if not os.path.exists(mp):
+        mp = [
+            os.path.join(t, "manifests", f)
+            for f in os.listdir(os.path.join(t, "manifests"))
+            if f.endswith(".json")
+        ][-1]
+    with open(mp) as fh:
+        m = json.load(fh)
+    m.pop("file_stats", None)
+    os.remove(mp)
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+    from pyspark.sql.datasource import EqualTo
+
+    assert _kept(t, [EqualTo(("k",), 105)]) == 1  # footer stats still prune

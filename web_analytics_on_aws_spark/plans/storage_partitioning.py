@@ -114,6 +114,66 @@ def _ensure_bucket_table(spark: SparkSession, sf_dir: str) -> str:
     return table
 
 
+def _ensure_clustered_stats_table(spark: SparkSession, sf_dir: str) -> str:
+    """An UNPARTITIONED snapshot table whose files are range-disjoint on
+    ``ts`` (one repartitionByRange before the commit): every file skip on
+    a ts predicate must come from MANIFEST COLUMN STATS alone
+    (snapshots.collect_file_stats — Iceberg lower/upper bounds), since
+    there is no partition spec and planning never opens a footer."""
+    from web_analytics_on_aws_spark.sources import snapshots
+
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _fingerprint(src)
+    table, marker, fresh = _scratch(sf_dir, "stats", fp)
+    if fresh and snapshots.current_version(table) is not None:
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartitionByRange(8, "ts")
+    )
+    snapshots.commit_append(ev, table)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        json.dump(fp, fh)
+    return table
+
+
+@query(
+    "snapshot_stats_minmax_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS first_id,
+           CAST(MAX(event_id) AS BIGINT) AS last_id
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def snapshot_stats_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-window rollup over a ts-range-clustered UNPARTITIONED snapshot
+    table: file skipping comes from manifest column stats alone (per-file
+    lower/upper bounds recorded at commit — zero footer I/O at planning;
+    at 100 TB that is one manifest read instead of ~100k footer opens).
+    Pruning pin: tests/test_manifest_stats.py
+    ::test_planning_skips_without_footer_io. Oracle: same predicate over
+    the source parquet — skipping must be invisible in the results."""
+    table = _ensure_clustered_stats_table(spark, sf_dir)
+    cutoff = "2024-01-28 00:00:00"
+    return (
+        _snapshot_read(spark, table)
+        .filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("event_id").cast("bigint").alias("first_id"),
+            F.max("event_id").cast("bigint").alias("last_id"),
+        )
+    )
+
+
 def _ensure_weblog_event_table(spark: SparkSession, sf_dir: str) -> str:
     """The reference's own table shape — ``PARTITIONED BY (event)`` with
     unique-key upserts (web-analytics-iceberg/README.md:181 +

@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # int64-micros timestamps (Iceberg's mandated physical type), NOT
+        # Spark's legacy INT96: INT96 columns carry no parquet min/max
+        # stats, which silently disables both footer skipping AND manifest
+        # column stats (collect_file_stats) on every timestamp column
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python DataSource filter pushdown (snapshot format file skipping)

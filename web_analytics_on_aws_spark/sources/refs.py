@@ -205,6 +205,7 @@ def _clone_manifest(src: str, dst: str, op: str) -> int:
     m = _read_manifest(src, cur)
     seq = _manifest_file_seq(m)
     fp = m.get("file_partitions", {})
+    fs = m.get("file_stats", {})
     _publish(
         dst, 1, [os.path.abspath(f) for f in m["files"]], op,
         constraints=m.get("constraints", {}),
@@ -223,6 +224,9 @@ def _clone_manifest(src: str, dst: str, op: str) -> int:
         partitioning=m.get("partitioning"),
         file_partitions={
             os.path.abspath(f): fp[f] for f in m["files"] if f in fp
+        },
+        file_stats={
+            os.path.abspath(f): fs[f] for f in m["files"] if f in fs
         },
     )
     return cur
@@ -314,6 +318,7 @@ def fast_forward(table: str, name: str) -> int:
 
     files = [_adopt(f) for f in bh["files"]]
     bfp = bh.get("file_partitions", {})
+    bfs = bh.get("file_stats", {})
     _publish(
         table, cur + 1, files, "fast_forward",
         constraints=bh.get("constraints", {}),
@@ -332,6 +337,9 @@ def fast_forward(table: str, name: str) -> int:
         partitioning=bh.get("partitioning"),
         file_partitions={
             _adopt(f): bfp[f] for f in bh["files"] if f in bfp
+        },
+        file_stats={
+            _adopt(f): bfs[f] for f in bh["files"] if f in bfs
         },
     )
     return cur + 1
@@ -376,12 +384,19 @@ def commit_append_wap(df: DataFrame, table: str, wap_id: str) -> str:
         check_constraints(
             _logical(df.sparkSession.read.parquet(*new_files), sch), cons
         )
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        collect_file_stats,
+    )
+
     body = {
         "wap_id": wap_id,
         "base_version": current_version(table),
         "new_files": sorted(new_files),
         "staged_at": time.time(),
         "validated_constraints": cons,
+        # manifest column stats collected at STAGE time (the files are
+        # final); publish just adopts them
+        "file_stats": collect_file_stats(new_files),
     }
     tmp = _wap_path(table, wap_id) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -469,6 +484,7 @@ def publish_wap(
                 "publish_wap",
                 delete_files=_manifest_deletes(prev_m),
                 eq_deletes=_manifest_eq_deletes(prev_m),
+                file_stats=w.get("file_stats"),
             )
             os.remove(_wap_path(table, wap_id))
             return version

@@ -191,6 +191,21 @@ def _arrow_type(ddl: str):
     raise ValueError(f"unsupported type in schema block: {ddl!r}")
 
 
+def _decode_stat(v):
+    """Inverse of snapshots.collect_file_stats' JSON encoding: tagged
+    lists back to datetime/date/Decimal, scalars pass through."""
+    if isinstance(v, list) and len(v) == 2 and v[0] in ("t", "d", "n"):
+        import datetime
+        import decimal
+
+        if v[0] == "t":
+            return datetime.datetime.fromisoformat(v[1])
+        if v[0] == "d":
+            return datetime.date.fromisoformat(v[1])
+        return decimal.Decimal(v[1])
+    return v
+
+
 _COMPARES = {
     EqualTo: lambda lo, hi, v: lo <= v <= hi,
     GreaterThan: lambda lo, hi, v: hi > v,
@@ -218,6 +233,10 @@ class SnapshotReader(DataSourceReader):
         # (pure manifest lookup, cheaper than opening a parquet footer)
         self._parts = m.get("file_partitions", {})
         self._specs = (m.get("partitioning") or {}).get("specs", {})
+        # manifest column stats (snapshots.collect_file_stats — Iceberg's
+        # lower/upper bounds): files with an entry are min/max-checked from
+        # the manifest ALONE; only legacy files fall back to a footer open
+        self._stats = m.get("file_stats", {})
         # Bloom sidecar (sources/bloom_index.py): consulted at planning for
         # EqualTo/In probes where min/max envelopes can't prune (high-
         # cardinality equality lookups). Files without an entry are never
@@ -285,6 +304,25 @@ class SnapshotReader(DataSourceReader):
                     may_contain(entry, v) for v in f.value
                 ):
                     return False
+        stats = self._stats.get(path)
+        if stats is not None:
+            # manifest column stats: the entry was computed from THIS
+            # file's footer at commit time, so planning decides from the
+            # manifest alone — zero footer I/O. A column missing from the
+            # entry (all-null, long strings, unsupported type) keeps the
+            # file, same contract as footer stats being absent.
+            for f in self._pushed:
+                col = self._map.get(f.attribute[0], f.attribute[0])
+                ent = stats.get(col)
+                if ent is None:
+                    continue
+                lo, hi = _decode_stat(ent[0]), _decode_stat(ent[1])
+                try:
+                    if not _COMPARES[type(f)](lo, hi, f.value):
+                        return False
+                except TypeError:
+                    continue  # incomparable literal/stat → keep the file
+            return True
         meta = pq.ParquetFile(path).metadata
         names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
         for f in self._pushed:

@@ -140,6 +140,7 @@ def _publish(
     schema=_CARRY_SCHEMA,
     partitioning=_CARRY_SCHEMA,
     file_partitions: dict[str, dict] | None = None,
+    file_stats: dict[str, dict] | None = None,
 ) -> None:
     os.makedirs(os.path.join(table, MANIFEST_DIR), exist_ok=True)
     body = {
@@ -164,6 +165,7 @@ def _publish(
     prev_schema = None
     prev_part = None
     prev_fp: dict[str, dict] = {}
+    prev_fs: dict[str, dict] = {}
     # Exactly-once stamps survive vacuum: every manifest carries the full
     # per-app txn map forward (merged from the predecessor), so replay
     # detection never depends on aged-out history. Rewrites (overwrite/DML/
@@ -181,6 +183,7 @@ def _publish(
             prev_schema = prev.get("schema")
             prev_part = prev.get("partitioning")
             prev_fp = prev.get("file_partitions", {})
+            prev_fs = prev.get("file_stats", {})
         except FileNotFoundError:
             # predecessor manifest missing (e.g. manual cleanup outside
             # vacuum's contract) — fall back to the
@@ -195,6 +198,7 @@ def _publish(
                 prev_schema = prev.get("schema")
                 prev_part = prev.get("partitioning")
                 prev_fp = prev.get("file_partitions", {})
+                prev_fs = prev.get("file_stats", {})
     body["committed_at"] = max(body["committed_at"], prev_committed + 1e-3)
     # Column-mapping schema rides the manifest like constraints/txns:
     # carried forward unchanged unless the commit explicitly replaces it
@@ -214,6 +218,12 @@ def _publish(
     fp.update(file_partitions or {})
     if fp:
         body["file_partitions"] = fp
+    # manifest column stats carry exactly like partition tuples: kept
+    # files keep theirs, this commit's new files merge on top
+    fs = {f: prev_fs[f] for f in files if f in prev_fs}
+    fs.update(file_stats or {})
+    if fs:
+        body["file_stats"] = fs
     # Sequence stamping: carried files keep their original commit seq, new
     # files get THIS version — the ordering equality deletes resolve
     # against (delete seq > file seq ⇒ the delete applies). A carried file
@@ -255,6 +265,76 @@ def _publish(
         ) from None
     finally:
         os.unlink(tmp)
+
+
+_STATS_MAX_STR = 96
+
+
+def collect_file_stats(paths: list[str]) -> dict[str, dict]:
+    """Per-file column min/max for the manifest — Iceberg's
+    lower_bounds/upper_bounds, collected ONCE at commit time from the
+    just-written footers (driver-side, page-cache-warm, O(new files))
+    so scan PLANNING never opens a footer again: at 100 TB / ~100k files
+    the footer-stat skip costs ~100k small reads per query just to plan;
+    manifest stats make it a dict lookup (the same argument as partition
+    tuples, one layer finer).
+
+    Values are JSON-encoded with a type tag (``["t", iso]`` timestamps,
+    ``["d", iso]`` dates, ``["n", str]`` decimals, raw for
+    int/float/str/bool). Strings longer than 96 chars skip the column for
+    that file (a truncated upper bound would need Iceberg's
+    increment-last-char dance — absent stats are merely conservative).
+    Columns with no footer stats (all-null, unsupported physical type)
+    are simply absent — the reader keeps the file."""
+    import datetime as _dt
+    import decimal
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+
+    def enc(v):
+        if isinstance(v, bool) or isinstance(v, (int, float)):
+            return v
+        if isinstance(v, str):
+            return v if len(v) <= _STATS_MAX_STR else None
+        if isinstance(v, _dt.datetime):
+            # TIMESTAMP_MICROS is UTC-adjusted, so pyarrow hands back an
+            # AWARE datetime; pushed literals arrive NAIVE in the (UTC)
+            # session zone — store naive UTC so the two compare
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return ["t", v.isoformat()]
+        if isinstance(v, _dt.date):
+            return ["d", v.isoformat()]
+        if isinstance(v, decimal.Decimal):
+            return ["n", str(v)]
+        return None  # bytes / unknown — skip
+
+    for p in paths:
+        meta = pq.ParquetFile(p).metadata
+        names = {
+            meta.schema.column(i).name: i for i in range(meta.num_columns)
+        }
+        cols: dict[str, list] = {}
+        for name, idx in names.items():
+            lo = hi = None
+            ok = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if not ok or lo is None:
+                continue
+            elo, ehi = enc(lo), enc(hi)
+            if elo is None or ehi is None:
+                continue
+            cols[name] = [elo, ehi]
+        out[p] = cols
+    return out
 
 
 def _scan_files(spark: SparkSession, files: list[str], sch: dict | None):
@@ -366,6 +446,7 @@ def commit_append(
         validated = cons
 
     _validate(table_constraints(table))
+    new_stats = collect_file_stats(new_files)
     # An append's payload is position-independent, so a CAS loss is resolved
     # by re-reading the new head and re-publishing on top of it (data files
     # are already durable — only the manifest pointer moves).
@@ -386,6 +467,7 @@ def commit_append(
                 delete_files=_manifest_deletes(prev_m),
                 eq_deletes=_manifest_eq_deletes(prev_m),
                 file_partitions=fparts,
+                file_stats=new_stats,
             )
             return version
         except CommitConflict:
@@ -443,6 +525,7 @@ def commit_overwrite(
     _publish(
         table, version, new_files, "overwrite", txn=txn,
         file_partitions=fparts,
+        file_stats=collect_file_stats(new_files),
     )
     return version
 
@@ -809,7 +892,10 @@ def _rewrite_matched(
                     _logical(spark.read.parquet(*new_files), sch), cons
                 )
     version = cur + 1
-    _publish(table, version, kept + new_files, op)
+    _publish(
+        table, version, kept + new_files, op,
+        file_stats=collect_file_stats(new_files),
+    )
     return {
         "version": version,
         "operation": op,
@@ -1268,7 +1354,10 @@ def compact_deletes(spark: SparkSession, table: str) -> dict:
     )
     new_files = _write_data_files(survivors, table)
     version = cur + 1
-    _publish(table, version, kept + new_files, "compact-deletes")
+    _publish(
+        table, version, kept + new_files, "compact-deletes",
+        file_stats=collect_file_stats(new_files),
+    )
     return {
         "version": version,
         "operation": "compact-deletes",
@@ -1441,7 +1530,10 @@ def cluster_zorder(
     )
     new_files = _write_data_files(clustered, table)
     version = cur + 1
-    _publish(table, version, new_files, "cluster-zorder")
+    _publish(
+        table, version, new_files, "cluster-zorder",
+        file_stats=collect_file_stats(new_files),
+    )
     from web_analytics_on_aws_spark.sources.bloom_index import refresh_if_present
 
     refresh_if_present(spark, table)
@@ -1532,6 +1624,7 @@ def optimize(
     _publish(
         table, version, kept + new_files, "optimize",
         file_partitions=new_fp or None,
+        file_stats=collect_file_stats(new_files),
     )
     from web_analytics_on_aws_spark.sources.bloom_index import refresh_if_present
 
@@ -1986,7 +2079,10 @@ def merge_into(
                 _logical(spark.read.parquet(*new_files), sch), cons
             )
         version = cur + 1
-        _publish(table, version, kept + new_files, "merge", txn=txn)
+        _publish(
+            table, version, kept + new_files, "merge", txn=txn,
+            file_stats=collect_file_stats(new_files),
+        )
         return {
             "version": version,
             "operation": "merge",
