@@ -575,6 +575,43 @@ def test_merge_snapshot_keeps_identity_spec(registered, tmp_path):
     )
 
 
+def test_wap_stage_routes_through_spec(registered, tmp_path):
+    """A write-audit-publish staged append on a partitioned table routes
+    through the spec at STAGE time; publish adopts the tuples — no
+    untupled (unprunable) files ever reach main."""
+    from web_analytics_on_aws_spark.sources.refs import (
+        commit_append_wap,
+        publish_wap,
+        read_wap,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    df = _events_df(spark, 48)
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("ts", "day")])
+    commit_append(df, t)
+    n_before = len(_tuples(t))
+
+    staged = df.withColumn("id", F.col("id") + 1000)
+    commit_append_wap(staged, t, "audit1")
+    # stage invisible on main; audit view sees both
+    assert read_snapshot(spark, t).count() == 48
+    assert read_wap(spark, t, "audit1").count() == 96
+
+    publish_wap(t, "audit1")
+    assert len(_tuples(t)) > n_before
+    # every published staged file carries a day tuple: only the pre-spec
+    # seed remains untupled
+    assert _untupled(t) == 1
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    assert _kept(
+        t, [GreaterThanOrEqual(("ts",), datetime.datetime(2030, 1, 1))]
+    ) == _untupled(t)
+    assert read_snapshot(spark, t).count() == 96
+
+
 def test_partition_spec_survives_restore(registered, tmp_path):
     spark = registered
     t = str(tmp_path / "t")

@@ -369,12 +369,28 @@ def commit_append_wap(df: DataFrame, table: str, wap_id: str) -> str:
         _read_manifest,
     )
 
-    sch = _read_manifest(table, current_version(table)).get("schema")
+    m_head = _read_manifest(table, current_version(table))
+    sch = m_head.get("schema")
     if sch is not None:
         from web_analytics_on_aws_spark.sources.evolution import to_physical
 
         df = to_physical(df, sch, "commit_append_wap")
-    new_files = _write_data_files(df, table)
+    # hidden partitioning: a staged append routes through the current spec
+    # exactly like commit_append — otherwise publishing a WAP batch would
+    # silently leave untupled (unprunable) files in a partitioned table
+    pblock = m_head.get("partitioning") or {}
+    cur_spec = int(pblock.get("current") or 0)
+    fparts: dict[str, dict] = {}
+    if cur_spec:
+        from web_analytics_on_aws_spark.sources.partitioning import (
+            write_partitioned_files,
+        )
+
+        new_files, fparts = write_partitioned_files(
+            df, table, cur_spec, pblock["specs"][str(cur_spec)]
+        )
+    else:
+        new_files = _write_data_files(df, table)
     # CHECK constraints gate the stage exactly like commit_append gates
     # the publish: validate the WRITTEN BYTES so a staged append can never
     # carry constraint-violating rows toward publish_wap. The validated
@@ -394,9 +410,10 @@ def commit_append_wap(df: DataFrame, table: str, wap_id: str) -> str:
         "new_files": sorted(new_files),
         "staged_at": time.time(),
         "validated_constraints": cons,
-        # manifest column stats collected at STAGE time (the files are
-        # final); publish just adopts them
+        # manifest column stats + partition tuples collected at STAGE time
+        # (the files are final); publish just adopts them
         "file_stats": collect_file_stats(new_files),
+        "file_partitions": fparts,
     }
     tmp = _wap_path(table, wap_id) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -430,14 +447,13 @@ def read_wap(spark: SparkSession, table: str, wap_id: str) -> DataFrame:
     from web_analytics_on_aws_spark.sources.snapshots import (
         _logical,
         _read_manifest,
+        _scan_files,
     )
 
     w = _read_wap_manifest(table, wap_id)
     head = read_snapshot(spark, table)
-    staged = _logical(
-        spark.read.option("mergeSchema", "true").parquet(*w["new_files"]),
-        _read_manifest(table, current_version(table)).get("schema"),
-    )
+    sch = _read_manifest(table, current_version(table)).get("schema")
+    staged = _logical(_scan_files(spark, w["new_files"], sch), sch)
     return head.unionByName(staged, allowMissingColumns=True)
 
 
@@ -485,6 +501,7 @@ def publish_wap(
                 delete_files=_manifest_deletes(prev_m),
                 eq_deletes=_manifest_eq_deletes(prev_m),
                 file_stats=w.get("file_stats"),
+                file_partitions=w.get("file_partitions"),
             )
             os.remove(_wap_path(table, wap_id))
             return version
