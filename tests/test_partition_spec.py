@@ -612,6 +612,38 @@ def test_wap_stage_routes_through_spec(registered, tmp_path):
     assert read_snapshot(spark, t).count() == 96
 
 
+def test_compact_deletes_preserves_tuples(registered, tmp_path):
+    """MOR sidecar fold-in rewrites within partition groups (same contract
+    as optimize): a day-partitioned streaming table keeps its tuples —
+    and therefore manifest pruning — as maintenance folds deletes in."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        compact_deletes,
+        delete_where_mor,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    df = _events_df(spark, 96)  # 4 days
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("ts", "day")])
+    commit_append(df, t)
+    delete_where_mor(spark, t, "id % 5 = 0")
+    res = compact_deletes(spark, t)
+    assert res["files_rewritten"] > 0
+    m = _read_manifest(t, current_version(t))
+    fp = m.get("file_partitions", {})
+    # every rewritten survivor kept a day tuple; only the seed is untupled
+    assert _untupled(t) == 1
+    assert {e["values"]["ts_day"] for e in fp.values()} == {
+        "2024-03-05", "2024-03-06", "2024-03-07", "2024-03-08"
+    }
+    from pyspark.sql.datasource import EqualTo
+
+    lit = datetime.datetime(2024, 3, 6, 12, 0, 0)
+    assert _kept(t, [EqualTo(("ts",), lit)]) < _total(t)
+    assert read_snapshot(spark, t).count() == df.filter("id % 5 != 0").count()
+
+
 def test_partition_spec_survives_restore(registered, tmp_path):
     spark = registered
     t = str(tmp_path / "t")

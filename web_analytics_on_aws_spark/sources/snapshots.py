@@ -1347,15 +1347,36 @@ def compact_deletes(spark: SparkSession, table: str) -> dict:
             f"{sorted(unknown)[:3]}"
         )
     kept = [f for f in files if f not in touched]
-    survivors = _apply_position_deletes(
-        spark,
-        _scan_files(spark, sorted(touched), m.get("schema")),
-        dvs,
-    )
-    new_files = _write_data_files(survivors, table)
+    # partition-aware fold-in (same contract as optimize): touched files
+    # rewrite WITHIN their partition-tuple group and the survivors inherit
+    # the tuple, so a MOR streaming table keeps manifest pruning as its
+    # sidecars fold in instead of degrading to footer-stat skipping
+    head_fp = m.get("file_partitions", {})
+    groups: dict = {}
+    for f in sorted(touched):
+        e = head_fp.get(f)
+        gkey = (
+            (e["spec_id"], tuple(sorted(e["values"].items())))
+            if e is not None
+            else None
+        )
+        groups.setdefault(gkey, []).append(f)
+    new_files: list[str] = []
+    new_fp: dict[str, dict] = {}
+    for gkey, grp in groups.items():
+        survivors = _apply_position_deletes(
+            spark, _scan_files(spark, grp, m.get("schema")), dvs
+        )
+        outs = _write_data_files(survivors, table)
+        new_files += outs
+        if gkey is not None:
+            spec_id, vals = gkey
+            for p in outs:
+                new_fp[p] = {"spec_id": spec_id, "values": dict(vals)}
     version = cur + 1
     _publish(
         table, version, kept + new_files, "compact-deletes",
+        file_partitions=new_fp or None,
         file_stats=collect_file_stats(new_files),
     )
     return {
