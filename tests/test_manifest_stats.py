@@ -193,3 +193,76 @@ def test_legacy_manifest_footer_fallback(registered, tmp_path):
     from pyspark.sql.datasource import EqualTo
 
     assert _kept(t, [EqualTo(("k",), 105)]) == 1  # footer stats still prune
+
+
+# ---------------------------------------------------------------------------
+# write sort order (set_sort_order) — the layout half of manifest stats
+# ---------------------------------------------------------------------------
+
+
+def test_sort_order_makes_bounds_disjoint(registered, tmp_path):
+    """WRITE ORDERED BY: without an order, every file of a shuffled append
+    spans the full key range (no file can ever be skipped); with the
+    order set, the range-exchange write gives each file a narrow band and
+    an equality probe plans O(1) files — manifest stats are only as good
+    as the layout, and the sort order is what makes them good."""
+    import pyspark.sql.functions as F
+
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        set_sort_order,
+        table_sort_order,
+    )
+
+    spark = registered
+    shuffled = (
+        spark.range(3000)
+        .select((F.col("id") * 1315423911 % 3000).alias("k"))
+        .repartition(4)  # 4 shuffled files, each spanning ~[0, 3000)
+    )
+    t_unsorted = str(tmp_path / "u")
+    commit_append(shuffled, t_unsorted)
+    from pyspark.sql.datasource import EqualTo
+
+    assert _kept(t_unsorted, [EqualTo(("k",), 1500)]) >= 4  # nothing skips
+
+    t_sorted = str(tmp_path / "s")
+    commit_append(shuffled.limit(0), t_sorted)
+    v = set_sort_order(spark, t_sorted, ["k"])
+    assert v == 2 and table_sort_order(t_sorted) == ["k"]
+    coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        commit_append(shuffled, t_sorted)
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", coalesce
+        )
+    st = [e for e in _stats(t_sorted).values() if e]
+    assert len(st) >= 4
+    # disjoint bands: each file's k-range overlaps no other's
+    bands = sorted((e["k"][0], e["k"][1]) for e in st)
+    assert all(bands[i][1] < bands[i + 1][0] for i in range(len(bands) - 1))
+    kept = _kept(t_sorted, [EqualTo(("k",), 1500)])
+    assert kept <= 2  # O(1) files for a point probe (+ empty seed at most)
+    got = (
+        registered.read.format("snapshot").option("path", t_sorted).load()
+        .filter("k = 1500")
+    )
+    assert got.count() == shuffled.filter("k = 1500").count()
+
+
+def test_sort_order_metadata_carries_and_clears(spark, tmp_path):
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        set_sort_order,
+        table_sort_order,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(spark.range(10).selectExpr("id as k"), t)
+    set_sort_order(spark, t, ["k"])
+    commit_append(spark.range(10, 20).selectExpr("id as k"), t)
+    assert table_sort_order(t) == ["k"]  # carried across commits
+    set_sort_order(spark, t, [])
+    assert table_sort_order(t) is None
+    with pytest.raises(ValueError, match="not in table"):
+        set_sort_order(spark, t, ["nope"])

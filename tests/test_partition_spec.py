@@ -644,6 +644,37 @@ def test_compact_deletes_preserves_tuples(registered, tmp_path):
     assert read_snapshot(spark, t).count() == df.filter("id % 5 != 0").count()
 
 
+def test_upsert_keys_mor_routes_through_spec(registered, tmp_path):
+    """The streaming MOR upsert (upsert_keys_mor — the snapshot_sink
+    write path) appends its data half through the current spec: tuples
+    recorded, key sidecars untupled (they are delete metadata), and the
+    table never slowly de-partitions under a streaming upsert load."""
+    from web_analytics_on_aws_spark.sources.snapshots import upsert_keys_mor
+
+    spark = registered
+    t = str(tmp_path / "t")
+    df = _events_df(spark, 96)
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("ts", "day")])
+    commit_append(df, t)
+    n_before = len(_tuples(t))
+
+    batch = df.filter("id % 3 = 0").withColumn(
+        "uid", F.col("uid") + 100
+    )
+    upsert_keys_mor(spark, t, batch, keys=["id"])
+    m = _read_manifest(t, current_version(t))
+    tuples = _tuples(t)
+    assert len(tuples) > n_before  # new data files carry day tuples
+    # read-back: upserted rows replaced, partition routing intact
+    got = {r.id: r.uid for r in read_snapshot(spark, t).collect()}
+    assert len(got) == 96 and got[0] == 100 and got[1] == 1
+    # new data files have manifest stats too
+    fs = m.get("file_stats", {})
+    new_data = [f for f in m["files"] if f in tuples and f in fs]
+    assert new_data
+
+
 def test_partition_spec_survives_restore(registered, tmp_path):
     spark = registered
     t = str(tmp_path / "t")

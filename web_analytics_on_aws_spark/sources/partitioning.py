@@ -571,6 +571,7 @@ def write_partitioned_files(
     spec_id: int,
     fields: list[dict],
     fanout: int | None = None,
+    sort_cols: list[str] | None = None,
 ) -> tuple[list[str], dict[str, dict]]:
     """Route ``df`` (already in PHYSICAL column names) through the current
     spec's transforms and write one parquet leaf per partition value under
@@ -619,6 +620,11 @@ def write_partitioned_files(
         routed = routed.repartition(max(n, par), *parts)
     else:
         routed = routed.repartition(*parts)
+    if sort_cols:
+        # table write order (snapshots.set_sort_order): locally ordered
+        # within each partition leaf — rows per file come out sorted, so
+        # per-file column bounds are tight on the order columns
+        routed = routed.sortWithinPartitions(*names, *sort_cols)
     routed.write.mode("error").partitionBy(*names).parquet(part_dir)
     files: list[str] = []
     tuples: dict[str, dict] = {}

@@ -228,6 +228,7 @@ def _clone_manifest(src: str, dst: str, op: str) -> int:
         file_stats={
             os.path.abspath(f): fs[f] for f in m["files"] if f in fs
         },
+        sort_order=m.get("sort_order"),
     )
     return cur
 
@@ -341,6 +342,7 @@ def fast_forward(table: str, name: str) -> int:
         file_stats={
             _adopt(f): bfs[f] for f in bh["files"] if f in bfs
         },
+        sort_order=bh.get("sort_order"),
     )
     return cur + 1
 

@@ -141,6 +141,7 @@ def _publish(
     partitioning=_CARRY_SCHEMA,
     file_partitions: dict[str, dict] | None = None,
     file_stats: dict[str, dict] | None = None,
+    sort_order=_CARRY_SCHEMA,
 ) -> None:
     os.makedirs(os.path.join(table, MANIFEST_DIR), exist_ok=True)
     body = {
@@ -164,6 +165,7 @@ def _publish(
     prev_files: set[str] = set()
     prev_schema = None
     prev_part = None
+    prev_sort = None
     prev_fp: dict[str, dict] = {}
     prev_fs: dict[str, dict] = {}
     # Exactly-once stamps survive vacuum: every manifest carries the full
@@ -182,6 +184,7 @@ def _publish(
             prev_committed = float(prev.get("committed_at", 0.0))
             prev_schema = prev.get("schema")
             prev_part = prev.get("partitioning")
+            prev_sort = prev.get("sort_order")
             prev_fp = prev.get("file_partitions", {})
             prev_fs = prev.get("file_stats", {})
         except FileNotFoundError:
@@ -197,6 +200,7 @@ def _publish(
                 prev_committed = float(prev.get("committed_at", 0.0))
                 prev_schema = prev.get("schema")
                 prev_part = prev.get("partitioning")
+                prev_sort = prev.get("sort_order")
                 prev_fp = prev.get("file_partitions", {})
                 prev_fs = prev.get("file_stats", {})
     body["committed_at"] = max(body["committed_at"], prev_committed + 1e-3)
@@ -214,6 +218,9 @@ def _publish(
     eff_part = prev_part if partitioning is _CARRY_SCHEMA else partitioning
     if eff_part:
         body["partitioning"] = eff_part
+    eff_sort = prev_sort if sort_order is _CARRY_SCHEMA else sort_order
+    if eff_sort:
+        body["sort_order"] = eff_sort
     fp = {f: prev_fp[f] for f in files if f in prev_fp}
     fp.update(file_partitions or {})
     if fp:
@@ -361,6 +368,71 @@ def _scan_files(spark: SparkSession, files: list[str], sch: dict | None):
     return spark.read.schema(struct).parquet(*files)
 
 
+def table_sort_order(table: str, version: int | None = None):
+    """The write sort order current at ``version`` (default head) as a
+    list of PHYSICAL column names, or None."""
+    v = current_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    block = _read_manifest(table, v).get("sort_order")
+    return block.get("cols") if block else None
+
+
+def set_sort_order(spark: SparkSession, table: str, order: list[str]) -> int:
+    """ALTER TABLE ... WRITE ORDERED BY (Iceberg sort orders): a
+    METADATA-ONLY commit declaring the order future writes lay rows out
+    in. Unpartitioned appends then range-exchange + locally sort on the
+    order columns, so each data file covers a narrow value band and the
+    manifest column stats (collect_file_stats) prune range predicates to
+    O(1) files; partitioned appends sort locally within each partition
+    leaf (Iceberg's locally-ordered write). Existing files are untouched
+    — layout converges as data is written/rewritten, exactly Iceberg's
+    contract. Pass ``[]`` to clear. Columns are LOGICAL names."""
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    m = _read_manifest(table, cur)
+    sch = m.get("schema")
+    if order:
+        if sch is not None:
+            from web_analytics_on_aws_spark.sources.evolution import (
+                translate_keys,
+            )
+
+            cols = translate_keys(sch, list(order), "set_sort_order")
+        else:
+            cols = list(order)
+            have = set(_table_columns(spark, m)) if m["files"] else set(cols)
+            missing = sorted(set(cols) - have)
+            if missing:
+                raise ValueError(
+                    f"set_sort_order: columns {missing} not in table"
+                )
+        block = {"cols": cols}
+    else:
+        block = None
+    _publish(
+        table, cur + 1, m["files"], "set-sort-order",
+        delete_files=_manifest_deletes(m),
+        eq_deletes=_manifest_eq_deletes(m),
+        file_seq=_manifest_file_seq(m),
+        sort_order=block,
+    )
+    return cur + 1
+
+
+def _sorted_for_write(df: DataFrame, m_prev: dict) -> DataFrame:
+    """Apply the table's declared write order to an UNPARTITIONED write:
+    one range exchange (sampled bounds — skew-proof file sizes, AQE
+    coalesces the partition count) + local sort. The declared-order write
+    is what turns manifest column stats from overlapping envelopes into
+    disjoint bands."""
+    cols = (m_prev.get("sort_order") or {}).get("cols")
+    if not cols:
+        return df
+    return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+
+
 def _write_data_files(df: DataFrame, table: str) -> list[str]:
     """Write df as immutable parts under data/<commit-uuid>/ and return
     their paths. The directory is unique per commit, so a failed write can
@@ -423,10 +495,11 @@ def commit_append(
         )
 
         new_files, fparts = write_partitioned_files(
-            df, table, cur_spec, pblock["specs"][str(cur_spec)]
+            df, table, cur_spec, pblock["specs"][str(cur_spec)],
+            sort_cols=(m_prev.get("sort_order") or {}).get("cols"),
         )
     else:
-        new_files = _write_data_files(df, table)
+        new_files = _write_data_files(_sorted_for_write(df, m_prev), table)
     # CHECK constraints validate the WRITTEN BYTES (not df's lineage, which
     # the write already re-executed — validating the plan a second time
     # would double cost AND let a nondeterministic input publish rows that
@@ -511,10 +584,11 @@ def commit_overwrite(
         )
 
         new_files, fparts = write_partitioned_files(
-            df, table, cur_spec, pblock["specs"][str(cur_spec)]
+            df, table, cur_spec, pblock["specs"][str(cur_spec)],
+            sort_cols=(m_prev.get("sort_order") or {}).get("cols"),
         )
     else:
-        new_files = _write_data_files(df, table)
+        new_files = _write_data_files(_sorted_for_write(df, m_prev), table)
     cons = table_constraints(table)
     if cons:
         # validate the written bytes (see commit_append)
@@ -1169,7 +1243,24 @@ def upsert_keys_mor(
         _check_metadata_path_roundtrip(spark, m["files"])
         src_proj = src.select(*table_cols)
         sidecars = _write_data_files(src.select(*keys), table)
-        data_files = _write_data_files(src_proj, table)
+        # the appended data half routes through the current partition spec
+        # exactly like commit_append — a streaming MOR upsert sink must not
+        # slowly de-partition its table (sidecar key files are delete
+        # metadata, not data: no tuples)
+        pblock = m.get("partitioning") or {}
+        cur_spec = int(pblock.get("current") or 0)
+        fparts: dict[str, dict] | None = None
+        if cur_spec:
+            from web_analytics_on_aws_spark.sources.partitioning import (
+                write_partitioned_files,
+            )
+
+            data_files, fparts = write_partitioned_files(
+                src_proj, table, cur_spec, pblock["specs"][str(cur_spec)],
+                sort_cols=(m.get("sort_order") or {}).get("cols"),
+            )
+        else:
+            data_files = _write_data_files(_sorted_for_write(src_proj, m), table)
         cons = table_constraints(table)
         if cons:
             check_constraints(
@@ -1182,6 +1273,8 @@ def upsert_keys_mor(
         _publish(
             table, version, m["files"] + data_files, "upsert-keys", txn=txn,
             delete_files=_manifest_deletes(m), eq_deletes=entries,
+            file_partitions=fparts,
+            file_stats=collect_file_stats(data_files),
         )
         return {
             "version": version,
@@ -1296,6 +1389,7 @@ def restore_version(spark: SparkSession, table: str, version: int) -> int:
         schema=target.get("schema"),
         partitioning=target.get("partitioning"),
         file_partitions=target.get("file_partitions"),
+        sort_order=target.get("sort_order"),
     )
     return new_version
 
