@@ -53,15 +53,25 @@ OPS = st.lists(
         st.tuples(st.just("upsert_mor"), st.integers(1, 3)),
         st.tuples(st.just("restore"), st.integers(1, 2)),
         st.tuples(st.just("maintain"), st.just(0)),
+        # round-6 metadata/layout ops — rows must be bit-identical across
+        # any interleaving of partition-spec changes, write sort orders,
+        # and type widening (each bumps a version but never changes data)
+        st.tuples(st.just("set_spec"), st.integers(0, 2)),
+        st.tuples(st.just("sort"), st.integers(0, 1)),
+        st.tuples(st.just("widen"), st.just(0)),
     ),
     min_size=2,
     max_size=5,
 )
 
+_SPECS = {0: [("id", "bucket[4]")], 1: [("id", "truncate[8]")], 2: []}
+
 
 def _df(spark, rows):
+    # val is INT so the widen op (int→bigint, metadata-only) is reachable;
+    # post-widen appends keep writing int bytes — the reader up-casts
     return spark.createDataFrame(
-        [(int(i), int(v)) for i, v in rows], "id long, val long"
+        [(int(i), int(v)) for i, v in rows], "id long, val int"
     ).coalesce(1)
 
 
@@ -86,6 +96,14 @@ def _dirty(t):
 # TEST's model (product restore was fine). Fixed: restore targets are
 # drawn from recorded versions only.
 @example(ops=[("upsert_mor", 1), ("merge", 1), ("restore", 2)])
+# round-6 seed shapes: spec + widen + restore crossing each other, widened
+# types crossing MOR + the change feed, sorted writes crossing compaction
+@example(ops=[("set_spec", 0), ("append", 2), ("widen", 0), ("append", 2),
+              ("restore", 1)])
+@example(ops=[("widen", 0), ("upsert_mor", 2), ("maintain", 0),
+              ("append", 1)])
+@example(ops=[("sort", 1), ("append", 3), ("mor_delete", 0),
+              ("set_spec", 1), ("merge", 1)])
 @given(ops=OPS)
 def test_any_commit_sequence_reads_and_streams_consistently(spark, ops):
     t = tempfile.mkdtemp(prefix="snap-prop-") + "/t"
@@ -145,6 +163,31 @@ def test_any_commit_sequence_reads_and_streams_consistently(spark, ops):
             model = dict(history[target])
         elif op == "maintain":
             maintain_table(spark, t, max_delete_files=0)
+        elif op == "set_spec":
+            from web_analytics_on_aws_spark.sources.partitioning import (
+                set_partition_spec,
+            )
+
+            set_partition_spec(spark, t, _SPECS[arg])
+        elif op == "sort":
+            from web_analytics_on_aws_spark.sources.snapshots import (
+                set_sort_order,
+            )
+
+            set_sort_order(spark, t, ["val"] if arg else [])
+        elif op == "widen":
+            from web_analytics_on_aws_spark.sources.evolution import (
+                evolve_widen_column,
+            )
+
+            sch = _read_manifest(t, current_version(t)).get("schema")
+            cur_type = (
+                next(f["type"] for f in sch["fields"] if f["name"] == "val")
+                if sch
+                else "int"
+            )
+            if cur_type == "int":
+                evolve_widen_column(spark, t, "val", "bigint")
         history[current_version(t)] = dict(model)
 
     # 1. head read ≡ model

@@ -2078,10 +2078,23 @@ def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mmr_greedy(cv: DataFrame) -> DataFrame:
-    """The distributed 10-step MMR greedy over a candidate pool ``cv`` of
+    """The 10-step MMR greedy over a candidate pool ``cv`` of
     (query_id, vec_id, rel_u, ev) — shared by the brute-pool audit and the
-    IVF-probed production variant; see retrieval_mmr_topk for the scale
-    shape (per-step window + tiny keyed join, incremental max-sim state)."""
+    IVF-probed production variant.
+
+    Scale shape: pairwise candidate sims are computed ONCE, JVM-side
+    (|Q| × 20 × 19 integer micro-sims — the same 6-dp-round + scale the
+    oracle uses), then the inherently k-SEQUENTIAL greedy runs inside one
+    cogrouped Arrow kernel per query group: pure int64 arithmetic (no
+    float enters until the final /1e7, so the kernel is bit-identical to
+    the unrolled SQL), distributing over |Q| — the axis that grows at
+    100 TB — in ONE Spark job. The previous formulation ran each greedy
+    step as its own window + keyed join (2 localCheckpoint jobs per step,
+    20 tiny jobs total): correct and distributed, but the per-job
+    scheduling floor dominated; k is fixed at 10 while |Q| is unbounded,
+    so group-parallel + in-kernel-sequential is the right decomposition."""
+    import pandas as pd
+
     from web_analytics_on_aws_spark.functions import cosine_similarity
 
     pairs = (
@@ -2099,65 +2112,55 @@ def _mmr_greedy(cv: DataFrame) -> DataFrame:
             .cast("long")
             .alias("sim_u"),
         )
-        .localCheckpoint()
     )
-    # ms starts NULL (empty selected set), NOT 0: sims can be NEGATIVE,
-    # and flooring the running max at 0 would under-penalize nothing but
-    # OVER-penalize candidates whose true max-sim-to-selected is negative
-    # (score = 7*rel - 3*ms grows when ms < 0). greatest() skips NULLs, so
-    # the first update seeds the true max.
-    state = cv.select(
-        "query_id", "vec_id", "rel_u", F.lit(None).cast("long").alias("ms")
+
+    def greedy(key, cv_pdf, pairs_pdf):
+        qid = key[0]
+        rel = {
+            int(v): int(r) for v, r in zip(cv_pdf["vec_id"], cv_pdf["rel_u"])
+        }
+        sim: dict[tuple[int, int], int] = {
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(
+                pairs_pdf["a"], pairs_pdf["b"], pairs_pdf["sim_u"]
+            )
+        }
+        # ms starts None (empty selected set), NOT 0: sims can be NEGATIVE,
+        # and flooring the running max at 0 would OVER-penalize candidates
+        # whose true max-sim-to-selected is negative (score = 7*rel - 3*ms
+        # grows when ms < 0).
+        ms: dict[int, int | None] = {v: None for v in rel}
+        remaining = set(rel)
+        out = []
+        for t in range(1, 11):
+            if not remaining:
+                break
+            # argmax of 7*rel_u - 3*(ms or 0), ties to the LOWER vec_id —
+            # the exact ordering of the unrolled-CTE oracle
+            best = min(
+                remaining,
+                key=lambda v: (-(7 * rel[v] - 3 * (ms[v] or 0)), v),
+            )
+            score = 7 * rel[best] - 3 * (ms[best] or 0)
+            out.append((qid, t, best, score / 10000000.0))
+            remaining.discard(best)
+            for v in remaining:
+                s = sim.get((v, best))
+                if s is not None:
+                    ms[v] = s if ms[v] is None else max(ms[v], s)
+        return pd.DataFrame(
+            out, columns=["query_id", "mmr_rank", "vec_id", "mmr_score"]
+        )
+
+    return (
+        cv.select("query_id", "vec_id", "rel_u")
+        .groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(
+            greedy,
+            "query_id long, mmr_rank long, vec_id long, mmr_score double",
+        )
     )
-    picks: list[DataFrame] = []
-    wsel = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("vec_id")
-    )
-    for t in range(1, 11):
-        st = (
-            state.withColumn(
-                "score",
-                7 * F.col("rel_u")
-                - 3 * F.coalesce("ms", F.lit(0).cast("long")),
-            )
-            .withColumn("rn", F.row_number().over(wsel))
-            .localCheckpoint()
-        )
-        picks.append(
-            st.filter(F.col("rn") == 1).select(
-                "query_id",
-                F.lit(t).cast("long").alias("mmr_rank"),
-                "vec_id",
-                (F.col("score") / F.lit(10000000.0)).alias("mmr_score"),
-            )
-        )
-        if t == 10:
-            break
-        pick_sims = pairs.join(
-            st.filter(F.col("rn") == 1).select(
-                "query_id", F.col("vec_id").alias("b")
-            ),
-            ["query_id", "b"],
-        ).select(
-            "query_id",
-            F.col("a").alias("vec_id"),
-            F.col("sim_u").alias("s_new"),
-        )
-        state = (
-            st.filter(F.col("rn") > 1)
-            .select("query_id", "vec_id", "rel_u", "ms")
-            .join(pick_sims, ["query_id", "vec_id"], "left")
-            .select(
-                "query_id",
-                "vec_id",
-                "rel_u",
-                F.greatest("ms", "s_new").alias("ms"),
-            )
-        )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out.select("query_id", "mmr_rank", "vec_id", "mmr_score")
 
 
 @query("retrieval_mmr_topk_indexed", oracle=_mmr_indexed_oracle)
