@@ -66,6 +66,7 @@ HEADLINE = [
     "weblog_event_partition_rollup",
     "retrieval_mmr_topk_indexed",
     "snapshot_stats_minmax_rollup",
+    "weblog_partitions_manifest_census",
 ]
 
 

@@ -43,6 +43,12 @@ def _kept(table, filters):
 
 
 def _stats(table):
+    """{path: column bounds} — the "cols" half of each file_stats entry."""
+    m = _read_manifest(table, current_version(table))
+    return {p: e.get("cols", {}) for p, e in m.get("file_stats", {}).items()}
+
+
+def _stats_full(table):
     return _read_manifest(table, current_version(table)).get("file_stats", {})
 
 
@@ -266,3 +272,74 @@ def test_sort_order_metadata_carries_and_clears(spark, tmp_path):
     assert table_sort_order(t) is None
     with pytest.raises(ValueError, match="not in table"):
         set_sort_order(spark, t, ["nope"])
+
+
+def test_rows_bytes_in_stats_and_footer_free_statistics(
+    spark, tmp_path, monkeypatch
+):
+    """file_stats carries per-file row/byte counts, so table_statistics on
+    a stats-bearing table opens ZERO footers (at 100k files: a dict fold
+    instead of 100k opens)."""
+    from web_analytics_on_aws_spark.sources.snapshots import table_statistics
+
+    t = _mk(spark, tmp_path)
+    full = _stats_full(t)
+    assert sorted(e["rows"] for e in full.values()) == [10, 10, 10]
+    assert all(e["bytes"] > 0 for e in full.values())
+
+    import pyarrow.parquet as pq
+
+    def boom(*a, **kw):
+        raise AssertionError("table_statistics opened a footer")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    st = table_statistics(t)
+    assert st == {
+        "row_count": 30,
+        "size_bytes": sum(e["bytes"] for e in full.values()),
+        "n_files": 3,
+        "exact": True,
+    }
+
+
+def test_show_table_partitions_manifest_only(registered, tmp_path, monkeypatch):
+    """SHOW PARTITIONS analog (reference D7): per-tuple file/row/byte
+    census answered from the manifest alone — zero file I/O."""
+    import pyspark.sql.functions as F
+
+    from web_analytics_on_aws_spark.sources.partitioning import (
+        set_partition_spec,
+        show_table_partitions,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    df = spark.range(300).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "view").otherwise("click").alias("ev"),
+    )
+    commit_append(df.limit(0), t)
+    set_partition_spec(spark, t, [("ev", "identity")])
+    commit_append(df, t)
+
+    import pyarrow.parquet as pq
+
+    def boom(*a, **kw):
+        raise AssertionError("show_table_partitions opened a footer")
+
+    monkeypatch.setattr(pq, "ParquetFile", boom)
+    parts = show_table_partitions(t)
+    by_val = {
+        p["values"]["ev"]: p for p in parts if p["values"] is not None
+    }
+    assert by_val["view"]["rows"] == 100
+    assert by_val["click"]["rows"] == 200
+    assert all(p["n_files"] >= 1 for p in parts)
+
+    # refuses while MOR sidecars are outstanding (counts would lie)
+    from web_analytics_on_aws_spark.sources.snapshots import delete_where_mor
+
+    monkeypatch.undo()
+    delete_where_mor(spark, t, "id % 10 = 0")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        show_table_partitions(t)

@@ -58,7 +58,9 @@ def _fingerprint(src: str) -> dict:
     return {
         "n": pq.ParquetFile(src).metadata.num_rows,
         "bytes": os.path.getsize(src),
-        "layout": 1,
+        # bumped when the scratch table FORMAT changes (2: manifest
+        # file_stats carry rows/bytes/cols — census queries need them)
+        "layout": 2,
     }
 
 
@@ -245,6 +247,38 @@ def weblog_event_partition_rollup(
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "weblog_partitions_manifest_census",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def weblog_partitions_manifest_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHOW PARTITIONS parity (reference D7) answered WITHOUT a scan: the
+    per-partition row census comes from the manifest alone — partition
+    tuples + per-file row counts (collect_file_stats) folded driver-side,
+    zero data-file/footer I/O at any table size. The oracle runs the
+    GROUP BY the metadata claims to equal; a green row proves the
+    manifest's bookkeeping matches the data through the MERGE-built
+    event-partitioned weblog table."""
+    from web_analytics_on_aws_spark.sources.partitioning import (
+        show_table_partitions,
+    )
+
+    table = _ensure_weblog_event_table(spark, sf_dir)
+    rows = [
+        (p["values"]["event_type"], p["rows"])
+        for p in show_table_partitions(table)
+        if p["values"] is not None and p["rows"]
+    ]
+    return spark.createDataFrame(rows, "event_type string, n_events bigint")
 
 
 @query(

@@ -647,3 +647,67 @@ def write_partitioned_files(
                 files.append(p)
                 tuples[p] = {"spec_id": spec_id, "values": values}
     return files, tuples
+
+
+def show_table_partitions(table: str, version: int | None = None) -> list[dict]:
+    """SHOW PARTITIONS for hidden-partitioned snapshot tables — reference
+    D7 parity (`SHOW PARTITIONS` over the Glue tables), answered from the
+    MANIFEST ALONE: one row per distinct partition tuple with its file
+    count plus row/byte totals from the per-file manifest stats
+    (snapshots.collect_file_stats). No data file or footer is opened — at
+    100 TB this is a dict fold over a KB-scale manifest.
+
+    ``rows``/``bytes`` are None when any of the tuple's files predates
+    manifest stats (conservative, never wrong). Raises while MOR delete
+    sidecars are outstanding — per-partition live counts would lie until
+    maintenance folds them in."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        _manifest_deletes,
+        _manifest_eq_deletes,
+        _read_manifest,
+        current_version,
+    )
+
+    v = current_version(table) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    m = _read_manifest(table, v)
+    if _manifest_deletes(m) or _manifest_eq_deletes(m):
+        raise ValueError(
+            f"{table} has outstanding merge-on-read deletes; run "
+            "maintain_table first — per-partition counts would be stale"
+        )
+    fp = m.get("file_partitions", {})
+    fs = m.get("file_stats", {})
+    groups: dict[tuple, dict] = {}
+    for f in m["files"]:
+        e = fp.get(f)
+        key = (
+            (e["spec_id"], tuple(sorted(e["values"].items())))
+            if e is not None
+            else None
+        )
+        g = groups.setdefault(
+            key, {"n_files": 0, "rows": 0, "bytes": 0, "exact": True}
+        )
+        g["n_files"] += 1
+        ent = fs.get(f)
+        if ent and "rows" in ent:
+            g["rows"] += int(ent["rows"])
+            g["bytes"] += int(ent["bytes"])
+        else:
+            g["exact"] = False
+    out = []
+    for key, g in groups.items():
+        out.append(
+            {
+                "spec_id": None if key is None else key[0],
+                "values": None if key is None else dict(key[1]),
+                "n_files": g["n_files"],
+                "rows": g["rows"] if g["exact"] else None,
+                "bytes": g["bytes"] if g["exact"] else None,
+            }
+        )
+    return sorted(
+        out, key=lambda r: (r["spec_id"] or 0, str(r["values"]))
+    )

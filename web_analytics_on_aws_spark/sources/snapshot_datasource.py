@@ -311,9 +311,10 @@ class SnapshotReader(DataSourceReader):
             # manifest alone — zero footer I/O. A column missing from the
             # entry (all-null, long strings, unsupported type) keeps the
             # file, same contract as footer stats being absent.
+            bounds = stats.get("cols", {})
             for f in self._pushed:
                 col = self._map.get(f.attribute[0], f.attribute[0])
-                ent = stats.get(col)
+                ent = bounds.get(col)
                 if ent is None:
                     continue
                 lo, hi = _decode_stat(ent[0]), _decode_stat(ent[1])
