@@ -610,3 +610,40 @@ def test_eq_delete_key_type_mismatch_raises(spark, tmp_path):
     assert sorted(
         r["id"] for r in read_snapshot(spark, t).collect()
     ) == [0, 1, 2, 4]
+
+
+def test_vacuum_orphan_grace_protects_inflight_writes(spark, tmp_path):
+    """A file written by a concurrent commit that has NOT yet published
+    its manifest is unreferenced — vacuum with an orphan grace keeps it
+    (Iceberg's remove_orphan_files older_than guard); grace 0 collects."""
+    import os
+
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        DATA_DIR,
+        commit_append,
+        read_snapshot,
+        vacuum,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(spark.range(5).selectExpr("id as k"), t)
+    commit_append(spark.range(5, 10).selectExpr("id as k"), t)
+    # simulate an in-flight writer: durable data file, no manifest yet
+    stray_dir = os.path.join(t, DATA_DIR, "inflight")
+    os.makedirs(stray_dir)
+    spark.range(3).selectExpr("id as k").coalesce(1).write.parquet(
+        stray_dir + "/x"
+    )
+    strays = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(stray_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert strays
+    vacuum(t, retain_last=1, orphan_grace_seconds=3600)
+    assert all(os.path.exists(p) for p in strays)  # grace kept them
+    assert read_snapshot(spark, t).count() == 10
+    deleted = vacuum(t, retain_last=1)  # grace 0: orphans collected
+    assert deleted >= len(strays)
+    assert not any(os.path.exists(p) for p in strays)

@@ -839,7 +839,9 @@ def _ref_protected(table: str) -> tuple[set[int], set[str]]:
     return keep_vs, keep_files
 
 
-def vacuum(table: str, retain_last: int = 1) -> int:
+def vacuum(
+    table: str, retain_last: int = 1, orphan_grace_seconds: float = 0.0
+) -> int:
     """Drop manifests older than the last ``retain_last`` and delete data
     files no retained snapshot references. Returns files deleted.
 
@@ -850,7 +852,15 @@ def vacuum(table: str, retain_last: int = 1) -> int:
 
     Named refs pin retention: tagged versions keep their manifest and
     files, live branches keep every parent file they still reference, and
-    staged WAP appends keep their files until published or discarded."""
+    staged WAP appends keep their files until published or discarded.
+
+    ``orphan_grace_seconds``: an unreferenced file younger than this is
+    KEPT — it may belong to a concurrent commit that has written its data
+    but not yet CAS-published its manifest (the same race Iceberg's
+    remove_orphan_files guards with ``older_than``, default 3 days).
+    Production vacuums scheduled next to live writers should set this
+    comfortably above the longest expected write; the 0 default suits
+    single-writer maintenance windows and tests."""
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1 (the head manifest must survive)")
     vs = _versions(table)
@@ -870,11 +880,14 @@ def vacuum(table: str, retain_last: int = 1) -> int:
             os.path.abspath(e["path"]) for e in _manifest_eq_deletes(m)
         )
     deleted = 0
+    cutoff = time.time() - max(0.0, orphan_grace_seconds)
     data_root = os.path.join(table, DATA_DIR)
     for root, _dirs, files in os.walk(data_root):
         for f in files:
             p = os.path.join(root, f)
             if f.endswith(".parquet") and os.path.abspath(p) not in live:
+                if orphan_grace_seconds and os.path.getmtime(p) > cutoff:
+                    continue  # possibly a concurrent commit's in-flight file
                 os.remove(p)
                 deleted += 1
     for v in vs[:-retain_last]:
