@@ -343,3 +343,26 @@ def test_show_table_partitions_manifest_only(registered, tmp_path, monkeypatch):
     delete_where_mor(spark, t, "id % 10 = 0")
     with pytest.raises(ValueError, match="merge-on-read"):
         show_table_partitions(t)
+
+
+def test_reader_schema_resolves_from_manifest(registered, tmp_path, monkeypatch):
+    """Unmapped tables: the DataSource's union schema comes from the
+    manifest's recorded per-file types — reader construction does zero
+    pq.read_schema walks (O(files) metadata reads at 100k files)."""
+    t = _mk(registered, tmp_path)
+
+    import pyarrow.parquet as pq
+
+    real = pq.read_schema
+    walks = []
+
+    def counting(path, *a, **kw):
+        walks.append(path)
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(pq, "read_schema", counting)
+    df = registered.read.format("snapshot").option("path", t).load()
+    assert dict(df.dtypes) == {"k": "bigint", "v": "double", "s": "string"}
+    assert walks == []  # schema() + reader() never walked the files
+    monkeypatch.undo()
+    assert df.count() == 30

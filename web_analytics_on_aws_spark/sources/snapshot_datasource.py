@@ -102,10 +102,45 @@ def _manifest_files(options: dict) -> tuple[list[str], dict[str, tuple]]:
     return m["files"], {f: tuple(sorted(ps)) for f, ps in dv.items()}
 
 
-def _unified_arrow_schema(files: list[str]):
+def _unified_arrow_schema(files: list[str], m: dict | None = None):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # manifest fast path: every file's column types were recorded at
+    # commit time (snapshots._file_types) — when they're all present and
+    # agree per column, the union schema is a manifest fold, not an
+    # O(files) pq.read_schema walk at every reader construction. Any
+    # disagreement (mixed physical types, legacy files) falls back to the
+    # authoritative file walk.
+    if m is not None and files:
+        fs = m.get("file_stats", {})
+        order: list[str] = []
+        types: dict[str, str] = {}
+        ok = True
+        for f in files:
+            t = (fs.get(f) or {}).get("types")
+            if not t:
+                ok = False
+                break
+            for name, ddl in t.items():
+                if name not in types:
+                    types[name] = ddl
+                    order.append(name)
+                elif types[name] != ddl:
+                    ok = False
+                    break
+            if not ok:
+                break
+        if ok:
+            try:
+                return pa.schema(
+                    [
+                        pa.field(n, _arrow_type(types[n]), nullable=True)
+                        for n in order
+                    ]
+                )
+            except ValueError:
+                pass  # unconvertible recorded type — fall through
     unified = pa.unify_schemas(
         [pq.read_schema(f) for f in files], promote_options="permissive"
     )
@@ -124,7 +159,7 @@ def _mapped_arrow_schema(m: dict):
     type, mirroring snapshots._scan_files on the JVM path)."""
     sch = m.get("schema")
     if sch is None:
-        return _unified_arrow_schema(m["files"]), {}
+        return _unified_arrow_schema(m["files"], m), {}
     import pyarrow as pa
 
     fields, mapping = [], {}

@@ -333,12 +333,20 @@ def collect_file_stats(paths: list[str]) -> dict[str, dict]:
             lo = hi = None
             ok = True
             for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
+                try:
+                    st = meta.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    smin, smax = st.min, st.max
+                except Exception:
+                    # pyarrow can't extract stats for every physical type
+                    # (e.g. some FLBA decimals raise NotImplemented) —
+                    # absent stats are merely conservative
                     ok = False
                     break
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
+                lo = smin if lo is None else min(lo, smin)
+                hi = smax if hi is None else max(hi, smax)
             if not ok or lo is None:
                 continue
             elo, ehi = enc(lo), enc(hi)
@@ -349,8 +357,36 @@ def collect_file_stats(paths: list[str]) -> dict[str, dict]:
             "rows": meta.num_rows,
             "bytes": os.path.getsize(p),
             "cols": cols,
+            "types": _file_types(p),
         }
     return out
+
+
+def _file_types(path: str) -> dict[str, str] | None:
+    """{column: spark simpleString} for one parquet file, from its arrow
+    schema — recorded in file_stats so the snapshot DataSource can resolve
+    an unmapped table's union schema from the MANIFEST instead of a
+    pq.read_schema walk over every file (O(files) metadata reads at every
+    reader construction). None when any type doesn't convert (the reader
+    falls back to the file walk — conservative)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        sch = pq.read_schema(path)
+        for f in sch:
+            # ns timestamps don't round-trip through simpleString (the
+            # reconstruction would render us where the file walk renders
+            # ns) — leave such files to the authoritative walk
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+                return None
+        return {
+            f.name: from_arrow_type(f.type).simpleString() for f in sch
+        }
+    except Exception:
+        return None
 
 
 def _scan_files(spark: SparkSession, files: list[str], sch: dict | None):
