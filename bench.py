@@ -67,6 +67,7 @@ HEADLINE = [
     "retrieval_mmr_topk_indexed",
     "snapshot_stats_minmax_rollup",
     "weblog_partitions_manifest_census",
+    "snapshot_widened_type_rollup",
 ]
 
 
