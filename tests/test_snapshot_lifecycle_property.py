@@ -81,7 +81,9 @@ def _dirty(t):
 
 
 @settings(
-    max_examples=4,
+    # env-tunable so round-end deep hunts can crank the budget without a
+    # code edit (default stays CI-cheap)
+    max_examples=int(__import__("os").environ.get("SNAP_FUZZ_EXAMPLES", "4")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
