@@ -11,6 +11,7 @@ this from managed Iceberg); this is the jar-free equivalent.
 from __future__ import annotations
 
 import datetime
+import os
 
 import pyspark.sql.functions as F
 import pytest
@@ -366,3 +367,98 @@ def test_reader_schema_resolves_from_manifest(registered, tmp_path, monkeypatch)
     assert walks == []  # schema() + reader() never walked the files
     monkeypatch.undo()
     assert df.count() == 30
+
+
+def test_restore_repins_file_stats(registered, tmp_path):
+    """ADVICE r6: RESTORE re-pins manifest column stats alongside the file
+    list — _publish only carries stats for files in the CURRENT head, so
+    files reintroduced by the restore would otherwise lose their bounds
+    and planning would degrade back to footer opens."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        commit_overwrite,
+        restore_version,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    commit_append(
+        spark.range(100).select(F.col("id").alias("k")), t
+    )
+    v1 = current_version(t)
+    v1_files = set(_read_manifest(t, v1)["files"])
+    assert all(f in _stats_full(t) for f in v1_files)
+    # overwrite drops v1's files from the head (and their stats with them)
+    commit_overwrite(
+        spark.range(500, 600).select(F.col("id").alias("k")), t
+    )
+    assert not any(f in _stats_full(t) for f in v1_files)
+
+    restore_version(spark, t, v1)
+    fs = _stats_full(t)
+    assert all(f in fs and "k" in fs[f]["cols"] for f in v1_files)
+    # and table_statistics stays manifest-only (exact rows, no footer walk)
+    from web_analytics_on_aws_spark.sources.snapshots import table_statistics
+
+    st = table_statistics(t)
+    assert st["row_count"] == 100 and st["exact"]
+
+
+def test_partition_census_counts_statsless_groups(registered, tmp_path):
+    """VERDICT r6 #4: the per-value census must never silently drop a
+    partition whose files predate manifest stats (show_table_partitions
+    returns rows=None for those, by contract). Such groups fall back to
+    one scan of exactly their files; stats-backed groups stay
+    manifest-only."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    from web_analytics_on_aws_spark.sources.partitioning import (
+        partition_value_census,
+        set_partition_spec,
+        show_table_partitions,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    df1 = spark.range(120).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "view").otherwise("click").alias("ev"),
+    )
+    commit_append(df1.limit(0), t)
+    set_partition_spec(spark, t, [("ev", "identity")])
+    commit_append(df1, t)
+    # simulate a legacy (pre-stats) commit: strip this head's file_stats
+    v = current_version(t)
+    mp = os.path.join(t, "manifests", sorted(
+        f for f in os.listdir(os.path.join(t, "manifests"))
+        if f.endswith(".json")
+    )[-1])
+    with open(mp) as fh:
+        m = json.load(fh)
+    m.pop("file_stats", None)
+    os.remove(mp)
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+    # a later, stats-carrying commit adds a third value + more of 'view'
+    df2 = spark.range(500, 560).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "purchase").otherwise("view").alias("ev"),
+    )
+    commit_append(df2, t)
+
+    # the conservative SHOW PARTITIONS contract still reports rows=None
+    legacy = [
+        p for p in show_table_partitions(t)
+        if p["values"] is not None and p["rows"] is None
+    ]
+    assert legacy  # the stripped groups really are stats-less
+
+    counts = partition_value_census(spark, t, "ev")
+    want = {
+        r["ev"]: r["n"]
+        for r in df1.unionByName(df2).groupBy("ev").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert counts == want

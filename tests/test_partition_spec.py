@@ -696,3 +696,49 @@ def test_partition_spec_survives_restore(registered, tmp_path):
         t,
         [GreaterThanOrEqual(("ts",), datetime.datetime(2030, 1, 1))],
     ) == _untupled(t)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r6: truncate on non-integral numerics must never prune
+# ---------------------------------------------------------------------------
+
+
+def test_truncate_nonintegral_numeric_never_prunes():
+    """A stamped truncate spec on a float/double/decimal column truncated
+    the STRING rendering on write, whose lexical order is not numeric
+    order (10.50 → '10.' sorts BELOW 9.50 → '9.5'): range pruning on it
+    silently dropped matching files (ADVICE r6). Such fields are no longer
+    range-safe and literal transforms refuse (keep-the-file)."""
+    for stype in ("double", "float", "decimal(10,2)"):
+        f = {"name": "t", "source": "v", "transform": "truncate[3]",
+             "source_type": stype}
+        assert not P._range_safe(f)
+        with pytest.raises(TypeError, match="not plannable"):
+            P.apply_transform(f, 9.6)
+    # the concrete wrong-prune from the advice: file tuple '10.' (value
+    # 10.50), predicate v > 9.6 — the file HOLDS a match and must be kept
+    from pyspark.sql.datasource import GreaterThan
+
+    f = {"name": "t", "source": "v", "transform": "truncate[3]",
+         "source_type": "double"}
+    entry = {"spec_id": 1, "values": {"t": "10."}}
+    assert P.file_may_match(
+        [GreaterThan(("v",), 9.6)], entry, {"1": [f]}, {}
+    )
+    # integral and string stamps keep their exact pruning
+    assert P._range_safe(f | {"source_type": "bigint"})
+    assert P._range_safe(f | {"source_type": "string"})
+
+
+def test_set_partition_spec_rejects_truncate_on_nonintegral(
+    registered, tmp_path
+):
+    spark = registered
+    t = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame([(1.5, "a")], "v double, s string"), t
+    )
+    with pytest.raises(ValueError, match="truncate transform"):
+        P.set_partition_spec(spark, t, [("v", "truncate[3]")])
+    # string/integral truncate still accepted
+    P.set_partition_spec(spark, t, [("s", "truncate[2]")])

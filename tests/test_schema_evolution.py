@@ -384,3 +384,33 @@ def test_widen_carries_through_dml_and_cdf(spark, tmp_path):
     # maintenance compaction across mixed-width files stays readable
     S.optimize(spark, t, small_file_mb=8.0, min_small_files=2)
     assert {r.k: r.v for r in S.read_snapshot(spark, t).collect()} == out
+
+
+def test_drop_refused_while_in_sort_order_or_partition_spec(
+    spark, tmp_path
+):
+    """ADVICE r6: dropping a column named by the write sort order (or
+    transformed by the current partition spec) would brick every later
+    write — _sorted_for_write / write_partitioned_files repartition on a
+    column to_physical no longer produces. Refused until the user clears
+    the order/spec; clearing unblocks the drop."""
+    from web_analytics_on_aws_spark.sources.partitioning import (
+        set_partition_spec,
+    )
+
+    t = _mk(spark, tmp_path)
+    S.set_sort_order(spark, t, ["v"])
+    with pytest.raises(ValueError, match="sort order"):
+        E.evolve_drop_column(spark, t, "v")
+    S.set_sort_order(spark, t, [])
+
+    set_partition_spec(spark, t, [("v", "bucket[4]")])
+    with pytest.raises(ValueError, match="partition spec"):
+        E.evolve_drop_column(spark, t, "v")
+    # retired specs don't block: evolve the spec away, then drop
+    set_partition_spec(spark, t, [])
+    E.evolve_drop_column(spark, t, "v")
+    assert [c for c, _ in S.read_snapshot(spark, t).dtypes] == ["k"]
+    # writes still work after the drop
+    S.commit_append(spark.createDataFrame([(99,)], "k long"), t)
+    assert S.read_snapshot(spark, t).count() == 6

@@ -348,3 +348,45 @@ def test_wap_publish_revalidates_when_constraints_changed(spark, tmp_path):
     commit_append_wap(_df(spark, 5, 6), t, "w2")
     publish_wap(t, "w2", spark=spark)
     assert _ids(read_snapshot(spark, t)) == set(range(6))
+
+
+def test_wap_append_applies_write_sort_order(spark, tmp_path):
+    """ADVICE r6: staged (WAP) appends honor the table's declared write
+    order exactly like commit_append — otherwise WAP-published files skip
+    the range exchange and their manifest column stats stay overlapping
+    envelopes instead of disjoint bands."""
+    import pyspark.sql.functions as F
+
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        set_sort_order,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(_df(spark, 0, 1).limit(0), t)
+    set_sort_order(spark, t, ["id"])
+    shuffled = (
+        spark.range(3000)
+        .select((F.col("id") * 1315423911 % 3000).alias("id"))
+        .withColumn("v", F.col("id") * 2)
+        .repartition(4)
+    )
+    coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        commit_append_wap(shuffled, t, "ordered-batch")
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", coalesce
+        )
+    publish_wap(t, "ordered-batch")
+    m = _read_manifest(t, current_version(t))
+    fs = m.get("file_stats", {})
+    bands = sorted(
+        tuple(fs[f]["cols"]["id"])
+        for f in m["files"]
+        if fs.get(f, {}).get("rows")  # skip the empty-ish seed file
+    )
+    assert len(bands) >= 4
+    assert all(bands[i][1] < bands[i + 1][0] for i in range(len(bands) - 1))

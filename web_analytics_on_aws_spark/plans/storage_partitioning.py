@@ -338,15 +338,15 @@ def weblog_partitions_manifest_census(
     manifest's bookkeeping matches the data through the MERGE-built
     event-partitioned weblog table."""
     from web_analytics_on_aws_spark.sources.partitioning import (
-        show_table_partitions,
+        partition_value_census,
     )
 
     table = _ensure_weblog_event_table(spark, sf_dir)
-    rows = [
-        (p["values"]["event_type"], p["rows"])
-        for p in show_table_partitions(table)
-        if p["values"] is not None and p["rows"]
-    ]
+    # manifest-only wherever stats exist; stats-less (legacy) groups cost
+    # one scan of exactly those files instead of silently vanishing from
+    # the census (VERDICT r6 #4)
+    counts = partition_value_census(spark, table, "event_type")
+    rows = [(k, int(v)) for k, v in counts.items() if k is not None and v]
     return spark.createDataFrame(rows, "event_type string, n_events bigint")
 
 

