@@ -418,12 +418,12 @@ def test_unpartition_and_tuple_carry_through_dml(registered, tmp_path):
     assert new_files and not any(f in _tuples(t) for f in new_files)
 
 
-def test_hot_identity_value_fans_out(registered, tmp_path):
-    """VERDICT r5 #1: a coarse identity spec (the reference's own
+def test_hot_identity_value_fans_out(registered, tmp_path, monkeypatch):
+    """VERDICT r5 #1 + r6 #1: a coarse identity spec (the reference's own
     PARTITIONED BY event — six values) must not serialize a hot partition
-    value through ONE write task. The salted exchange spreads the hot value
-    over up to DEFAULT_IDENTITY_FANOUT files; pruning still resolves every
-    file of a value to the same tuple."""
+    value through ONE write task, and the fanout is BYTES-driven: the hot
+    value gets ceil(bytes/target) writers, the cold value stays at one
+    file, and a tiny batch writes one file per value (no salt at all)."""
     spark = registered
     t = str(tmp_path / "t")
     df = spark.range(4000).select(
@@ -434,13 +434,17 @@ def test_hot_identity_value_fans_out(registered, tmp_path):
     )
     commit_append(df.limit(0), t)
     P.set_partition_spec(spark, t, [("event", "identity")])
+    # push the target file size below the hot value's estimated bytes so
+    # the bytes-driven fanout engages at test scale
+    monkeypatch.setenv("SPARK_GRAFT_TARGET_FILE_MB", "0.02")
     commit_append(df, t)
     by_val: dict[str, list[str]] = {}
     for f, e in _tuples(t).items():
         by_val.setdefault(e["values"]["event"], []).append(f)
-    # the 90%-skewed value got >1 write task (file count bounded by fanout)
-    assert 1 < len(by_val["view"]) <= P.DEFAULT_IDENTITY_FANOUT
-    assert 1 <= len(by_val["click"]) <= P.DEFAULT_IDENTITY_FANOUT
+    # the 90%-skewed value got >1 write task; the cold one stayed at 1
+    cap = P._fanout_cap(df)
+    assert 1 < len(by_val["view"]) <= cap
+    assert len(by_val["click"]) == 1
     from pyspark.sql.datasource import EqualTo
 
     un = _untupled(t)
@@ -742,3 +746,94 @@ def test_set_partition_spec_rejects_truncate_on_nonintegral(
         P.set_partition_spec(spark, t, [("v", "truncate[3]")])
     # string/integral truncate still accepted
     P.set_partition_spec(spark, t, [("s", "truncate[2]")])
+
+
+def test_tiny_batch_writes_one_file_per_value(registered, tmp_path):
+    """VERDICT r6 #1 (the other end): a small micro-batch under the
+    default 128 MB target collapses to ONE file per partition value —
+    no 8× small-file inflation for streaming appends."""
+    spark = registered
+    t = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 9, "view").otherwise("click").alias(
+            "event"
+        ),
+    )
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("event", "identity")])
+    commit_append(df, t)  # default target: this batch is tiny
+    by_val: dict[str, int] = {}
+    for e in _tuples(t).values():
+        v = e["values"]["event"]
+        by_val[v] = by_val.get(v, 0) + 1
+    assert by_val == {"view": 1, "click": 1}
+
+
+def test_fanout_grows_with_planted_bytes(registered, tmp_path, monkeypatch):
+    """VERDICT r6 #1 done-criterion: n grows with the hot value's bytes
+    at a fixed target file size."""
+    spark = registered
+    monkeypatch.setenv("SPARK_GRAFT_TARGET_FILE_MB", "0.02")
+    files_at: dict[int, int] = {}
+    for rows in (2000, 8000):
+        t = str(tmp_path / f"t{rows}")
+        df = spark.range(rows).select(
+            F.col("id"), F.lit("hot").alias("event")
+        )
+        commit_append(df.limit(0), t)
+        P.set_partition_spec(spark, t, [("event", "identity")])
+        commit_append(df, t)
+        files_at[rows] = len(_tuples(t))
+    assert files_at[8000] > files_at[2000] >= 1
+
+
+def test_sorted_fanout_bands_are_disjoint_per_value(
+    registered, tmp_path, monkeypatch
+):
+    """VERDICT r6 #7: identity spec + declared write sort order → the n_v
+    files of ONE partition value carry disjoint sort-column bands (range-
+    bucket salt, not hash salt), so a point probe inside a partition plans
+    O(1) files."""
+    from web_analytics_on_aws_spark.sources.snapshots import set_sort_order
+
+    spark = registered
+    t = str(tmp_path / "t")
+    df = spark.range(8000).select(
+        (F.col("id") * 1315423911 % 8000).alias("k"),
+        F.when(F.col("id") % 10 < 9, "view").otherwise("click").alias(
+            "event"
+        ),
+    ).repartition(4)
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("event", "identity")])
+    set_sort_order(spark, t, ["k"])
+    monkeypatch.setenv("SPARK_GRAFT_TARGET_FILE_MB", "0.02")
+    commit_append(df, t)
+
+    m = _read_manifest(t, current_version(t))
+    fs = m.get("file_stats", {})
+    by_val: dict[str, list] = {}
+    for f, e in _tuples(t).items():
+        if fs.get(f, {}).get("rows"):
+            by_val.setdefault(e["values"]["event"], []).append(
+                tuple(fs[f]["cols"]["k"])
+            )
+    assert len(by_val["view"]) > 1  # the hot value really fanned out
+    for bands in by_val.values():
+        bands = sorted(bands)
+        assert all(
+            bands[i][1] < bands[i + 1][0] for i in range(len(bands) - 1)
+        ), bands
+    # point probe inside the hot partition plans O(1) files
+    from pyspark.sql.datasource import EqualTo
+
+    un = _untupled(t)
+    kept = _kept(t, [EqualTo(("event",), "view"), EqualTo(("k",), 4321)])
+    assert kept <= 1 + un
+    got = (
+        spark.read.format("snapshot").option("path", t).load()
+        .filter("event = 'view' and k = 4321")
+        .count()
+    )
+    assert got == df.filter("event = 'view' and k = 4321").count()

@@ -39,34 +39,61 @@ def main() -> None:
     out: dict = {}
 
     # ---- 1. fanout contrast -------------------------------------------
+    # bytes-driven (VERDICT r6 #1): a 90%-hot identity batch at a target
+    # file size sized below the hot value's bytes gets ceil(bytes/target)
+    # writers (vs ONE at fanout=1); n must GROW with planted bytes; and a
+    # tiny batch at the default target writes exactly one file per value.
     df = spark.range(rows).select(
         F.col("id"),
         F.when(F.col("id") % 10 < 9, "view").otherwise("click").alias("event"),
         F.sha2(F.col("id").cast("string"), 256).alias("payload"),
     )
     df.count()  # materialize input plan once
-    for fanout, tag in ((1, "task_per_value"), (None, "salted_fanout")):
+
+    def append_with_env(data, env: dict[str, str]) -> tuple[float, dict]:
         base = tempfile.mkdtemp(prefix="fanout-probe-") + "/t"
-        snapshots.commit_append(df.limit(0), base)
+        snapshots.commit_append(data.limit(0), base)
         partitioning.set_partition_spec(spark, base, [("event", "identity")])
-        env_prev = os.environ.pop("SPARK_GRAFT_WRITE_FANOUT", None)
-        if fanout is not None:
-            os.environ["SPARK_GRAFT_WRITE_FANOUT"] = str(fanout)
+        saved = {
+            k: os.environ.pop(k, None)
+            for k in ("SPARK_GRAFT_WRITE_FANOUT", "SPARK_GRAFT_TARGET_FILE_MB")
+        }
+        os.environ.update(env)
         try:
             t0 = time.time()
-            snapshots.commit_append(df, base)
+            snapshots.commit_append(data, base)
             wall = time.time() - t0
         finally:
-            os.environ.pop("SPARK_GRAFT_WRITE_FANOUT", None)
-            if env_prev is not None:
-                os.environ["SPARK_GRAFT_WRITE_FANOUT"] = env_prev
+            for k in ("SPARK_GRAFT_WRITE_FANOUT", "SPARK_GRAFT_TARGET_FILE_MB"):
+                os.environ.pop(k, None)
+                if saved[k] is not None:
+                    os.environ[k] = saved[k]
         m = snapshots._read_manifest(base, snapshots.current_version(base))
         per_value: dict[str, int] = {}
         for e in m.get("file_partitions", {}).values():
             v = e["values"]["event"]
             per_value[v] = per_value.get(v, 0) + 1
-        out[tag] = {"wall_s": round(wall, 2), "files_per_value": per_value}
         shutil.rmtree(os.path.dirname(base), ignore_errors=True)
+        return wall, per_value
+
+    wall, per_value = append_with_env(df, {"SPARK_GRAFT_WRITE_FANOUT": "1"})
+    out["task_per_value"] = {"wall_s": round(wall, 2),
+                             "files_per_value": per_value}
+    wall, per_value = append_with_env(df, {"SPARK_GRAFT_TARGET_FILE_MB": "6"})
+    out["bytes_driven"] = {"wall_s": round(wall, 2),
+                           "files_per_value": per_value, "target_mb": 6}
+    # n grows with planted hot-value bytes (same target, 4x the rows)
+    growth = {}
+    for frac, tag in ((4, "quarter"), (1, "full")):
+        _w, pv = append_with_env(
+            df.filter(F.col("id") % frac == 0),
+            {"SPARK_GRAFT_TARGET_FILE_MB": "6"},
+        )
+        growth[tag] = pv.get("view", 0)
+    out["hot_value_files_grow_with_bytes"] = growth
+    # tiny batch at the DEFAULT target: one file per value, no salt
+    _w, pv = append_with_env(df.limit(5000), {})
+    out["tiny_batch_files_per_value"] = pv
 
     # ---- 2. manifest-stats planning contrast --------------------------
     base = tempfile.mkdtemp(prefix="stats-probe-") + "/t"
