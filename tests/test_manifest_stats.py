@@ -462,3 +462,47 @@ def test_partition_census_counts_statsless_groups(registered, tmp_path):
         ).collect()
     }
     assert counts == want
+
+
+def test_distributed_stats_collection_matches_serial(
+    registered, tmp_path, monkeypatch
+):
+    """VERDICT r6 #2: large object-store commits collect footer stats in
+    executor tasks (mapInPandas fan-out) instead of a serial driver loop;
+    the fold must be byte-identical to the serial path. Local paths keep
+    the driver loop by default (page-cache footers beat job overhead), so
+    the distributed branch is forced here."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        _STATS_DISTRIBUTE_MIN,
+        _should_distribute_stats,
+        collect_file_stats,
+    )
+
+    # scheme-aware dispatch: local paths stay serial, object-store paths
+    # distribute at the commit-size threshold
+    many_local = [f"/tmp/x{i}.parquet" for i in range(100)]
+    many_s3 = [f"s3a://b/x{i}.parquet" for i in range(100)]
+    assert not _should_distribute_stats(many_local)
+    assert _should_distribute_stats(many_s3)
+    assert not _should_distribute_stats(many_s3[:10])
+
+    spark = registered
+    t = str(tmp_path / "t")
+    n = _STATS_DISTRIBUTE_MIN + 6
+    df = spark.range(7000).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("x"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("s"),
+        F.expr(
+            "timestamp_micros(cast(1709600000000000 + id * 1000000 as long))"
+        ).alias("ts"),
+    )
+    commit_append(df.repartition(n), t)
+    m = _read_manifest(t, current_version(t))
+    assert len(m["files"]) >= n
+    serial = collect_file_stats(m["files"])
+    monkeypatch.setenv("SPARK_GRAFT_STATS_DISTRIBUTE", "always")
+    distributed = collect_file_stats(m["files"], spark)
+    assert distributed == serial
+    # the committed manifest agrees too
+    assert m["file_stats"] == serial

@@ -423,7 +423,7 @@ def commit_append_wap(df: DataFrame, table: str, wap_id: str) -> str:
         "validated_constraints": cons,
         # manifest column stats + partition tuples collected at STAGE time
         # (the files are final); publish just adopts them
-        "file_stats": collect_file_stats(new_files),
+        "file_stats": collect_file_stats(new_files, df.sparkSession),
         "file_partitions": fparts,
     }
     tmp = _wap_path(table, wap_id) + f".tmp-{uuid.uuid4().hex}"

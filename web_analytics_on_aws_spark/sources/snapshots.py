@@ -277,89 +277,161 @@ def _publish(
 _STATS_MAX_STR = 96
 
 
-def collect_file_stats(paths: list[str]) -> dict[str, dict]:
-    """Per-file column min/max for the manifest — Iceberg's
-    lower_bounds/upper_bounds, collected ONCE at commit time from the
-    just-written footers (driver-side, page-cache-warm, O(new files))
-    so scan PLANNING never opens a footer again: at 100 TB / ~100k files
-    the footer-stat skip costs ~100k small reads per query just to plan;
-    manifest stats make it a dict lookup (the same argument as partition
-    tuples, one layer finer).
-
-    Each entry is ``{"rows": n, "bytes": b, "cols": {col: [lo, hi]}}`` —
-    rows/bytes make ``table_statistics`` (and SHOW-PARTITIONS-style
-    rollups) manifest-only too: at 100k files the row count is a dict
-    fold instead of 100k footer opens.
-
-    Bound values are JSON-encoded with a type tag (``["t", iso]``
+def _enc_stat(v):
+    """JSON-encode one bound value with a type tag (``["t", iso]``
     timestamps, ``["d", iso]`` dates, ``["n", str]`` decimals, raw for
-    int/float/str/bool). Strings longer than 96 chars skip the column for
-    that file (a truncated upper bound would need Iceberg's
-    increment-last-char dance — absent stats are merely conservative).
-    Columns with no footer stats (all-null, unsupported physical type)
-    are simply absent — the reader keeps the file."""
+    int/float/str/bool). None = skip the column for this file."""
     import datetime as _dt
     import decimal
 
+    if isinstance(v, bool) or isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v if len(v) <= _STATS_MAX_STR else None
+    if isinstance(v, _dt.datetime):
+        # TIMESTAMP_MICROS is UTC-adjusted, so pyarrow hands back an
+        # AWARE datetime; pushed literals arrive NAIVE in the (UTC)
+        # session zone — store naive UTC so the two compare
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return ["t", v.isoformat()]
+    if isinstance(v, _dt.date):
+        return ["d", v.isoformat()]
+    if isinstance(v, decimal.Decimal):
+        return ["n", str(v)]
+    return None  # bytes / unknown — skip
+
+
+def _stats_for_file(p: str) -> dict:
+    """One file's manifest-stats entry from its parquet footer — pure
+    function of the path, runnable on the driver OR inside an executor
+    task (collect_file_stats' distributed fan-out)."""
     import pyarrow.parquet as pq
 
-    out: dict[str, dict] = {}
-
-    def enc(v):
-        if isinstance(v, bool) or isinstance(v, (int, float)):
-            return v
-        if isinstance(v, str):
-            return v if len(v) <= _STATS_MAX_STR else None
-        if isinstance(v, _dt.datetime):
-            # TIMESTAMP_MICROS is UTC-adjusted, so pyarrow hands back an
-            # AWARE datetime; pushed literals arrive NAIVE in the (UTC)
-            # session zone — store naive UTC so the two compare
-            if v.tzinfo is not None:
-                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-            return ["t", v.isoformat()]
-        if isinstance(v, _dt.date):
-            return ["d", v.isoformat()]
-        if isinstance(v, decimal.Decimal):
-            return ["n", str(v)]
-        return None  # bytes / unknown — skip
-
-    for p in paths:
-        meta = pq.ParquetFile(p).metadata
-        names = {
-            meta.schema.column(i).name: i for i in range(meta.num_columns)
-        }
-        cols: dict[str, list] = {}
-        for name, idx in names.items():
-            lo = hi = None
-            ok = True
-            for rg in range(meta.num_row_groups):
-                try:
-                    st = meta.row_group(rg).column(idx).statistics
-                    if st is None or not st.has_min_max:
-                        ok = False
-                        break
-                    smin, smax = st.min, st.max
-                except Exception:
-                    # pyarrow can't extract stats for every physical type
-                    # (e.g. some FLBA decimals raise NotImplemented) —
-                    # absent stats are merely conservative
+    delay = os.environ.get("SPARK_GRAFT_STATS_FOOTER_DELAY_MS")
+    if delay:
+        # probe-only hook (tools/stats_collect_probe.py): simulate the
+        # per-footer round-trip latency of object storage on a local box
+        time.sleep(float(delay) / 1000.0)
+    meta = pq.ParquetFile(p).metadata
+    names = {
+        meta.schema.column(i).name: i for i in range(meta.num_columns)
+    }
+    cols: dict[str, list] = {}
+    for name, idx in names.items():
+        lo = hi = None
+        ok = True
+        for rg in range(meta.num_row_groups):
+            try:
+                st = meta.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
                     ok = False
                     break
-                lo = smin if lo is None else min(lo, smin)
-                hi = smax if hi is None else max(hi, smax)
-            if not ok or lo is None:
-                continue
-            elo, ehi = enc(lo), enc(hi)
-            if elo is None or ehi is None:
-                continue
-            cols[name] = [elo, ehi]
-        out[p] = {
-            "rows": meta.num_rows,
-            "bytes": os.path.getsize(p),
-            "cols": cols,
-            "types": _file_types(p),
-        }
-    return out
+                smin, smax = st.min, st.max
+            except Exception:
+                # pyarrow can't extract stats for every physical type
+                # (e.g. some FLBA decimals raise NotImplemented) —
+                # absent stats are merely conservative
+                ok = False
+                break
+            lo = smin if lo is None else min(lo, smin)
+            hi = smax if hi is None else max(hi, smax)
+        if not ok or lo is None:
+            continue
+        elo, ehi = _enc_stat(lo), _enc_stat(hi)
+        if elo is None or ehi is None:
+            continue
+        cols[name] = [elo, ehi]
+    return {
+        "rows": meta.num_rows,
+        "bytes": os.path.getsize(p),
+        "cols": cols,
+        "types": _file_types(p),
+    }
+
+
+# Where to collect footer stats. The crossover is LATENCY-driven: a local
+# page-cache-warm footer reads in ~0.4 ms, so the serial driver loop beats
+# a Spark job (1-3 s of scheduling + python-worker startup) up to
+# thousands of files — but an object-store footer is a ~20-50 ms network
+# round-trip, so serial collection of a 600-file commit is 12-30 s of
+# driver stall and the crossover sits around ~64 files. Dispatch on the
+# path scheme; SPARK_GRAFT_STATS_DISTRIBUTE=always/never overrides.
+_STATS_DISTRIBUTE_MIN = 64  # remote (object-store) paths
+_STATS_DISTRIBUTE_LOCAL_MIN = 4096  # local paths: only huge backfills
+_REMOTE_SCHEMES = (
+    "s3://", "s3a://", "s3n://", "gs://", "abfs://", "abfss://",
+    "wasb://", "wasbs://", "hdfs://", "oci://",
+)
+
+
+def _should_distribute_stats(paths: list[str]) -> bool:
+    mode = os.environ.get("SPARK_GRAFT_STATS_DISTRIBUTE", "").lower()
+    if mode in ("1", "always", "true"):
+        return True
+    if mode in ("0", "never", "false"):
+        return False
+    if paths and paths[0].startswith(_REMOTE_SCHEMES):
+        return len(paths) >= _STATS_DISTRIBUTE_MIN
+    return len(paths) >= _STATS_DISTRIBUTE_LOCAL_MIN
+
+
+def collect_file_stats(
+    paths: list[str], spark: SparkSession | None = None
+) -> dict[str, dict]:
+    """Per-file column min/max for the manifest — Iceberg's
+    lower_bounds/upper_bounds, collected ONCE at commit time from the
+    just-written footers so scan PLANNING never opens a footer again: at
+    100 TB / ~100k files the footer-stat skip costs ~100k small reads per
+    query just to plan; manifest stats make it a dict lookup (the same
+    argument as partition tuples, one layer finer).
+
+    Each entry is ``{"rows": n, "bytes": b, "cols": {col: [lo, hi]}}`` —
+    rows/bytes make ``table_statistics`` (and SHOW-PARTITIONS-style
+    rollups) manifest-only too. Bound values are JSON-encoded with a type
+    tag (see ``_enc_stat``). Strings longer than 96 chars skip the column
+    for that file (a truncated upper bound would need Iceberg's
+    increment-last-char dance — absent stats are merely conservative).
+    Columns with no footer stats (all-null, unsupported physical type)
+    are simply absent — the reader keeps the file.
+
+    Collection runs WHERE it's cheap (VERDICT r6 #2, Iceberg collects
+    bounds in the write tasks): local commits fold on the driver
+    (page-cache-warm footers beat job overhead into the thousands of
+    files); object-store commits of ≥ ``_STATS_DISTRIBUTE_MIN`` files fan
+    the footer reads out to the executors via ``mapInPandas`` when a
+    session is passed — a 10k-file backfill is then ~10k parallel
+    ~20-50 ms reads instead of minutes of serial driver stall per commit
+    (see ``_should_distribute_stats`` for the crossover math;
+    ``tools/stats_collect_probe.py`` for the measured contrast). The
+    driver only merges the per-file entries into the manifest."""
+    if spark is not None and _should_distribute_stats(paths):
+        import math
+
+        import pandas as pd
+
+        def read_footers(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "path": pdf["path"],
+                        "entry": [
+                            json.dumps(_stats_for_file(p))
+                            for p in pdf["path"]
+                        ],
+                    }
+                )
+
+        par = spark.sparkContext.defaultParallelism
+        n_tasks = max(1, min(par, math.ceil(len(paths) / 8)))
+        rows = (
+            spark.createDataFrame([(p,) for p in paths], "path string")
+            .repartition(n_tasks)
+            .mapInPandas(read_footers, "path string, entry string")
+            .collect()
+        )
+        return {r["path"]: json.loads(r["entry"]) for r in rows}
+    return {p: _stats_for_file(p) for p in paths}
 
 
 def _file_types(path: str) -> dict[str, str] | None:
@@ -564,7 +636,7 @@ def commit_append(
         validated = cons
 
     _validate(table_constraints(table))
-    new_stats = collect_file_stats(new_files)
+    new_stats = collect_file_stats(new_files, df.sparkSession)
     # An append's payload is position-independent, so a CAS loss is resolved
     # by re-reading the new head and re-publishing on top of it (data files
     # are already durable — only the manifest pointer moves).
@@ -644,7 +716,7 @@ def commit_overwrite(
     _publish(
         table, version, new_files, "overwrite", txn=txn,
         file_partitions=fparts,
-        file_stats=collect_file_stats(new_files),
+        file_stats=collect_file_stats(new_files, df.sparkSession),
     )
     return version
 
@@ -1026,7 +1098,7 @@ def _rewrite_matched(
     version = cur + 1
     _publish(
         table, version, kept + new_files, op,
-        file_stats=collect_file_stats(new_files),
+        file_stats=collect_file_stats(new_files, spark),
     )
     return {
         "version": version,
@@ -1332,7 +1404,7 @@ def upsert_keys_mor(
             table, version, m["files"] + data_files, "upsert-keys", txn=txn,
             delete_files=_manifest_deletes(m), eq_deletes=entries,
             file_partitions=fparts,
-            file_stats=collect_file_stats(data_files),
+            file_stats=collect_file_stats(data_files, spark),
         )
         return {
             "version": version,
@@ -1534,7 +1606,7 @@ def compact_deletes(spark: SparkSession, table: str) -> dict:
     _publish(
         table, version, kept + new_files, "compact-deletes",
         file_partitions=new_fp or None,
-        file_stats=collect_file_stats(new_files),
+        file_stats=collect_file_stats(new_files, spark),
     )
     return {
         "version": version,
@@ -1741,7 +1813,7 @@ def cluster_zorder(
     _publish(
         table, version, new_files, "cluster-zorder",
         file_partitions=new_fp or None,
-        file_stats=collect_file_stats(new_files),
+        file_stats=collect_file_stats(new_files, spark),
     )
     from web_analytics_on_aws_spark.sources.bloom_index import refresh_if_present
 
@@ -1833,7 +1905,7 @@ def optimize(
     _publish(
         table, version, kept + new_files, "optimize",
         file_partitions=new_fp or None,
-        file_stats=collect_file_stats(new_files),
+        file_stats=collect_file_stats(new_files, spark),
     )
     from web_analytics_on_aws_spark.sources.bloom_index import refresh_if_present
 
@@ -2298,7 +2370,7 @@ def merge_into(
         version = cur + 1
         _publish(
             table, version, kept + new_files, "merge", txn=txn,
-            file_stats=collect_file_stats(new_files),
+            file_stats=collect_file_stats(new_files, spark),
         )
         return {
             "version": version,
