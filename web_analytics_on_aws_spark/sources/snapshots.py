@@ -277,17 +277,44 @@ def _publish(
 _STATS_MAX_STR = 96
 
 
+def _trunc_lower(s: str) -> str:
+    """Safe lower bound for a long string: its prefix sorts ≤ the value."""
+    return s[:_STATS_MAX_STR]
+
+
+def _trunc_upper(s: str) -> str | None:
+    """Safe upper bound for a long string — Iceberg's UnicodeUtil
+    truncateStringMax: truncate, then increment the last incrementable
+    code point (a bare prefix would sort BELOW the value — 'abc' < 'abcd'
+    — silently wrong range pruning). Skips into the surrogate gap when the
+    increment would land in it (lone surrogates don't UTF-8/JSON-encode).
+    None when no code point can be incremented (all U+10FFFF) — the
+    column's stats are then dropped for the file, merely conservative."""
+    t = s[:_STATS_MAX_STR]
+    for i in range(len(t) - 1, -1, -1):
+        c = ord(t[i])
+        if c >= 0x10FFFF:
+            continue
+        nxt = c + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000
+        return t[:i] + chr(nxt)
+    return None
+
+
 def _enc_stat(v):
     """JSON-encode one bound value with a type tag (``["t", iso]``
     timestamps, ``["d", iso]`` dates, ``["n", str]`` decimals, raw for
-    int/float/str/bool). None = skip the column for this file."""
+    int/float/str/bool). None = skip the column for this file. Long
+    strings are handled by the caller (_trunc_lower/_trunc_upper — the
+    safe direction differs per side)."""
     import datetime as _dt
     import decimal
 
     if isinstance(v, bool) or isinstance(v, (int, float)):
         return v
     if isinstance(v, str):
-        return v if len(v) <= _STATS_MAX_STR else None
+        return v
     if isinstance(v, _dt.datetime):
         # TIMESTAMP_MICROS is UTC-adjusted, so pyarrow hands back an
         # AWARE datetime; pushed literals arrive NAIVE in the (UTC)
@@ -338,6 +365,12 @@ def _stats_for_file(p: str) -> dict:
             hi = smax if hi is None else max(hi, smax)
         if not ok or lo is None:
             continue
+        if isinstance(lo, str) and len(lo) > _STATS_MAX_STR:
+            lo = _trunc_lower(lo)
+        if isinstance(hi, str) and len(hi) > _STATS_MAX_STR:
+            hi = _trunc_upper(hi)
+            if hi is None:
+                continue
         elo, ehi = _enc_stat(lo), _enc_stat(hi)
         if elo is None or ehi is None:
             continue
@@ -389,11 +422,15 @@ def collect_file_stats(
     Each entry is ``{"rows": n, "bytes": b, "cols": {col: [lo, hi]}}`` —
     rows/bytes make ``table_statistics`` (and SHOW-PARTITIONS-style
     rollups) manifest-only too. Bound values are JSON-encoded with a type
-    tag (see ``_enc_stat``). Strings longer than 96 chars skip the column
-    for that file (a truncated upper bound would need Iceberg's
-    increment-last-char dance — absent stats are merely conservative).
-    Columns with no footer stats (all-null, unsupported physical type)
-    are simply absent — the reader keeps the file.
+    tag (see ``_enc_stat``). Strings longer than 96 chars store TRUNCATED
+    bounds (VERDICT r6 #6, Iceberg's string truncation): the lower bound
+    is a plain prefix (always sorts ≤ the value), the upper bound is the
+    prefix with its last incrementable code point bumped
+    (``_trunc_upper`` — a bare prefix would sort BELOW the value and
+    wrongly prune). A long-URL column therefore still range-prunes
+    instead of losing its stats per file. Columns with no footer stats
+    (all-null, unsupported physical type) are simply absent — the reader
+    keeps the file.
 
     Collection runs WHERE it's cheap (VERDICT r6 #2, Iceberg collects
     bounds in the write tasks): local commits fold on the driver
