@@ -68,6 +68,8 @@ HEADLINE = [
     "snapshot_stats_minmax_rollup",
     "weblog_partitions_manifest_census",
     "snapshot_widened_type_rollup",
+    "snapshot_sorted_partition_window",
+    "snapshot_longurl_range_rollup",
 ]
 
 

@@ -412,3 +412,150 @@ def snapshot_partition_bucket_probe(
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+def _ensure_sorted_event_table(spark: SparkSession, sf_dir: str) -> str:
+    """An identity-partitioned (event_type) snapshot table WITH a declared
+    write sort order (ts): the append routes through the round-7 range
+    exchange on (partition value, ts) — bytes-driven width, and the files
+    of one partition value carry DISJOINT ts bands (sources/
+    partitioning.py::_range_width; pinned by tests/test_partition_spec.py
+    ::test_sorted_fanout_bands_are_disjoint_per_value). Built with a tiny
+    target file size so the fanout engages at test scale."""
+    from web_analytics_on_aws_spark.sources import partitioning, snapshots
+
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _fingerprint(src)
+    table, marker, fresh = _scratch(sf_dir, "sorted_event", fp)
+    if fresh and snapshots.current_version(table) is not None:
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    snapshots.commit_append(ev.limit(0), table)
+    partitioning.set_partition_spec(spark, table, [("event_type", "identity")])
+    snapshots.set_sort_order(spark, table, ["ts"])
+    prev = os.environ.get("SPARK_GRAFT_TARGET_FILE_MB")
+    os.environ["SPARK_GRAFT_TARGET_FILE_MB"] = "0.1"
+    try:
+        snapshots.commit_append(ev, table)
+    finally:
+        os.environ.pop("SPARK_GRAFT_TARGET_FILE_MB", None)
+        if prev is not None:
+            os.environ["SPARK_GRAFT_TARGET_FILE_MB"] = prev
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        json.dump(fp, fh)
+    return table
+
+
+@query(
+    "snapshot_sorted_partition_window",
+    oracle="""
+    SELECT CAST(strftime(ts, '%Y-%m-%d') AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type = 'view'
+      AND ts >= TIMESTAMP '2024-01-26 00:00:00'
+    GROUP BY 1
+    """,
+)
+def snapshot_sorted_partition_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition + sort-order composition (round 7): the ``event_type``
+    filter prunes to one partition value from manifest TUPLES, then the
+    ``ts`` window prunes WITHIN that value from manifest column stats —
+    possible only because the sorted partitioned write laid each value's
+    files out as disjoint ts bands. Oracle: same predicate over the source
+    parquet — two layers of skipping, invisible in the results."""
+    table = _ensure_sorted_event_table(spark, sf_dir)
+    cutoff = "2024-01-26 00:00:00"
+    return (
+        _snapshot_read(spark, table)
+        .filter(
+            (F.col("event_type") == "view")
+            & (F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+        )
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_views"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+_URL_PAD = "x" * 150  # every synthesized URL exceeds the 96-char stats cap
+
+
+def _ensure_longurl_table(spark: SparkSession, sf_dir: str) -> str:
+    """A documents-derived snapshot table with a LONG (>96 chars) url
+    column, files range-disjoint on it: every per-file url bound in the
+    manifest is a TRUNCATED bound (snapshots._trunc_lower/_trunc_upper —
+    Iceberg's string truncation), so range pruning on long strings works
+    at all (pre-round-7 the column's stats were dropped per file)."""
+    from web_analytics_on_aws_spark.sources import snapshots
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = _fingerprint(src)
+    table, marker, fresh = _scratch(sf_dir, "longurl", fp)
+    if fresh and snapshots.current_version(table) is not None:
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.lit(_URL_PAD),
+            F.lit("/"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        ).alias("url"),
+    ).repartitionByRange(6, "url")
+    snapshots.commit_append(docs, table)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        json.dump(fp, fh)
+    return table
+
+
+@query(
+    "snapshot_longurl_range_rollup",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT lang, n_chars,
+               concat('https://', source, '.example.com/', '{_URL_PAD}',
+                      '/', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS url
+        FROM documents
+    )
+    WHERE url >= 'https://src5'
+    GROUP BY lang
+    """,
+)
+def snapshot_longurl_range_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range predicate on a LONG string column (round 7, VERDICT r6 #6):
+    the url values all exceed the 96-char stats cap, so file skipping
+    rides the truncated manifest bounds — prefix lower, increment-last-
+    char upper (a bare-prefix upper would wrongly prune the boundary
+    file). Oracle: the same url synthesis + predicate in SQL over the
+    source parquet."""
+    table = _ensure_longurl_table(spark, sf_dir)
+    return (
+        _snapshot_read(spark, table)
+        .filter(F.col("url") >= "https://src5")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
