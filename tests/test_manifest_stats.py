@@ -560,3 +560,40 @@ def test_long_string_bounds_truncate_and_still_prune(registered, tmp_path):
     assert _trunc_upper("a" * 95 + "\U0010ffff" * 50) == "a" * 94 + "b"
     assert _trunc_upper("\U0010ffff" * 100) is None
     assert _trunc_upper("b" + "퟿" * 100)[-1] == ""
+
+
+def test_optimize_preserves_sorted_bands(registered, tmp_path):
+    """Round 7: compaction on a table with a declared write order re-sorts
+    each rewrite group instead of plain-coalescing, so the compacted files
+    keep DISJOINT sort-column bands — otherwise table aging silently
+    undoes the layout the write order bought."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        optimize,
+        set_sort_order,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    commit_append(spark.range(0).select(F.col("id").alias("k")), t)
+    set_sort_order(spark, t, ["k"])
+    # many small appends: each is internally sorted, but bands OVERLAP
+    # across appends (every batch spans the full key range)
+    for i in range(4):
+        batch = (
+            spark.range(2000)
+            .select(((F.col("id") * 7919 + i) % 2000).alias("k"))
+        )
+        commit_append(batch, t)
+    res = optimize(spark, t, small_file_mb=8.0, target_file_mb=0.004)
+    assert res["rewritten"] >= 4
+    bands = sorted(
+        tuple(b["k"]) for b in _stats(t).values() if b.get("k")
+    )
+    assert len(bands) > 1
+    assert all(
+        bands[i][1] < bands[i + 1][0] for i in range(len(bands) - 1)
+    ), bands
+    # content unchanged
+    from web_analytics_on_aws_spark.sources.snapshots import read_snapshot
+
+    assert read_snapshot(spark, t).count() == 8000

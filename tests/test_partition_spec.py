@@ -837,3 +837,27 @@ def test_sorted_fanout_bands_are_disjoint_per_value(
         .count()
     )
     assert got == df.filter("event = 'view' and k = 4321").count()
+
+
+def test_metadata_partitions_table_uses_tuples(registered, tmp_path):
+    """`table$partitions` on a hidden-partitioned table groups by the
+    manifest partition TUPLE with manifest-stats rollups (Iceberg's real
+    $partitions), not by commit directory."""
+    from web_analytics_on_aws_spark.sources.snapshots import metadata_table
+
+    spark = registered
+    t = str(tmp_path / "t")
+    df = spark.range(300).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "view").otherwise("click").alias("ev"),
+    )
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("ev", "identity")])
+    commit_append(df, t)
+    got = {
+        r["partition"]: (r["n_files"], r["record_count"])
+        for r in metadata_table(spark, t, "partitions").collect()
+        if r["partition"] is not None
+    }
+    assert got['{"ev": "view"}'][1] == 100
+    assert got['{"ev": "click"}'][1] == 200

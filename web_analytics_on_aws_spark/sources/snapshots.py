@@ -1926,12 +1926,23 @@ def optimize(
     kept = [f for f in files if f not in small_set]
     new_files: list[str] = []
     new_fp: dict[str, dict] = {}
+    sort_cols = (head_m.get("sort_order") or {}).get("cols")
     for key, grp in groups.items():
         total = sum(os.path.getsize(f) for f in grp)
         n_out = max(1, round(total / (target_file_mb * 1024 * 1024)))
-        merged = _scan_files(
-            spark, grp, head_m.get("schema")
-        ).coalesce(n_out)
+        merged = _scan_files(spark, grp, head_m.get("schema"))
+        if sort_cols and all(c in merged.columns for c in sort_cols):
+            # sorted table: a plain coalesce would merge each input file's
+            # narrow band into one wide-envelope output, silently undoing
+            # the disjoint-band layout the write order bought (round 7 —
+            # the same aging argument as tuple inheritance). Re-range +
+            # local sort keeps compacted files band-disjoint (within the
+            # partition group on spec'd tables).
+            merged = merged.repartitionByRange(
+                n_out, *sort_cols
+            ).sortWithinPartitions(*sort_cols)
+        else:
+            merged = merged.coalesce(n_out)
         outs = _write_data_files(merged, table)
         new_files += outs
         if key is not None:
@@ -2235,6 +2246,35 @@ def metadata_table(spark: SparkSession, table: str, kind: str) -> DataFrame:
             rows, "file_path string, record_count long, file_size_bytes long"
         )
     if kind == "partitions":
+        if head_m.get("file_partitions"):
+            # hidden-partitioned table: group by the manifest partition
+            # TUPLE (Iceberg's real "$partitions"), rows/bytes from
+            # manifest stats where every file in the group carries them
+            # (None otherwise — the conservative SHOW PARTITIONS
+            # contract), file counts always exact. Zero data/footer I/O.
+            from web_analytics_on_aws_spark.sources.partitioning import (
+                show_table_partitions,
+            )
+
+            rows = [
+                {
+                    "partition": (
+                        json.dumps(p["values"], sort_keys=True)
+                        if p["values"] is not None
+                        else None
+                    ),
+                    "spec_id": p["spec_id"],
+                    "n_files": p["n_files"],
+                    "record_count": p["rows"],
+                    "total_bytes": p["bytes"],
+                }
+                for p in show_table_partitions(table)
+            ]
+            return spark.createDataFrame(
+                rows,
+                "partition string, spec_id long, n_files long, "
+                "record_count long, total_bytes long",
+            )
         agg: dict[str, list[int]] = {}
         for f in head:
             part = os.path.basename(os.path.dirname(f))
