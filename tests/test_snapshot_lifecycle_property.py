@@ -56,7 +56,7 @@ OPS = st.lists(
         # round-6 metadata/layout ops — rows must be bit-identical across
         # any interleaving of partition-spec changes, write sort orders,
         # and type widening (each bumps a version but never changes data)
-        st.tuples(st.just("set_spec"), st.integers(0, 2)),
+        st.tuples(st.just("set_spec"), st.integers(0, 3)),
         st.tuples(st.just("sort"), st.integers(0, 1)),
         st.tuples(st.just("widen"), st.just(0)),
     ),
@@ -64,7 +64,11 @@ OPS = st.lists(
     max_size=5,
 )
 
-_SPECS = {0: [("id", "bucket[4]")], 1: [("id", "truncate[8]")], 2: []}
+# 3 (round 7): a coarse IDENTITY spec — appends route through the
+# bytes-driven fanout plan, and with a sort order set, through the
+# range-exchange sorted partitioned write
+_SPECS = {0: [("id", "bucket[4]")], 1: [("id", "truncate[8]")], 2: [],
+          3: [("val", "identity")]}
 
 
 def _df(spark, rows):
@@ -106,6 +110,13 @@ def _dirty(t):
               ("append", 1)])
 @example(ops=[("sort", 1), ("append", 3), ("mor_delete", 0),
               ("set_spec", 1), ("merge", 1)])
+# round-7 seed shapes: sorted IDENTITY-partitioned writes (range-exchange
+# path) crossing MOR + maintenance (sort-aware optimize), and spec+sort
+# metadata crossing a restore
+@example(ops=[("set_spec", 3), ("sort", 1), ("append", 4),
+              ("upsert_mor", 2), ("maintain", 0)])
+@example(ops=[("sort", 1), ("set_spec", 3), ("append", 3),
+              ("restore", 1), ("append", 2)])
 @given(ops=OPS)
 def test_any_commit_sequence_reads_and_streams_consistently(spark, ops):
     t = tempfile.mkdtemp(prefix="snap-prop-") + "/t"
