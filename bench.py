@@ -70,6 +70,7 @@ HEADLINE = [
     "snapshot_widened_type_rollup",
     "snapshot_sorted_partition_window",
     "snapshot_longurl_range_rollup",
+    "snapshot_zorder_partition_box_probe",
 ]
 
 

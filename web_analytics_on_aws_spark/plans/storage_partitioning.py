@@ -559,3 +559,75 @@ def snapshot_longurl_range_rollup(
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+def _ensure_zordered_day_table(spark: SparkSession, sf_dir: str) -> str:
+    """A day(ts)-partitioned events table that LIVED through a Z-order
+    clustering rewrite on (user_id, value): round-7 cluster_zorder
+    operates WITHIN each partition tuple group (like optimize), so the
+    rewritten files both inherit their day tuples AND cover small
+    (user_id, value) hyper-rectangles — day pruning and multi-dimension
+    stats skipping compose. Pinned structurally by tests/test_zorder.py
+    ::test_zorder_preserves_partition_tuples; oracled here for results."""
+    from web_analytics_on_aws_spark.sources import partitioning, snapshots
+
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _fingerprint(src)
+    table, marker, fresh = _scratch(sf_dir, "zday", fp)
+    if fresh and snapshots.current_version(table) is not None:
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    snapshots.commit_append(ev.limit(0), table)
+    partitioning.set_partition_spec(spark, table, [("ts", "day")])
+    snapshots.commit_append(ev, table)
+    snapshots.cluster_zorder(
+        spark, table, ["user_id", "value"], target_file_mb=0.25
+    )
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        json.dump(fp, fh)
+    return table
+
+
+@query(
+    "snapshot_zorder_partition_box_probe",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+      AND user_id BETWEEN 100 AND 400
+      AND value BETWEEN 10.0 AND 60.0
+    GROUP BY event_type
+    """,
+)
+def snapshot_zorder_partition_box_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """2-D box probe over a Z-ordered, day-partitioned snapshot table:
+    the ts window prunes whole days from manifest TUPLES, then the
+    (user_id, value) box prunes within each surviving day from manifest
+    column stats — tight on BOTH dimensions because the round-7 rewrite
+    Morton-clusters within each partition group (a global rewrite would
+    have dropped the tuples and mixed the days). Oracle: same box over
+    the source parquet."""
+    table = _ensure_zordered_day_table(spark, sf_dir)
+    return (
+        _snapshot_read(spark, table)
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-22 00:00:00").cast("timestamp"))
+            & F.col("user_id").between(100, 400)
+            & F.col("value").between(10.0, 60.0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
