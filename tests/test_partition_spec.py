@@ -861,3 +861,48 @@ def test_metadata_partitions_table_uses_tuples(registered, tmp_path):
     }
     assert got['{"ev": "view"}'][1] == 100
     assert got['{"ev": "click"}'][1] == 200
+
+
+def test_cow_dml_rewrites_keep_partition_tuples(registered, tmp_path):
+    """Round 7: copy-on-write DELETE/UPDATE route their replacement files
+    through the CURRENT spec (Iceberg CoW rewrites adopt the current
+    spec) — DML never leaves untupled files in a partitioned table, and
+    an UPDATE that moves the partition source column re-routes rows."""
+    spark = registered
+    t = str(tmp_path / "t")
+    df = spark.range(300).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "view").otherwise("click").alias("ev"),
+    )
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("ev", "identity")])
+    commit_append(df, t)
+
+    from web_analytics_on_aws_spark.sources.snapshots import update_where
+
+    delete_where(spark, t, "id % 10 = 0")
+    # an UPDATE that MOVES rows across partitions: view → purchase
+    update_where(
+        spark, t, "ev = 'view' and id % 2 = 1", {"ev": "'purchase'"}
+    )
+    m = _read_manifest(t, current_version(t))
+    fp = m.get("file_partitions", {})
+    fs = m.get("file_stats", {})
+    untupled = [f for f in m["files"] if f not in fp]
+    assert all(fs.get(f, {}).get("rows") == 0 for f in untupled)
+    vals = {fp[f]["values"]["ev"] for f in m["files"] if f in fp}
+    assert "purchase" in vals  # moved rows landed in their new partition
+    # pruning still exact after two DML rewrites
+    from pyspark.sql.datasource import EqualTo
+
+    got = (
+        spark.read.format("snapshot").option("path", t).load()
+        .filter("ev = 'purchase'")
+        .count()
+    )
+    want = df.filter("id % 10 != 0").filter(
+        "ev = 'view' and id % 2 = 1"
+    ).count()
+    assert got == want
+    kept = _kept(t, [EqualTo(("ev",), "purchase")])
+    assert kept < len(m["files"])

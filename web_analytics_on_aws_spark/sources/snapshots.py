@@ -1102,6 +1102,7 @@ def _rewrite_matched(
     kept = [f for f in files if f not in touched]
     n_matched = 0
     new_files: list[str] = []
+    fparts: dict[str, dict] = {}
     if touched:
         matched_scope = _logical(
             _scan_files(spark, sorted(touched), sch),
@@ -1120,7 +1121,25 @@ def _rewrite_matched(
                 # implicit widening of unmapped tables would bypass field-id
                 # allocation
                 replacement = to_physical(replacement, sch, op)
-            new_files = _write_data_files(replacement, table)
+            # hidden partitioning (round 7): replacement rows route through
+            # the CURRENT spec — Iceberg CoW rewrites adopt the current
+            # spec — so DML never leaves untupled (unprunable) files in a
+            # partitioned table, and an UPDATE that changes the partition
+            # source column re-routes the row to its new partition
+            pblock = m.get("partitioning") or {}
+            cur_spec = int(pblock.get("current") or 0)
+            if cur_spec:
+                from web_analytics_on_aws_spark.sources.partitioning import (
+                    write_partitioned_files,
+                )
+
+                new_files, fparts = write_partitioned_files(
+                    replacement, table, cur_spec,
+                    pblock["specs"][str(cur_spec)],
+                    sort_cols=(m.get("sort_order") or {}).get("cols"),
+                )
+            else:
+                new_files = _write_data_files(replacement, table)
             # CHECK constraints: untouched files already satisfy them (the
             # head is always constraint-valid), so validating only the
             # replacement rows keeps the whole-table invariant without a
@@ -1135,6 +1154,7 @@ def _rewrite_matched(
     version = cur + 1
     _publish(
         table, version, kept + new_files, op,
+        file_partitions=fparts or None,
         file_stats=collect_file_stats(new_files, spark),
     )
     return {
