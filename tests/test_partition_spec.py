@@ -906,3 +906,40 @@ def test_cow_dml_rewrites_keep_partition_tuples(registered, tmp_path):
     assert got == want
     kept = _kept(t, [EqualTo(("ev",), "purchase")])
     assert kept < len(m["files"])
+
+
+def test_merge_into_keeps_partition_tuples(registered, tmp_path):
+    """Round 7: the file-scoped CoW MERGE (snapshots.merge_into) routes
+    its replacement files through the current spec too — keyed merges on
+    a partitioned table keep every non-empty file tupled, and a source
+    row that changes the partition column lands in its new partition."""
+    from web_analytics_on_aws_spark.sources.snapshots import merge_into
+
+    spark = registered
+    t = str(tmp_path / "t")
+    df = spark.range(300).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "view").otherwise("click").alias("ev"),
+    )
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("ev", "identity")])
+    commit_append(df, t)
+    # keyed merge: update 50 rows into a NEW partition value + insert 10
+    src = spark.range(250, 310).select(
+        F.col("id"), F.lit("purchase").alias("ev")
+    )
+    merge_into(spark, t, src, keys=["id"])
+    m = _read_manifest(t, current_version(t))
+    fp = m.get("file_partitions", {})
+    fs = m.get("file_stats", {})
+    untupled = [f for f in m["files"] if f not in fp]
+    assert all(fs.get(f, {}).get("rows") == 0 for f in untupled)
+    assert "purchase" in {
+        fp[f]["values"]["ev"] for f in m["files"] if f in fp
+    }
+    got = {
+        r["ev"]: r["n"]
+        for r in read_snapshot(spark, t)
+        .groupBy("ev").agg(F.count("*").alias("n")).collect()
+    }
+    assert got["purchase"] == 60 and sum(got.values()) == 310

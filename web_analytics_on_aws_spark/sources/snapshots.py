@@ -2458,7 +2458,25 @@ def merge_into(
             # dropped on BOTH paths (merge never evolves the table schema;
             # use commit_append/replace for schema changes) — ADVICE r2
             replacement = src.select(*table_cols)
-        new_files = _write_data_files(replacement, table)
+        # hidden partitioning (round 7): merged rows route through the
+        # CURRENT spec like every other rewrite — a keyed MERGE must not
+        # slowly de-partition its table (updated rows may also MOVE to a
+        # new partition when the source changes the partition column)
+        pblock = head_m.get("partitioning") or {}
+        cur_spec = int(pblock.get("current") or 0)
+        fparts: dict[str, dict] | None = None
+        if cur_spec:
+            from web_analytics_on_aws_spark.sources.partitioning import (
+                write_partitioned_files,
+            )
+
+            new_files, fparts = write_partitioned_files(
+                replacement, table, cur_spec,
+                pblock["specs"][str(cur_spec)],
+                sort_cols=(head_m.get("sort_order") or {}).get("cols"),
+            )
+        else:
+            new_files = _write_data_files(replacement, table)
         cons = table_constraints(table)
         if cons:
             check_constraints(
@@ -2467,6 +2485,7 @@ def merge_into(
         version = cur + 1
         _publish(
             table, version, kept + new_files, "merge", txn=txn,
+            file_partitions=fparts,
             file_stats=collect_file_stats(new_files, spark),
         )
         return {
