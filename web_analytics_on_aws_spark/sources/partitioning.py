@@ -694,6 +694,21 @@ def _fanout_plan(
         os.environ.get("SPARK_GRAFT_TARGET_FILE_MB", DEFAULT_TARGET_FILE_MB)
     )
     target = max(1.0, target_mb * 1024 * 1024)
+    # micro-batch shortcut: when Catalyst's own plan statistics already
+    # bound the WHOLE batch under one target file, every value's n_v is 1
+    # — skip the sizing job entirely (zero extra passes for streaming
+    # triggers). sizeInBytes is IN-MEMORY row width (several × the
+    # parquet-encoded size), so a batch under target by that measure is
+    # under it on disk a fortiori; unknown stats report Long.MAX and fall
+    # through to the measured path.
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if 0 <= est < target:
+            return None, 1
+    except Exception:
+        pass  # py4j surface moved — fall through to the measured path
     cap = _fanout_cap(df)
     row_bytes = _est_row_bytes(df, table)
     top = (
@@ -758,6 +773,16 @@ def _range_width(routed: DataFrame, df: DataFrame, table: str) -> int:
         os.environ.get("SPARK_GRAFT_TARGET_FILE_MB", DEFAULT_TARGET_FILE_MB)
     )
     target = max(1.0, target_mb * 1024 * 1024)
+    # micro-batch shortcut (same as _fanout_plan): Catalyst plan stats
+    # bounding the batch under one target file skip the count job
+    try:
+        plan_est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if 0 <= plan_est < target:
+            return 1
+    except Exception:
+        pass
     rows = routed.count()
     if rows == 0:
         return 1
