@@ -330,12 +330,15 @@ def weblog_event_partition_rollup(
 def weblog_partitions_manifest_census(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """SHOW PARTITIONS parity (reference D7) answered WITHOUT a scan: the
-    per-partition row census comes from the manifest alone — partition
-    tuples + per-file row counts (collect_file_stats) folded driver-side,
-    zero data-file/footer I/O at any table size. The oracle runs the
-    GROUP BY the metadata claims to equal; a green row proves the
-    manifest's bookkeeping matches the data through the MERGE-built
+    """SHOW PARTITIONS parity (reference D7) answered WITHOUT a scan
+    wherever the manifest can: partition tuples + per-file row counts
+    (collect_file_stats) folded driver-side — zero data-file/footer I/O
+    for stats-backed groups at any table size; groups containing
+    pre-stats (legacy) files fall back to one scan of exactly those files
+    instead of silently vanishing (VERDICT r6 #4; legacy pin in
+    tests/test_manifest_stats.py). The oracle runs the GROUP BY the
+    metadata claims to equal; a green row proves the manifest's
+    bookkeeping matches the data through the MERGE-built
     event-partitioned weblog table."""
     from web_analytics_on_aws_spark.sources.partitioning import (
         partition_value_census,
