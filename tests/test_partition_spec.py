@@ -862,6 +862,18 @@ def test_metadata_partitions_table_uses_tuples(registered, tmp_path):
     assert got['{"ev": "view"}'][1] == 100
     assert got['{"ev": "click"}'][1] == 200
 
+    # outstanding MOR sidecars: SHOW PARTITIONS refuses (counts would
+    # lie) but the inspection table still reports the grouping with
+    # NULL counts instead of raising
+    from web_analytics_on_aws_spark.sources.snapshots import delete_where_mor
+
+    delete_where_mor(spark, t, "id % 10 = 0")
+    rows = metadata_table(spark, t, "partitions").collect()
+    by_part = {r["partition"]: r for r in rows if r["partition"]}
+    assert set(by_part) == {'{"ev": "view"}', '{"ev": "click"}'}
+    assert all(r["record_count"] is None for r in by_part.values())
+    assert all(r["n_files"] >= 1 for r in by_part.values())
+
 
 def test_cow_dml_rewrites_keep_partition_tuples(registered, tmp_path):
     """Round 7: copy-on-write DELETE/UPDATE route their replacement files

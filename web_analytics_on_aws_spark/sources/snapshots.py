@@ -2272,10 +2272,42 @@ def metadata_table(spark: SparkSession, table: str, kind: str) -> DataFrame:
             # manifest stats where every file in the group carries them
             # (None otherwise — the conservative SHOW PARTITIONS
             # contract), file counts always exact. Zero data/footer I/O.
+            # Outstanding MOR sidecars make per-partition LIVE counts
+            # unknowable without a scan — SHOW PARTITIONS refuses there,
+            # but an inspection table shouldn't: report the grouping with
+            # record_count/total_bytes as NULL instead.
             from web_analytics_on_aws_spark.sources.partitioning import (
                 show_table_partitions,
             )
 
+            try:
+                parts = show_table_partitions(table)
+            except ValueError:
+                fp = head_m.get("file_partitions", {})
+                groups: dict = {}
+                for f in head:
+                    e = fp.get(f)
+                    gk = (
+                        (e["spec_id"],
+                         tuple(sorted(e["values"].items())))
+                        if e is not None
+                        else None
+                    )
+                    g = groups.setdefault(gk, 0)
+                    groups[gk] = g + 1
+                parts = [
+                    {
+                        "spec_id": None if k is None else k[0],
+                        "values": None if k is None else dict(k[1]),
+                        "n_files": n,
+                        "rows": None,
+                        "bytes": None,
+                    }
+                    for k, n in sorted(
+                        groups.items(),
+                        key=lambda kv: (kv[0] is not None, str(kv[0])),
+                    )
+                ]
             rows = [
                 {
                     "partition": (
@@ -2288,7 +2320,7 @@ def metadata_table(spark: SparkSession, table: str, kind: str) -> DataFrame:
                     "record_count": p["rows"],
                     "total_bytes": p["bytes"],
                 }
-                for p in show_table_partitions(table)
+                for p in parts
             ]
             return spark.createDataFrame(
                 rows,
