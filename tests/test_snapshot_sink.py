@@ -183,3 +183,65 @@ def test_snapshot_upsert_stream_merges_and_replays_exactly_once(spark, tmp_path)
     shutil.rmtree(f"{t}/ckpt")  # checkpoint loss → full landing replay
     drain()
     assert read_snapshot(spark, table).count() == 3  # txn stamps no-op it
+
+
+def test_snapshot_sink_into_partitioned_sorted_table(spark, tmp_path):
+    """Round 7 end-to-end: a streaming ingest into an identity-partitioned,
+    write-ordered table routes every micro-batch through the spec — each
+    data file carries its tuple, a tiny micro-batch writes ONE file per
+    event value (bytes-driven fanout, no 8x small-file inflation), and
+    exactly-once replay still holds."""
+    from web_analytics_on_aws_spark.sources.partitioning import (
+        set_partition_spec,
+    )
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        set_sort_order,
+    )
+
+    t = str(tmp_path)
+    landing, table = f"{t}/landing", f"{t}/table"
+    # batch 0 creates the table with the sink's typed schema; the layout
+    # is declared between triggers (ALTER on a live streaming table)
+    _land(landing, "b0.jsonl",
+          [_rec("seed", "2026-03-02T13:00:00Z", "view", "/seed")])
+    _drain(spark, landing, table, f"{t}/err", f"{t}/ckpt")
+    set_partition_spec(spark, table, [("event", "identity")])
+    set_sort_order(spark, table, ["timestamp"])
+
+    lines = [
+        _rec(f"u{i}", f"2026-03-02T13:{45 + i % 10}:00Z",
+             "view" if i % 4 else "click", f"/p/{i}")
+        for i in range(40)
+    ]
+    _land(landing, "b1.jsonl", lines)
+    _drain(spark, landing, table, f"{t}/err", f"{t}/ckpt")
+
+    m = _read_manifest(table, current_version(table))
+    fp = m.get("file_partitions", {})
+    fs = m.get("file_stats", {})
+    tupled = [f for f in m["files"] if f in fp]
+    # every post-spec data file carries its tuple; only the pre-spec seed
+    # batch is untupled
+    assert len(tupled) >= 2
+    assert len(m["files"]) - len(tupled) <= 2
+    by_val: dict[str, int] = {}
+    for f in tupled:
+        if fs.get(f, {}).get("rows"):
+            v = fp[f]["values"]["event"]
+            by_val[v] = by_val.get(v, 0) + 1
+    assert by_val == {"view": 1, "click": 1}  # one file per value
+    assert read_snapshot(spark, table).count() == 41
+    # replay (fresh checkpoint) is a durable no-op
+    v_before = current_version(table)
+    _drain(spark, landing, table, f"{t}/err", f"{t}/ckpt2")
+    assert current_version(table) == v_before
+    assert read_snapshot(spark, table).count() == 41
+    # the census (scan fallback for the untupled seed) matches the stream
+    from web_analytics_on_aws_spark.sources.partitioning import (
+        partition_value_census,
+    )
+
+    counts = partition_value_census(spark, table, "event")
+    assert counts == {"view": 31, "click": 10}
