@@ -957,27 +957,29 @@ def test_merge_into_keeps_partition_tuples(registered, tmp_path):
     assert got["purchase"] == 60 and sum(got.values()) == 310
 
 
-def test_fanout_micro_batch_skips_sizing_job(registered, tmp_path):
+def test_fanout_micro_batch_skips_sizing_job(
+    registered, tmp_path, monkeypatch
+):
     """Round 7: when Catalyst plan statistics already bound the batch
-    under one target file, the fanout plan returns without running its
-    sizing aggregation — streaming micro-batch appends pay ZERO extra
-    passes (pinned by asserting no job runs through the sizing path)."""
+    under one target file, the partitioned write never runs its sizing
+    aggregation — streaming micro-batch appends pay ZERO extra passes
+    (pinned by making the measured path unreachable)."""
     from web_analytics_on_aws_spark.sources import partitioning as PP
 
     spark = registered
     df = spark.range(100).select(
         F.col("id"), F.lit("view").alias("event")
     )
-    names = ["__part_event"]
-    routed = df.select(
-        "*", F.col("event").cast("string").alias("__part_event")
-    )
-    calls = []
-    orig = PP._est_row_bytes
-    PP._est_row_bytes = lambda *a, **k: calls.append(1) or orig(*a, **k)
-    try:
-        salt, width = PP._fanout_plan(routed, names, df, str(tmp_path / "t"))
-    finally:
-        PP._est_row_bytes = orig
-    assert salt is None and width == 1
-    assert calls == []  # shortcut fired before any sizing work
+    assert PP._plan_under_target(df, PP._target_bytes())
+
+    def boom(*a, **kw):
+        raise AssertionError("sizing job ran for an under-target batch")
+
+    monkeypatch.setattr(PP, "_fanout_plan", boom)
+    monkeypatch.setattr(PP, "_range_width", boom)
+    t = str(tmp_path / "t")
+    commit_append(df.limit(0), t)
+    P.set_partition_spec(spark, t, [("event", "identity")])
+    commit_append(df, t)
+    assert read_snapshot(spark, t).count() == 100
+    assert len(_tuples(t)) == 1  # one file for the one value

@@ -87,6 +87,11 @@ def canon(df):
 
 
 def main():
+    # golden oracles (plans/goldens.py) must reference-compute over the
+    # SAME corpus the queries run on — at non-default SF the default
+    # (sf0.01) golden would mismatch by construction. Set here, not at
+    # module import (sim_subset imports this module with its own argv).
+    os.environ.setdefault("SPARK_GRAFT_GOLDEN_SF_DIR", SF)
     spark = SparkSession.builder.master("local[8]").appName("type-sim").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as e

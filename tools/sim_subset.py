@@ -71,4 +71,5 @@ if __name__ == "__main__":
         i = args.index("--sf")
         sf = args[i + 1]
         args = args[:i] + args[i + 2 :]
+    os.environ.setdefault("SPARK_GRAFT_GOLDEN_SF_DIR", sf)
     main(args, sf)

@@ -547,7 +547,10 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_value_histogram",
     oracle="""
-    SELECT CAST(FLOOR((value - 0) * 20 / (500 - 0)) AS BIGINT) + 1 AS bucket,
+    SELECT CASE WHEN value < 0 THEN CAST(0 AS BIGINT)
+                WHEN value >= 500 THEN CAST(21 AS BIGINT)
+                ELSE CAST(FLOOR((value - 0) * 20 / (500 - 0)) AS BIGINT) + 1
+           END AS bucket,
            COUNT(*) AS cnt,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_sum
     FROM events
@@ -558,8 +561,9 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram via SQL-standard width_bucket — one partial-agg
     pass, 20ish groups out regardless of input size (the fixed-bounds
     companion to the NTILE equi-depth deciles). DuckDB has no width_bucket;
-    the oracle replicates Spark's exact formula floor((v−lo)·n/(hi−lo))+1,
-    identical for in-range values."""
+    the oracle replicates Spark's full semantics — floor((v−lo)·n/(hi−lo))+1
+    in range, 0 below, n+1 at-or-above the upper bound (the overflow
+    clamp only bites at sf≥0.1, where values exceed 500)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
         F.width_bucket("value", F.lit(0), F.lit(500), F.lit(20)).alias("bucket")

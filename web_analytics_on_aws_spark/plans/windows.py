@@ -66,7 +66,8 @@ def sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts,
              CASE WHEN LAG(ts) OVER w IS NULL
-                   OR date_diff('second', LAG(ts) OVER w, ts) >= 1800
+                   OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                      >= 1800000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -87,8 +88,11 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     start/size — the operator that runs stateful under Structured Streaming.
 
     Session-window semantics: a gap of exactly 30:00 starts a NEW session
-    (window closes at last_ts + gap, exclusive), hence `>= 1800` in the
-    gaps-and-islands oracle.
+    (window closes at last_ts + gap, exclusive), hence `>= 1800s` in the
+    gaps-and-islands oracle — compared at MICROSECOND precision: a
+    second-granular date_diff truncates a 1799.3 s gap up to 1800 and
+    wrongly splits the session (bit at sf0.1, where sub-second timestamp
+    collisions with ~30-min gaps exist).
     """
     ev = load_table(spark, sf_dir, "events")
     return (

@@ -664,11 +664,39 @@ def _row_spread(df: DataFrame) -> Column:
     return F.xxhash64(*hashable) if hashable else F.spark_partition_id()
 
 
+def _target_bytes() -> float:
+    """Target output-file size (compressed bytes) for partitioned writes —
+    Iceberg's write.target-file-size-bytes knob."""
+    target_mb = float(
+        os.environ.get("SPARK_GRAFT_TARGET_FILE_MB", DEFAULT_TARGET_FILE_MB)
+    )
+    return max(1.0, target_mb * 1024 * 1024)
+
+
+def _plan_under_target(df: DataFrame, target: float) -> bool:
+    """Micro-batch shortcut: when Catalyst's own plan statistics already
+    bound the WHOLE batch under one target file, every fanout is 1 — skip
+    the sizing job entirely (zero extra passes for streaming triggers).
+    sizeInBytes is IN-MEMORY row width (several × the parquet-encoded
+    size) for in-memory plans and compressed file bytes for scans — an
+    overestimate of the written size either way, so a batch under target
+    by that measure is under it on disk a fortiori; unknown stats report
+    Long.MAX and fall through to the measured path."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        return 0 <= est < target
+    except Exception:
+        return False  # py4j surface moved — use the measured path
+
+
 def _fanout_plan(
     routed: DataFrame,
     names: list[str],
     df: DataFrame,
     table: str,
+    target: float,
 ):
     """(salt column | None, estimated exchange width) for a coarse-spec
     write — the bytes-driven fanout (VERDICT r6 #1).
@@ -690,25 +718,6 @@ def _fanout_plan(
     both the fanout AND the band layout there)."""
     import pyspark.sql.functions as F
 
-    target_mb = float(
-        os.environ.get("SPARK_GRAFT_TARGET_FILE_MB", DEFAULT_TARGET_FILE_MB)
-    )
-    target = max(1.0, target_mb * 1024 * 1024)
-    # micro-batch shortcut: when Catalyst's own plan statistics already
-    # bound the WHOLE batch under one target file, every value's n_v is 1
-    # — skip the sizing job entirely (zero extra passes for streaming
-    # triggers). sizeInBytes is IN-MEMORY row width (several × the
-    # parquet-encoded size), so a batch under target by that measure is
-    # under it on disk a fortiori; unknown stats report Long.MAX and fall
-    # through to the measured path.
-    try:
-        est = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        if 0 <= est < target:
-            return None, 1
-    except Exception:
-        pass  # py4j surface moved — fall through to the measured path
     cap = _fanout_cap(df)
     row_bytes = _est_row_bytes(df, table)
     top = (
@@ -757,7 +766,9 @@ def _fanout_plan(
     return spread, min(sum_n + default_n, 4096)
 
 
-def _range_width(routed: DataFrame, df: DataFrame, table: str) -> int:
+def _range_width(
+    routed: DataFrame, df: DataFrame, table: str, target: float
+) -> int:
     """Exchange width for a SORTED partitioned write: the whole batch goes
     through ONE range exchange on (partition cols…, sort cols…), so the
     width is simply ceil(batch_bytes / target_file_size) — bytes-driven
@@ -769,20 +780,6 @@ def _range_width(routed: DataFrame, df: DataFrame, table: str) -> int:
     of a value the full sort range). Costs one count job on the batch."""
     import math
 
-    target_mb = float(
-        os.environ.get("SPARK_GRAFT_TARGET_FILE_MB", DEFAULT_TARGET_FILE_MB)
-    )
-    target = max(1.0, target_mb * 1024 * 1024)
-    # micro-batch shortcut (same as _fanout_plan): Catalyst plan stats
-    # bounding the batch under one target file skip the count job
-    try:
-        plan_est = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        if 0 <= plan_est < target:
-            return 1
-    except Exception:
-        pass
     rows = routed.count()
     if rows == 0:
         return 1
@@ -837,43 +834,64 @@ def write_partitioned_files(
         if kinds & ({"bucket"} | set(_TEMPORAL_FMT)):
             fixed = 1  # temporal/bucket specs are already fine-grained
     parts: list[Column] = [F.col(c) for c in names]
-    if sort_cols and fixed is None:
-        # SORTED partitioned write: one range exchange on (partition
-        # cols…, sort cols…) + local sort. Bytes-driven width, skew-aware
-        # split (the range sampler gives a hot value more tasks), and the
-        # files of one value carry DISJOINT sort-column bands — which a
-        # salted hash exchange cannot guarantee (two salt buckets of the
-        # same value may hash-collide into one write task, merging bands).
-        width = _range_width(routed, df, table)
-        routed = routed.repartitionByRange(
-            width, *parts, *[F.col(c) for c in sort_cols]
-        )
-    elif fixed is None:
-        salt, sum_n = _fanout_plan(routed, names, df, table)
-        if salt is not None:
-            parts.append(salt)
-            # explicit partition count: an unsized repartition lets AQE
-            # coalesce the salt buckets right back into one task — the
-            # exact serialization the salt exists to break. A value still
-            # lands in ≤ n_v distinct exchange partitions (the file
-            # bound), spread over the cluster's write slots.
+    # sizing jobs re-execute the batch lineage (a count for the fanout, a
+    # count for the range width) — for a DML/MERGE replacement that
+    # lineage embeds joins, so when a measured pass is needed the routed
+    # batch is persisted across sizing + write (one compute, not two) and
+    # released after the write. Micro-batches skip both via plan stats.
+    persisted: DataFrame | None = None
+    try:
+        if sort_cols and fixed is None:
+            # SORTED partitioned write: one range exchange on (partition
+            # cols…, sort cols…) + local sort. Bytes-driven width,
+            # skew-aware split (the range sampler gives a hot value more
+            # tasks), and the files of one value carry DISJOINT
+            # sort-column bands — which a salted hash exchange cannot
+            # guarantee (two salt buckets of the same value may
+            # hash-collide into one write task, merging bands).
+            target = _target_bytes()
+            if _plan_under_target(df, target):
+                width = 1
+            else:
+                persisted = routed.persist()
+                width = _range_width(routed, df, table, target)
+            routed = routed.repartitionByRange(
+                width, *parts, *[F.col(c) for c in sort_cols]
+            )
+        elif fixed is None:
+            target = _target_bytes()
+            if _plan_under_target(df, target):
+                salt, sum_n = None, 1
+            else:
+                persisted = routed.persist()
+                salt, sum_n = _fanout_plan(routed, names, df, table, target)
+            if salt is not None:
+                parts.append(salt)
+                # explicit partition count: an unsized repartition lets
+                # AQE coalesce the salt buckets right back into one task —
+                # the exact serialization the salt exists to break. A
+                # value still lands in ≤ n_v distinct exchange partitions
+                # (the file bound), spread over the cluster's write slots.
+                par = df.sparkSession.sparkContext.defaultParallelism
+                routed = routed.repartition(max(sum_n, par), *parts)
+            else:
+                routed = routed.repartition(*parts)
+        elif fixed > 1:
+            parts.append(F.pmod(_row_spread(df), F.lit(fixed)))
             par = df.sparkSession.sparkContext.defaultParallelism
-            routed = routed.repartition(max(sum_n, par), *parts)
+            routed = routed.repartition(max(fixed, par), *parts)
         else:
             routed = routed.repartition(*parts)
-    elif fixed > 1:
-        parts.append(F.pmod(_row_spread(df), F.lit(fixed)))
-        par = df.sparkSession.sparkContext.defaultParallelism
-        routed = routed.repartition(max(fixed, par), *parts)
-    else:
-        routed = routed.repartition(*parts)
-    if sort_cols:
-        # table write order (snapshots.set_sort_order): locally ordered
-        # within each partition leaf — rows per file come out sorted, so
-        # per-file column bounds are tight on the order columns (and
-        # DISJOINT per value on the range-exchange path above)
-        routed = routed.sortWithinPartitions(*names, *sort_cols)
-    routed.write.mode("error").partitionBy(*names).parquet(part_dir)
+        if sort_cols:
+            # table write order (snapshots.set_sort_order): locally
+            # ordered within each partition leaf — rows per file come out
+            # sorted, so per-file column bounds are tight on the order
+            # columns (and DISJOINT per value on the range-exchange path)
+            routed = routed.sortWithinPartitions(*names, *sort_cols)
+        routed.write.mode("error").partitionBy(*names).parquet(part_dir)
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
     files: list[str] = []
     tuples: dict[str, dict] = {}
     for root, _dirs, leaf_files in os.walk(part_dir):
@@ -897,7 +915,9 @@ def write_partitioned_files(
     return files, tuples
 
 
-def show_table_partitions(table: str, version: int | None = None) -> list[dict]:
+def show_table_partitions(
+    table: str, version: int | None = None, strict: bool = True
+) -> list[dict]:
     """SHOW PARTITIONS for hidden-partitioned snapshot tables — reference
     D7 parity (`SHOW PARTITIONS` over the Glue tables), answered from the
     MANIFEST ALONE: one row per distinct partition tuple with its file
@@ -908,7 +928,9 @@ def show_table_partitions(table: str, version: int | None = None) -> list[dict]:
     ``rows``/``bytes`` are None when any of the tuple's files predates
     manifest stats (conservative, never wrong). Raises while MOR delete
     sidecars are outstanding — per-partition live counts would lie until
-    maintenance folds them in."""
+    maintenance folds them in; inspection callers that only need the
+    grouping pass ``strict=False`` to get every group with rows/bytes
+    None instead of the refusal."""
     from web_analytics_on_aws_spark.sources.snapshots import (
         _manifest_deletes,
         _manifest_eq_deletes,
@@ -920,7 +942,8 @@ def show_table_partitions(table: str, version: int | None = None) -> list[dict]:
     if v is None:
         raise FileNotFoundError(f"no snapshots at {table}")
     m = _read_manifest(table, v)
-    if _manifest_deletes(m) or _manifest_eq_deletes(m):
+    dirty = bool(_manifest_deletes(m) or _manifest_eq_deletes(m))
+    if dirty and strict:
         raise ValueError(
             f"{table} has outstanding merge-on-read deletes; run "
             "maintain_table first — per-partition counts would be stale"
@@ -954,8 +977,8 @@ def show_table_partitions(table: str, version: int | None = None) -> list[dict]:
                 "spec_id": None if key is None else key[0],
                 "values": None if key is None else dict(key[1]),
                 "n_files": g["n_files"],
-                "rows": g["rows"] if g["exact"] else None,
-                "bytes": g["bytes"] if g["exact"] else None,
+                "rows": g["rows"] if g["exact"] and not dirty else None,
+                "bytes": g["bytes"] if g["exact"] and not dirty else None,
                 "files": g["files"],
             }
         )
@@ -999,6 +1022,8 @@ def partition_value_census(
         else:
             fallback.extend(p["files"])
     if fallback:
+        from web_analytics_on_aws_spark.sources.snapshots import _scan_files
+
         m = _read_manifest(table, current_version(table))
         block = m.get(PART_KEY) or {}
         cur = str(block.get("current") or 0)
@@ -1009,9 +1034,11 @@ def partition_value_census(
                 f"{field_name!r} is not a field of {table}'s current "
                 "partition spec"
             )
+        # _scan_files, not a raw mergeSchema read: a type-widened mapped
+        # table stores mixed physical widths that mergeSchema refuses to
+        # union (int vs long) but the explicit-schema scan up-casts
         scanned = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*fallback)
+            _scan_files(spark, fallback, m.get("schema"))
             .groupBy(transform_expr(fld).cast("string").alias("__v"))
             .agg(F.count("*").alias("__n"))
             .collect()

@@ -390,6 +390,12 @@ def _stats_for_file(p: str) -> dict:
 # round-trip, so serial collection of a 600-file commit is 12-30 s of
 # driver stall and the crossover sits around ~64 files. Dispatch on the
 # path scheme; SPARK_GRAFT_STATS_DISTRIBUTE=always/never overrides.
+# NOTE: in THIS environment the manifest layer itself is local-FS (os.link
+# CAS publishes, os.walk listings), so the scheme branch is forward-
+# looking design and the object-store regime is MODELED, not exercised —
+# tools/stats_collect_probe.py measures it by injecting the per-footer
+# round-trip latency (the env hook below), which in local mode reaches
+# the executor python workers through the inherited process env.
 _STATS_DISTRIBUTE_MIN = 64  # remote (object-store) paths
 _STATS_DISTRIBUTE_LOCAL_MIN = 4096  # local paths: only huge backfills
 _REMOTE_SCHEMES = (
@@ -1139,7 +1145,9 @@ def _rewrite_matched(
                     sort_cols=(m.get("sort_order") or {}).get("cols"),
                 )
             else:
-                new_files = _write_data_files(replacement, table)
+                new_files = _write_data_files(
+                    _sorted_for_write(replacement, m), table
+                )
             # CHECK constraints: untouched files already satisfy them (the
             # head is always constraint-valid), so validating only the
             # replacement rows keeps the whole-table invariant without a
@@ -1649,10 +1657,27 @@ def compact_deletes(spark: SparkSession, table: str) -> dict:
         groups.setdefault(gkey, []).append(f)
     new_files: list[str] = []
     new_fp: dict[str, dict] = {}
+    sort_cols = (m.get("sort_order") or {}).get("cols")
     for gkey, grp in groups.items():
         survivors = _apply_position_deletes(
             spark, _scan_files(spark, grp, m.get("schema")), dvs
         )
+        if sort_cols and all(c in survivors.columns for c in sort_cols):
+            # write-ordered table: Spark's split packing can merge several
+            # small band-disjoint inputs into one task — re-range + local
+            # sort keeps the fold-in from undoing the layout, exactly like
+            # optimize's sorted rewrite (round 7)
+            import math
+
+            n_out = max(
+                1,
+                math.ceil(
+                    sum(os.path.getsize(f) for f in grp) / (128 * 1024 * 1024)
+                ),
+            )
+            survivors = survivors.repartitionByRange(
+                n_out, *sort_cols
+            ).sortWithinPartitions(*sort_cols)
         outs = _write_data_files(survivors, table)
         new_files += outs
         if gkey is not None:
@@ -2280,34 +2305,7 @@ def metadata_table(spark: SparkSession, table: str, kind: str) -> DataFrame:
                 show_table_partitions,
             )
 
-            try:
-                parts = show_table_partitions(table)
-            except ValueError:
-                fp = head_m.get("file_partitions", {})
-                groups: dict = {}
-                for f in head:
-                    e = fp.get(f)
-                    gk = (
-                        (e["spec_id"],
-                         tuple(sorted(e["values"].items())))
-                        if e is not None
-                        else None
-                    )
-                    g = groups.setdefault(gk, 0)
-                    groups[gk] = g + 1
-                parts = [
-                    {
-                        "spec_id": None if k is None else k[0],
-                        "values": None if k is None else dict(k[1]),
-                        "n_files": n,
-                        "rows": None,
-                        "bytes": None,
-                    }
-                    for k, n in sorted(
-                        groups.items(),
-                        key=lambda kv: (kv[0] is not None, str(kv[0])),
-                    )
-                ]
+            parts = show_table_partitions(table, strict=False)
             rows = [
                 {
                     "partition": (
@@ -2508,7 +2506,9 @@ def merge_into(
                 sort_cols=(head_m.get("sort_order") or {}).get("cols"),
             )
         else:
-            new_files = _write_data_files(replacement, table)
+            new_files = _write_data_files(
+                _sorted_for_write(replacement, head_m), table
+            )
         cons = table_constraints(table)
         if cons:
             check_constraints(
