@@ -101,3 +101,78 @@ def test_stats_metadata_table_and_cli(spark, tmp_path, capsys):
     assert (row["row_count"], row["n_files"], row["exact"]) == (25, 1, True)
     assert main(["snapshot", t, "stats"]) == 0
     assert "row_count" in capsys.readouterr().out
+
+
+def test_pruning_aware_broadcast_flip(spark, tmp_path):
+    """Round 7: a filtered read of an OVER-threshold partitioned dimension
+    broadcasts when its post-prune byte total fits — the estimate runs the
+    reader's own file-skipping against the pushed filters, manifest-only."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.datasource import EqualTo
+
+    from web_analytics_on_aws_spark.sources.partitioning import (
+        set_partition_spec,
+    )
+    from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        broadcast_if_small,
+        commit_append,
+        estimate_pruned_bytes,
+        table_statistics,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SnapshotDataSource)
+    t = str(tmp_path / "dim")
+    # ~2.5 MB table: one hot partition value (~99%) + a tiny one
+    dim = spark.range(120_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 100 == 0, "small").otherwise("big").alias("seg"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    commit_append(dim.limit(0), t)
+    set_partition_spec(spark, t, [("seg", "identity")])
+    commit_append(dim, t)
+
+    total = table_statistics(t)["size_bytes"]
+    pushed = [EqualTo(("seg",), "small")]
+    pruned = estimate_pruned_bytes(t, pushed)
+    assert 0 < pruned < total / 10  # the slice really is a sliver
+
+    fact = spark.range(500_000).withColumn(
+        "k", (F.col("id") % 1200) * 100
+    )
+    ds = (
+        spark.read.format("snapshot").option("path", t).load()
+        .filter(F.col("seg") == "small")
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    def plan(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # threshold between the pruned slice and the whole table: the
+        # whole-table estimate declines the hint, the pruned one takes it
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(int(pruned * 4))
+        )
+        unaware = fact.join(
+            broadcast_if_small(spark, ds, t), fact["k"] == ds["id"]
+        )
+        assert "BroadcastHashJoin" not in plan(unaware)
+        aware = fact.join(
+            broadcast_if_small(spark, ds, t, pushed=pushed),
+            fact["k"] == ds["id"],
+        )
+        assert "BroadcastHashJoin" in plan(aware)
+        assert unaware.count() == aware.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)

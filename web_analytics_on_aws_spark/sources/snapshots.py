@@ -2126,11 +2126,40 @@ def _parse_byte_conf(v: str) -> int:
     return int(float(s)) * mult
 
 
+def estimate_pruned_bytes(table: str, pushed: list) -> int:
+    """Manifest-resolved byte estimate of a FILTERED snapshot read: run the
+    reader's own file-skipping (partition tuples → manifest column bounds
+    → bloom sidecar, via ``SnapshotReader``) against ``pushed`` — a list
+    of ``pyspark.sql.datasource`` filters — and sum the surviving files'
+    manifest byte counts (footer size for stats-less legacy files). Pure
+    planning metadata: no data file is read."""
+    from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+        SnapshotReader,
+    )
+
+    r = SnapshotReader({"path": table}, None)
+    r.pushFilters(list(pushed))
+    m = _read_manifest(table, current_version(table))
+    fs = m.get("file_stats", {})
+    total = 0
+    for p in r.partitions():
+        if p is None:
+            continue
+        ent = fs.get(p.path)
+        total += (
+            int(ent["bytes"])
+            if ent and "bytes" in ent
+            else os.path.getsize(p.path)
+        )
+    return total
+
+
 def broadcast_if_small(
     spark: SparkSession,
     df: DataFrame,
     table: str,
     version: int | None = None,
+    pushed: list | None = None,
 ) -> DataFrame:
     """Feed manifest statistics to the join planner: if the table's
     manifest-resolved data size is at or under
@@ -2140,7 +2169,16 @@ def broadcast_if_small(
     (the Python ``snapshot`` DataSource reports no statistics, and
     post-MOR anti-join subplans inflate estimates past the threshold).
     Over-threshold or threshold=-1 → returned unchanged; the decision is
-    made from KB-scale metadata, never a scan."""
+    made from KB-scale metadata, never a scan.
+
+    PRUNING-AWARE (round 7): pass ``pushed`` — the same
+    ``pyspark.sql.datasource`` filter objects the read applies — and the
+    size estimate becomes the POST-PRUNE byte total
+    (``estimate_pruned_bytes``): a one-partition slice of an
+    over-threshold partitioned dimension still broadcasts, which is what
+    actually arrives at the join. The caller must apply the SAME filters
+    to ``df`` (the hint does not filter). ``version`` is ignored when
+    ``pushed`` is given (pruning runs against the head manifest)."""
     import pyspark.sql.functions as F
 
     thr = _parse_byte_conf(
@@ -2148,6 +2186,8 @@ def broadcast_if_small(
     )
     if thr <= 0:
         return df
+    if pushed:
+        return F.broadcast(df) if estimate_pruned_bytes(table, pushed) <= thr else df
     st = table_statistics(table, version)
     return F.broadcast(df) if st["size_bytes"] <= thr else df
 
