@@ -71,6 +71,7 @@ HEADLINE = [
     "snapshot_sorted_partition_window",
     "snapshot_longurl_range_rollup",
     "snapshot_zorder_partition_box_probe",
+    "snapshot_sharded_manifest_rollup",
 ]
 
 

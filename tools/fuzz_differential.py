@@ -142,6 +142,12 @@ def run(n_seeds: int, sf: str, spark=None) -> list[int]:
 
 
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "storage":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 300
+        sf = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+        sbad = run_storage(n, sf)
+        print(f"fuzzed {n} storage programs: {len(sbad)} divergences {sbad}")
+        return 1 if sbad else 0
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
     bad = run(n, sf)
@@ -628,6 +634,219 @@ def run_trino_shim(n_seeds: int, sf: str, spark=None) -> list[int]:
                 f"  duck : {d_sql}",
                 flush=True,
             )
+    return bad
+
+
+# ---- storage grammar (VERDICT r7 #5): random partition spec × sort order
+# ---- × commit/maintenance program × predicate, snapshot reads vs DuckDB
+# ---- over the SAME bytes. The pruning stack (segment ranges → partition
+# ---- tuples → manifest column bounds → footer stats) is pure optimization:
+# ---- any composition that changes RESULTS is a bug. Hand-written pins
+# ---- cover single sites; this finds the compositions.
+
+STORAGE_SPECS = [
+    [],
+    [("event_type", "identity")],
+    [("user_id", "bucket[8]")],
+    [("ts", "day")],
+    [("ts", "hour")],
+    [("event_type", "truncate[2]")],
+    [("event_type", "identity"), ("ts", "day")],
+    [("user_id", "bucket[4]"), ("event_type", "identity")],
+]
+STORAGE_SORTS = [None, ["value"], ["user_id"], ["ts"], ["event_id"]]
+# shared-dialect predicates (evaluated by Spark post-scan AND by DuckDB);
+# pushdown-shaped comparisons so the pruning stack actually engages
+STORAGE_PREDS = [
+    "event_type = 'view'",
+    "event_type IN ('click', 'cart')",
+    "event_type > 'p'",
+    "user_id % 4 = 1",
+    "user_id > 500",
+    "user_id <= 120",
+    "value > 50",
+    "value <= 25.5",
+    "event_id = 1234",
+    "event_id > 5000",
+    "ts >= TIMESTAMP '2024-01-05 00:00:00'",
+    "ts < TIMESTAMP '2024-01-03 12:00:00'",
+    "ts >= TIMESTAMP '2024-01-02 06:30:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'",
+]
+STORAGE_DELETES = [
+    "user_id % 17 = 3",
+    "value > 95",
+    "event_type = 'error'",
+    "event_id % 101 = 7",
+]
+
+
+def _storage_base(spark, sf: str, workdir: str) -> str:
+    """Materialize the events slice ONCE as plain micro-second parquet so
+    the snapshot table and the DuckDB baseline read identical bytes."""
+    base = os.path.join(workdir, "base.parquet")
+    if not os.path.exists(base):
+        from web_analytics_on_aws_spark.sources.tables import load_table
+
+        df = load_table(spark, sf, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        df.coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(workdir, "base_dir")
+        )
+        import glob
+        import shutil as _sh
+
+        parts = sorted(
+            glob.glob(os.path.join(workdir, "base_dir", "*.parquet"))
+        )
+        os.makedirs(base)
+        for i, p in enumerate(parts):
+            _sh.copy(p, os.path.join(base, f"p{i}.parquet"))
+    return base
+
+
+def gen_storage_program(seed: int) -> dict:
+    rng = random.Random(55_000_021 + seed)
+    return {
+        "spec": rng.choice(STORAGE_SPECS),
+        "sort": rng.choice(STORAGE_SORTS),
+        "n_appends": rng.randint(1, 3),
+        "shard": rng.random() < 0.5,  # force tiny manifest segments
+        "mutate": rng.choice(
+            ["none", "delete_cow", "delete_mor", "optimize", "restore"]
+        ),
+        "delete_pred": rng.choice(STORAGE_DELETES),
+        "preds": rng.sample(STORAGE_PREDS, rng.randint(1, 2)),
+    }
+
+
+def run_storage(n_seeds: int, sf: str, spark=None) -> list[int]:
+    """One seed = build a snapshot table under a random layout, optionally
+    mutate it, then compare filtered aggregate + row-probe reads through
+    the pruning snapshot DataSource against DuckDB over the same rows."""
+    import shutil
+    import tempfile
+
+    from tools.driver_sim import canon
+
+    spark, con = _setup(sf, (), spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # tiny fixture tables: a 200-partition range exchange per sorted
+    # append would spend the whole budget scheduling empty tasks
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    from web_analytics_on_aws_spark.sources import snapshots as S
+    from web_analytics_on_aws_spark.sources.partitioning import (
+        set_partition_spec,
+    )
+    from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    work = tempfile.mkdtemp(prefix="storage-fuzz-")
+    bad: list[int] = []
+    try:
+        base = _storage_base(spark, sf, work)
+        con.execute(
+            f"CREATE OR REPLACE VIEW sbase AS SELECT * FROM "
+            f"read_parquet('{base}/*.parquet')"
+        )
+        full = spark.read.parquet(base)
+        n_total = full.count()
+        for seed in range(n_seeds):
+            prog = gen_storage_program(seed)
+            t = os.path.join(work, f"t{seed}")
+            old_env = os.environ.get("SPARK_GRAFT_MANIFEST_SEGMENT_FILES")
+            if prog["shard"]:
+                os.environ["SPARK_GRAFT_MANIFEST_SEGMENT_FILES"] = "3"
+            try:
+                # --- build: spec → sort → appends of disjoint slices ---
+                S.commit_append(full.limit(0), t)
+                if prog["spec"]:
+                    set_partition_spec(spark, t, prog["spec"])
+                if prog["sort"]:
+                    S.set_sort_order(spark, t, prog["sort"])
+                k = prog["n_appends"]
+                for i in range(k):
+                    S.commit_append(
+                        full.filter(f"event_id % {k} = {i}"), t
+                    )
+                restore_to = S.current_version(t)
+                deleted = []
+                if prog["mutate"] == "delete_cow":
+                    S.delete_where(spark, t, prog["delete_pred"])
+                    deleted.append(prog["delete_pred"])
+                elif prog["mutate"] == "delete_mor":
+                    S.delete_where_mor(spark, t, prog["delete_pred"])
+                    deleted.append(prog["delete_pred"])
+                elif prog["mutate"] == "optimize":
+                    S.optimize(spark, t, small_file_mb=64, min_small_files=2)
+                elif prog["mutate"] == "restore":
+                    S.delete_where(spark, t, prog["delete_pred"])
+                    S.restore_version(spark, t, restore_to)
+                # --- compare: DataSource read (pruning ON) vs DuckDB ---
+                sdf_all = (
+                    spark.read.format("snapshot").option("path", t).load()
+                )
+                not_deleted = " AND ".join(
+                    f"NOT coalesce({d}, false)" for d in deleted
+                )
+                base_where = f" WHERE {not_deleted}" if deleted else ""
+                for pred in prog["preds"]:
+                    agg = (
+                        "CAST(COUNT(*) AS BIGINT) AS n, "
+                        "CAST(SUM(user_id % 13) AS BIGINT) AS s, "
+                        "MIN(event_id) AS lo, MAX(user_id % 97) AS hi"
+                    )
+                    sdf_all.createOrReplaceTempView("fuzz_t")
+                    sdf = spark.sql(
+                        f"SELECT {agg} FROM fuzz_t WHERE {pred}"
+                    ).toPandas()
+                    dd_where = (
+                        f"{base_where} AND ({pred})"
+                        if deleted
+                        else f" WHERE {pred}"
+                    )
+                    ddf = con.execute(
+                        f"SELECT {agg} FROM sbase{dd_where}"
+                    ).df()
+                    probe_s = spark.sql(
+                        f"SELECT event_id FROM fuzz_t WHERE {pred} "
+                        "ORDER BY event_id LIMIT 50"
+                    ).toPandas()
+                    probe_d = con.execute(
+                        f"SELECT event_id FROM sbase{dd_where} "
+                        "ORDER BY event_id LIMIT 50"
+                    ).df()
+                    if (
+                        canon(sdf) != canon(ddf)
+                        or canon(probe_s) != canon(probe_d)
+                    ):
+                        bad.append(seed)
+                        print(
+                            f"STORAGE DIVERGENCE seed={seed} prog={prog} "
+                            f"pred={pred!r}",
+                            flush=True,
+                        )
+                        break
+                # sanity: the harness itself must not be vacuous
+                if seed == 0 and n_total == 0:
+                    raise RuntimeError("storage fuzz base slice is empty")
+            finally:
+                if prog["shard"]:
+                    if old_env is None:
+                        os.environ.pop(
+                            "SPARK_GRAFT_MANIFEST_SEGMENT_FILES", None
+                        )
+                    else:
+                        os.environ[
+                            "SPARK_GRAFT_MANIFEST_SEGMENT_FILES"
+                        ] = old_env
+                shutil.rmtree(t, ignore_errors=True)
+            if seed % 25 == 24:
+                print(f"storage fuzz: {seed + 1}/{n_seeds} clean", flush=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return bad
 
 

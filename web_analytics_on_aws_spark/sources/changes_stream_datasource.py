@@ -48,8 +48,11 @@ def _versions(table: str) -> list[int]:
 
 
 def _manifest(table: str, version: int) -> dict:
-    with open(os.path.join(table, "manifests", f"v{version}.json")) as f:
-        return json.load(f)
+    # snapshots._read_manifest, not a raw json.load: sharded (format-2)
+    # manifests keep per-file maps in segment files the hydrator folds in
+    from web_analytics_on_aws_spark.sources.snapshots import _read_manifest
+
+    return _read_manifest(table, version)
 
 
 def _files(table: str, version: int) -> list[str]:

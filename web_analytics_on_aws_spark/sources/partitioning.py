@@ -624,15 +624,22 @@ def _est_row_bytes(df: DataFrame, table: str) -> float:
     estimate from the batch schema."""
     try:
         from web_analytics_on_aws_spark.sources.snapshots import (
-            _read_manifest,
+            _read_manifest_head,
             current_version,
         )
 
         cur = current_version(table)
         if cur is not None:
-            fs = _read_manifest(table, cur).get("file_stats", {})
-            rows = sum(int(e.get("rows", 0)) for e in fs.values())
-            size = sum(int(e.get("bytes", 0)) for e in fs.values())
+            head = _read_manifest_head(table, cur)
+            if "segments" in head:
+                # sharded manifest: the head's segment summaries carry
+                # row/byte totals — O(segments), never hydrate for sizing
+                rows = sum(int(s.get("rows", 0)) for s in head["segments"])
+                size = sum(int(s.get("bytes", 0)) for s in head["segments"])
+            else:
+                fs = head.get("file_stats", {})
+                rows = sum(int(e.get("rows", 0)) for e in fs.values())
+                size = sum(int(e.get("bytes", 0)) for e in fs.values())
             if rows > 1000:  # enough history to trust the ratio
                 return max(1.0, size / rows)
     except Exception:
@@ -671,6 +678,72 @@ def _target_bytes() -> float:
         os.environ.get("SPARK_GRAFT_TARGET_FILE_MB", DEFAULT_TARGET_FILE_MB)
     )
     return max(1.0, target_mb * 1024 * 1024)
+
+
+# ---------------------------------------------------------------------
+# Steady-state streaming write sizing (VERDICT r7 #4). A 60 s-trigger
+# upsert/append stream on a sorted/spec'd table pays a sizing job
+# (count / per-value count) on every micro-batch whose plan statistics
+# don't bound it. But a steady stream's batches are self-similar: carry
+# the previous batches' MEASURED output bytes forward as an EMA and let
+# the next trigger size its exchange from the EMA alone — zero extra
+# jobs at steady state. TRUSTED only inside an explicit
+# ``steady_state_writes(table)`` scope (the streaming sink opts in): a
+# one-off batch append must never size a 10 TB backfill from a stream's
+# 10 MB history. Self-correcting: every write records its actual bytes,
+# a batch that lands outside 0.5-2× of the EMA resets the stability
+# counter and the next trigger re-measures; the damage window is ONE
+# burst batch writing files up to burst-ratio × target (optimize folds
+# small files; a single oversized file splits at the next rewrite).
+# ---------------------------------------------------------------------
+_SIZE_EMA: dict[str, dict] = {}
+_STEADY_TABLES: set[str] = set()
+_EMA_STABLE_MIN = 2  # consecutive in-band batches before the EMA is trusted
+
+
+def steady_state_writes(table: str):
+    """Context manager: within it, partitioned writes to ``table`` may
+    size their exchanges from the write-bytes EMA instead of running a
+    sizing job — the streaming sink's steady-state fast path."""
+    import contextlib
+
+    key = os.path.abspath(table)
+
+    @contextlib.contextmanager
+    def _scope():
+        _STEADY_TABLES.add(key)
+        try:
+            yield
+        finally:
+            _STEADY_TABLES.discard(key)
+
+    return _scope()
+
+
+def _record_write_bytes(table: str, total: int) -> None:
+    key = os.path.abspath(table)
+    e = _SIZE_EMA.get(key)
+    if e is None:
+        _SIZE_EMA[key] = {"ema": float(total), "stable": 0}
+        return
+    prev = e["ema"]
+    if prev > 0 and 0.5 <= total / prev <= 2.0:
+        e["stable"] += 1
+    else:
+        e["stable"] = 0  # regime change — re-measure until stable again
+    e["ema"] = 0.5 * prev + 0.5 * float(total)
+
+
+def _steady_bytes_hint(table: str) -> float | None:
+    """Predicted batch output bytes, or None when the caller hasn't opted
+    in / the stream hasn't proven stable yet."""
+    key = os.path.abspath(table)
+    if key not in _STEADY_TABLES:
+        return None
+    e = _SIZE_EMA.get(key)
+    if e is not None and e["stable"] >= _EMA_STABLE_MIN:
+        return e["ema"]
+    return None
 
 
 def _plan_under_target(df: DataFrame, target: float) -> bool:
@@ -850,8 +923,15 @@ def write_partitioned_files(
             # guarantee (two salt buckets of the same value may
             # hash-collide into one write task, merging bands).
             target = _target_bytes()
+            hint = _steady_bytes_hint(table)
             if _plan_under_target(df, target):
                 width = 1
+            elif hint is not None:
+                # steady-state stream: size the range exchange from the
+                # write-bytes EMA — no sizing job at all (VERDICT r7 #4)
+                import math
+
+                width = max(1, min(4096, math.ceil(hint / target)))
             else:
                 persisted = routed.persist()
                 width = _range_width(routed, df, table, target)
@@ -860,7 +940,11 @@ def write_partitioned_files(
             )
         elif fixed is None:
             target = _target_bytes()
+            hint = _steady_bytes_hint(table)
             if _plan_under_target(df, target):
+                salt, sum_n = None, 1
+            elif hint is not None and hint < target:
+                # steady stream under one target file: one file per value
                 salt, sum_n = None, 1
             else:
                 persisted = routed.persist()
@@ -912,6 +996,10 @@ def write_partitioned_files(
                 p = os.path.join(root, fn)
                 files.append(p)
                 tuples[p] = {"spec_id": spec_id, "values": values}
+    # feed the steady-state EMA: measured output bytes of THIS batch (a
+    # local stat per new file — the files were just written here). Always
+    # recorded; only trusted inside steady_state_writes scopes.
+    _record_write_bytes(table, sum(os.path.getsize(p) for p in files))
     return files, tuples
 
 
@@ -1009,6 +1097,39 @@ def partition_value_census(
     )
 
     parts = show_table_partitions(table)  # raises on outstanding deletes
+    m = _read_manifest(table, current_version(table))
+    block = m.get(PART_KEY) or {}
+    cur = str(block.get("current") or 0)
+    fields = block.get("specs", {}).get(cur, [])
+    fld = next((f for f in fields if f["name"] == field_name), None)
+    if fld is None:
+        raise ValueError(
+            f"{field_name!r} is not a field of {table}'s current "
+            "partition spec"
+        )
+
+    def _same_field(spec_id) -> bool:
+        # The manifest fast path may only fold groups whose OWN spec
+        # computed this field with the SAME transform over the SAME
+        # source column as the current spec (ADVICE r7: an older spec's
+        # same-named field with, say, truncate[2] vs truncate[4] stores
+        # values under a different key function — merging them with
+        # current-spec counts silently mixes key spaces). Everything
+        # else routes to the scan fallback, which re-derives the value
+        # with the CURRENT transform.
+        other = next(
+            (
+                f
+                for f in block.get("specs", {}).get(str(spec_id), [])
+                if f["name"] == field_name
+            ),
+            None,
+        )
+        return other is not None and all(
+            other.get(k) == fld.get(k)
+            for k in ("source", "transform", "source_type")
+        )
+
     counts: dict = {}
     fallback: list[str] = []
     for p in parts:
@@ -1016,6 +1137,7 @@ def partition_value_census(
             p["values"] is not None
             and field_name in p["values"]
             and p["rows"] is not None
+            and _same_field(p["spec_id"])
         ):
             k = p["values"][field_name]
             counts[k] = counts.get(k, 0) + p["rows"]
@@ -1023,17 +1145,6 @@ def partition_value_census(
             fallback.extend(p["files"])
     if fallback:
         from web_analytics_on_aws_spark.sources.snapshots import _scan_files
-
-        m = _read_manifest(table, current_version(table))
-        block = m.get(PART_KEY) or {}
-        cur = str(block.get("current") or 0)
-        fields = block.get("specs", {}).get(cur, [])
-        fld = next((f for f in fields if f["name"] == field_name), None)
-        if fld is None:
-            raise ValueError(
-                f"{field_name!r} is not a field of {table}'s current "
-                "partition spec"
-            )
         # _scan_files, not a raw mergeSchema read: a type-widened mapped
         # table stores mixed physical widths that mergeSchema refuses to
         # union (int vs long) but the explicit-schema scan up-casts

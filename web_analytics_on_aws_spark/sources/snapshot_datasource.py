@@ -49,7 +49,9 @@ from pyspark.sql.datasource import (
 )
 
 from web_analytics_on_aws_spark.sources.snapshots import (
+    _hydrate_manifest,
     _read_manifest,
+    _read_manifest_head,
     current_version,
 )
 
@@ -62,13 +64,15 @@ class _FilePartition(InputPartition):
         self.deleted_positions = deleted_positions
 
 
-def _resolve_manifest(options: dict) -> dict:
+def _resolve_head(options: dict) -> dict:
+    """The pinned version's manifest HEAD — raw, segments un-hydrated (on
+    a sharded manifest the head is O(segments), never O(files))."""
     table = options["path"]
     cur = current_version(table)
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table}")
     v = int(options["version"]) if "version" in options else cur
-    m = _read_manifest(table, v)
+    m = _read_manifest_head(table, v)
     if m.get("eq_deletes"):
         raise ValueError(
             f"snapshot datasource over {table} v{v}: outstanding equality "
@@ -78,28 +82,28 @@ def _resolve_manifest(options: dict) -> dict:
     return m
 
 
-def _manifest_files(options: dict) -> tuple[list[str], dict[str, tuple]]:
-    """(data files, {file: sorted deleted positions}) for the requested
-    version. Position-delete sidecars (merge-on-read `delete_where_mor`)
-    are folded to a per-file map on the driver — sidecars are KBs-per-
-    deleted-row; each scan task later receives only its own file's
-    positions via its partition object. ``schema()`` calls
-    ``_resolve_manifest`` directly (it only needs the file list) so
-    sidecars are parsed once per read, in the reader."""
+def _resolve_manifest(options: dict) -> dict:
+    return _hydrate_manifest(options["path"], _resolve_head(options))
+
+
+def _dv_map(table: str, head: dict) -> dict[str, tuple]:
+    """{file: sorted deleted positions} from the head's position-delete
+    sidecars (merge-on-read `delete_where_mor`), folded on the driver —
+    sidecars are KBs-per-deleted-row; each scan task later receives only
+    its own file's positions via its partition object."""
     from web_analytics_on_aws_spark.sources.snapshots import (
         _manifest_deletes,
         _normalize_file,
     )
 
-    m = _resolve_manifest(options)
     dv: dict[str, set] = {}
-    for dvf in _manifest_deletes(m):
+    for dvf in _manifest_deletes(head):
         import pyarrow.parquet as pq
 
         t = pq.read_table(dvf, columns=["file", "pos"])
         for f, p in zip(t.column("file").to_pylist(), t.column("pos").to_pylist()):
             dv.setdefault(_normalize_file(f), set()).add(int(p))
-    return m["files"], {f: tuple(sorted(ps)) for f, ps in dv.items()}
+    return {f: tuple(sorted(ps)) for f, ps in dv.items()}
 
 
 def _unified_arrow_schema(files: list[str], m: dict | None = None):
@@ -255,23 +259,37 @@ _COMPARES = {
 
 class SnapshotReader(DataSourceReader):
     def __init__(self, options: dict, schema):
-        self._files, self._deletes = _manifest_files(options)
+        table = options["path"]
+        self._table = table
+        head = _resolve_head(options)
+        self._head = head
+        self._segmented = "segments" in head
         self._schema = schema
         self._pushed: list[Filter] = []
+        self._deletes = _dv_map(table, head)
+        # hidden partitioning (sources/partitioning.py): the spec registry
+        # rides the head; per-file tuples ride the segments
+        self._specs = (head.get("partitioning") or {}).get("specs", {})
         # column mapping (sources/evolution.py): Spark plans/pushes against
         # LOGICAL names; files store PHYSICAL names — translate at the
-        # footer-stats check, the bloom probe, and the batch read
-        m = _resolve_manifest(options)
-        mapped_arrow, self._map = _mapped_arrow_schema(m)
-        # hidden partitioning (sources/partitioning.py): per-file partition
-        # tuples + the spec registry — checked FIRST in _file_may_match
-        # (pure manifest lookup, cheaper than opening a parquet footer)
-        self._parts = m.get("file_partitions", {})
-        self._specs = (m.get("partitioning") or {}).get("specs", {})
-        # manifest column stats (snapshots.collect_file_stats — Iceberg's
-        # lower/upper bounds): files with an entry are min/max-checked from
-        # the manifest ALONE; only legacy files fall back to a footer open
-        self._stats = m.get("file_stats", {})
+        # segment check, the footer-stats check, the bloom probe, and the
+        # batch read
+        sch = head.get("schema")
+        self._map = (
+            {f["name"]: f["phys"] for f in sch["fields"]} if sch else {}
+        )
+        # per-file partition tuples + manifest column stats: inline
+        # manifests carry them in the head; sharded manifests fill them in
+        # partitions() from the PREDICATE-SURVIVING segments only — the
+        # whole point of the manifest-list split is that planning never
+        # materializes the full per-file maps
+        self._parts = head.get("file_partitions", {})
+        self._stats = head.get("file_stats", {})
+        self._files = head.get("files", [])
+        # planning telemetry for probes/tests: how much manifest metadata
+        # this read actually parsed (segments_read < segments_total under
+        # a selective predicate is the manifest-level skip working)
+        self.plan_stats: dict | None = None
         # Bloom sidecar (sources/bloom_index.py): consulted at planning for
         # EqualTo/In probes where min/max envelopes can't prune (high-
         # cardinality equality lookups). Files without an entry are never
@@ -280,7 +298,7 @@ class SnapshotReader(DataSourceReader):
             load_bloom_index,
         )
 
-        self._bloom = load_bloom_index(options["path"])
+        self._bloom = load_bloom_index(table)
         # Resolve the OUTPUT arrow schema once, on the driver: honor the
         # schema Spark hands the reader (explicit .schema(...) / future
         # column pruning), falling back to the manifest union. Serialized
@@ -295,7 +313,17 @@ class SnapshotReader(DataSourceReader):
                 want = to_arrow_schema(schema)
             except Exception:
                 want = None
-        self._want = want if want is not None else mapped_arrow
+        if want is None:
+            # no usable engine-provided schema: fall back to the manifest
+            # union — needs the hydrated file list on unmapped sharded
+            # tables (mapped tables resolve from the schema block alone)
+            m = (
+                _hydrate_manifest(table, head)
+                if self._segmented and sch is None
+                else head
+            )
+            want, _ = _mapped_arrow_schema(m)
+        self._want = want
 
     def pushFilters(self, filters: list[Filter]):
         """Keep every comparison filter on a top-level column for file-level
@@ -384,10 +412,97 @@ class SnapshotReader(DataSourceReader):
                 continue  # incomparable literal/stat types → keep the file
         return True
 
+    def _segment_may_match(self, seg: dict) -> bool:
+        """Manifest-LIST-level skipping (the layer Iceberg gets from its
+        manifest list): decide from a segment's recorded ranges alone
+        whether any member file could satisfy the pushed filters — only
+        intersecting segments are ever opened. Conservative on both axes:
+        a column is bounds-checked only if the summary lists it (i.e.
+        every member file bounds it), and partition-value sets are checked
+        through the same ``file_may_match`` transform logic files use."""
+        if not self._pushed:
+            return True
+        for f in self._pushed:
+            col = self._map.get(f.attribute[0], f.attribute[0])
+            ent = seg.get("cols", {}).get(col)
+            if ent is None:
+                continue
+            lo, hi = _decode_stat(ent[0]), _decode_stat(ent[1])
+            try:
+                if not _COMPARES[type(f)](lo, hi, f.value):
+                    return False
+            except TypeError:
+                continue
+        sid = seg.get("part_spec")
+        if sid is not None:
+            from web_analytics_on_aws_spark.sources.partitioning import (
+                file_may_match as _pmm,
+            )
+
+            for fname, vals in (seg.get("parts") or {}).items():
+                for flt in self._pushed:
+                    if not any(
+                        _pmm(
+                            [flt],
+                            {"spec_id": sid, "values": {fname: v}},
+                            self._specs,
+                            self._map,
+                        )
+                        for v in vals
+                    ):
+                        return False
+        return True
+
+    def _plan_files(self) -> list[str]:
+        """The candidate file list for this read, hydrating only the
+        predicate-intersecting segments on sharded manifests (and filling
+        ``self._parts`` / ``self._stats`` for the per-file checks).
+        Records ``plan_stats`` for probes."""
+        if not self._segmented:
+            return self._files
+        from web_analytics_on_aws_spark.sources.snapshots import (
+            _manifest_path,
+            _read_segment,
+            _segment_abspath,
+        )
+
+        import os
+
+        segs = self._head.get("segments", [])
+        v = int(self._head["version"])
+        bytes_read = os.path.getsize(_manifest_path(self._table, v))
+        files: list[str] = []
+        parts: dict = {}
+        stats: dict = {}
+        read = 0
+        for seg in segs:
+            if not self._segment_may_match(seg):
+                continue
+            read += 1
+            bytes_read += os.path.getsize(
+                _segment_abspath(self._table, seg["path"])
+            )
+            for p, e in _read_segment(self._table, seg["path"])[
+                "entries"
+            ].items():
+                files.append(p)
+                if e.get("part") is not None:
+                    parts[p] = e["part"]
+                if e.get("stats") is not None:
+                    stats[p] = e["stats"]
+        self._parts = parts
+        self._stats = stats
+        self.plan_stats = {
+            "segments_total": len(segs),
+            "segments_read": read,
+            "manifest_bytes_read": bytes_read,
+        }
+        return sorted(files)
+
     def partitions(self):
         return [
             _FilePartition(f, self._deletes.get(f, ()))
-            for f in self._files
+            for f in self._plan_files()
             if self._file_may_match(f)
         ]
 
@@ -472,7 +587,17 @@ class SnapshotDataSource(DataSource):
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        arrow, _ = _mapped_arrow_schema(_resolve_manifest(self.options))
+        # mapped tables resolve from the head's schema block alone (O(1)
+        # on sharded manifests); only unmapped tables need the hydrated
+        # file list for the union-of-schemas read — at 100 TB, map your
+        # tables (evolution.py) and planning never touches the file maps
+        head = _resolve_head(self.options)
+        m = (
+            head
+            if head.get("schema") is not None or "segments" not in head
+            else _hydrate_manifest(self.options["path"], head)
+        )
+        arrow, _ = _mapped_arrow_schema(m)
         return from_arrow_schema(arrow)
 
     def reader(self, schema) -> SnapshotReader:

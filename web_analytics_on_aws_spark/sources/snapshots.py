@@ -41,6 +41,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_DIR = "manifests"
+SEGS_SUBDIR = "segs"       # bounded manifest segments (sharded manifests)
 DATA_DIR = "data"
 REFS_DIR = "refs"          # immutable tag pointers (refs.py)
 BRANCHES_DIR = "branches"  # zero-copy writable forks (refs.py)
@@ -71,9 +72,62 @@ def current_version(table: str) -> int | None:
     return vs[-1] if vs else None
 
 
-def _read_manifest(table: str, version: int) -> dict:
+def _read_manifest_head(table: str, version: int) -> dict:
+    """The manifest HEAD document alone — on a sharded manifest (format 2)
+    this is the manifest-list: table metadata (schema, specs, sort order,
+    constraints, txns, delete sidecars) plus bounded ``segments`` entries,
+    never the per-file maps. Head-only consumers (sort order, constraints,
+    txn stamps, commit times) stay O(1) regardless of file count."""
     with open(_manifest_path(table, version)) as f:
         return json.load(f)
+
+
+def _segment_abspath(table: str, rel: str) -> str:
+    return os.path.join(table, MANIFEST_DIR, rel)
+
+
+def _read_segment(table: str, rel: str) -> dict:
+    """One manifest segment: ``{"entries": {path: {"seq", "part"?,
+    "stats"?}}}`` — an immutable, bounded slice of the version's file set
+    (written once by ``_segmentize``, shared by reference across every
+    later version that carries its files unchanged)."""
+    with open(_segment_abspath(table, rel)) as f:
+        return json.load(f)
+
+
+def _hydrate_manifest(table: str, m: dict) -> dict:
+    """Materialize a sharded head into the legacy logical manifest shape
+    (``files`` / ``file_seq`` / ``file_partitions`` / ``file_stats``) so
+    every existing consumer keeps working. Inline (format-1) manifests
+    pass through untouched. Planning hot paths that only need the
+    predicate-intersecting slice use the head + per-segment summaries
+    directly (SnapshotReader) instead of this full fold."""
+    if "segments" not in m:
+        return m
+    files: list[str] = []
+    seqs: dict[str, int] = {}
+    fp: dict[str, dict] = {}
+    fs: dict[str, dict] = {}
+    for seg in m["segments"]:
+        for p, e in _read_segment(table, seg["path"])["entries"].items():
+            files.append(p)
+            seqs[p] = int(e["seq"])
+            if e.get("part") is not None:
+                fp[p] = e["part"]
+            if e.get("stats") is not None:
+                fs[p] = e["stats"]
+    out = dict(m)
+    out["files"] = sorted(files)
+    out["file_seq"] = seqs
+    if fp:
+        out["file_partitions"] = fp
+    if fs:
+        out["file_stats"] = fs
+    return out
+
+
+def _read_manifest(table: str, version: int) -> dict:
+    return _hydrate_manifest(table, _read_manifest_head(table, version))
 
 
 def _manifest_txns(m: dict) -> dict[str, int]:
@@ -130,7 +184,7 @@ _CARRY_SCHEMA = object()
 def _publish(
     table: str,
     version: int,
-    files: list[str],
+    files: list[str] | None,
     op: str,
     txn: tuple[str, int] | None = None,
     constraints: dict[str, str] | None = None,
@@ -142,18 +196,32 @@ def _publish(
     file_partitions: dict[str, dict] | None = None,
     file_stats: dict[str, dict] | None = None,
     sort_order=_CARRY_SCHEMA,
+    new_files: list[str] | None = None,
+    removed_files: list[str] | None = None,
 ) -> None:
+    """Publish snapshot ``version``.
+
+    ``new_files``/``removed_files`` describe the commit as a DELTA over
+    the predecessor. When the predecessor is SHARDED and the delta is
+    given, the publish is O(delta): no hydration of the full per-file
+    maps, untouched segments re-listed sight-unseen (their recorded path
+    ranges prove they hold no removed/re-stamped file), and only
+    new/changed files get fresh segments. ``files=None`` is allowed in
+    exactly that mode (the full list lives in the segments; nobody needs
+    it materialized) — the commit path of a 1M-file table then reads and
+    writes O(changed) metadata, the VERDICT r7 #1 scale contract."""
     os.makedirs(os.path.join(table, MANIFEST_DIR), exist_ok=True)
     body = {
         "version": version,
         "operation": op,
-        "files": sorted(files),
         # wall-clock commit stamp → TIMESTAMP AS OF time travel; adjusted
         # below to be monotonically increasing across versions (Delta's
         # adjusted-commit-timestamp contract) so clock regression (NTP
         # step, VM migration) can never make version_as_of ambiguous
         "committed_at": time.time(),
     }
+    if files is not None:
+        body["files"] = sorted(files)
     if delete_files:
         body["delete_files"] = sorted(delete_files)
     if eq_deletes:
@@ -174,35 +242,42 @@ def _publish(
     # optimize) inherit the map unchanged.
     txns: dict[str, int] = {}
     prev_committed = 0.0
+    prev_raw: dict | None = None  # raw head — segment reuse (sharding)
     if version > 1:
         try:
-            prev = _read_manifest(table, version - 1)
-            txns = _manifest_txns(prev)
-            prev_constraints = prev.get("constraints", {})
-            prev_file_seq = _manifest_file_seq(prev)
-            prev_files = set(prev.get("files", []))
-            prev_committed = float(prev.get("committed_at", 0.0))
-            prev_schema = prev.get("schema")
-            prev_part = prev.get("partitioning")
-            prev_sort = prev.get("sort_order")
-            prev_fp = prev.get("file_partitions", {})
-            prev_fs = prev.get("file_stats", {})
+            prev_raw = _read_manifest_head(table, version - 1)
         except FileNotFoundError:
             # predecessor manifest missing (e.g. manual cleanup outside
-            # vacuum's contract) — fall back to the
+            # vacuum's contract) — fall back to the newest survivor
             vs = [v for v in _versions(table) if v < version]
             if vs:
-                prev = _read_manifest(table, vs[-1])
-                txns = _manifest_txns(prev)
-                prev_constraints = prev.get("constraints", {})
-                prev_file_seq = _manifest_file_seq(prev)
-                prev_files = set(prev.get("files", []))
-                prev_committed = float(prev.get("committed_at", 0.0))
-                prev_schema = prev.get("schema")
-                prev_part = prev.get("partitioning")
-                prev_sort = prev.get("sort_order")
-                prev_fp = prev.get("file_partitions", {})
-                prev_fs = prev.get("file_stats", {})
+                prev_raw = _read_manifest_head(table, vs[-1])
+    # DELTA mode: sharded predecessor + caller-described delta → never
+    # materialize the predecessor's per-file maps (O(delta) publish).
+    lazy = (
+        prev_raw is not None
+        and bool(prev_raw.get("segments"))
+        and new_files is not None
+        and removed_files is not None
+        and (files is None or len(files) > _segment_target())
+    )
+    if files is None and not lazy:
+        raise ValueError(
+            "_publish: files=None requires a sharded predecessor and an "
+            "explicit new_files/removed_files delta"
+        )
+    if prev_raw is not None:
+        prev = prev_raw if lazy else _hydrate_manifest(table, prev_raw)
+        txns = _manifest_txns(prev)
+        prev_constraints = prev.get("constraints", {})
+        prev_file_seq = _manifest_file_seq(prev)
+        prev_files = set(prev.get("files", []))
+        prev_committed = float(prev.get("committed_at", 0.0))
+        prev_schema = prev.get("schema")
+        prev_part = prev.get("partitioning")
+        prev_sort = prev.get("sort_order")
+        prev_fp = prev.get("file_partitions", {})
+        prev_fs = prev.get("file_stats", {})
     body["committed_at"] = max(body["committed_at"], prev_committed + 1e-3)
     # Column-mapping schema rides the manifest like constraints/txns:
     # carried forward unchanged unless the commit explicitly replaces it
@@ -221,16 +296,17 @@ def _publish(
     eff_sort = prev_sort if sort_order is _CARRY_SCHEMA else sort_order
     if eff_sort:
         body["sort_order"] = eff_sort
-    fp = {f: prev_fp[f] for f in files if f in prev_fp}
-    fp.update(file_partitions or {})
-    if fp:
-        body["file_partitions"] = fp
-    # manifest column stats carry exactly like partition tuples: kept
-    # files keep theirs, this commit's new files merge on top
-    fs = {f: prev_fs[f] for f in files if f in prev_fs}
-    fs.update(file_stats or {})
-    if fs:
-        body["file_stats"] = fs
+    if not lazy:
+        fp = {f: prev_fp[f] for f in files if f in prev_fp}
+        fp.update(file_partitions or {})
+        if fp:
+            body["file_partitions"] = fp
+        # manifest column stats carry exactly like partition tuples: kept
+        # files keep theirs, this commit's new files merge on top
+        fs = {f: prev_fs[f] for f in files if f in prev_fs}
+        fs.update(file_stats or {})
+        if fs:
+            body["file_stats"] = fs
     # Sequence stamping: carried files keep their original commit seq, new
     # files get THIS version — the ordering equality deletes resolve
     # against (delete seq > file seq ⇒ the delete applies). A carried file
@@ -248,7 +324,8 @@ def _publish(
             return prev_file_seq[f]
         return version - 1 if f in prev_files else version
 
-    body["file_seq"] = {f: _seq(f) for f in files}
+    if not lazy:
+        body["file_seq"] = {f: _seq(f) for f in files}
     if txn is not None:
         app, batch = txn[0], int(txn[1])
         txns[app] = max(txns.get(app, batch), batch)
@@ -258,6 +335,33 @@ def _publish(
         body["constraints"] = dict(constraints)  # replace (set_constraints)
     elif prev_constraints:
         body["constraints"] = prev_constraints
+    # Sharded manifests (VERDICT r7 #1): past the inline threshold the
+    # per-file maps move out of the head into bounded, immutable segment
+    # files — commits re-reference untouched segments (O(changed files)
+    # manifest I/O per commit) and planning reads only the segments whose
+    # recorded ranges intersect the pushed predicate (SnapshotReader).
+    if lazy:
+        body = _segmentize_delta(
+            table, body, prev_raw, new_files, removed_files,
+            override, file_partitions or {}, file_stats or {}, version,
+        )
+    elif len(files) > _segment_target():
+        # the commit's DIRTY set: files removed by this commit plus files
+        # whose per-file metadata an explicit override actually changes —
+        # everything else is carried verbatim by construction, so
+        # segments whose path range misses the dirty set are re-listed
+        # sight-unseen (zero segment reads on a pure append)
+        dirty = prev_files - set(files)
+        for p, s in (override or {}).items():
+            if p in prev_files and prev_file_seq.get(p) != int(s):
+                dirty.add(p)
+        for p, v in (file_partitions or {}).items():
+            if p in prev_files and prev_fp.get(p) != v:
+                dirty.add(p)
+        for p, v in (file_stats or {}).items():
+            if p in prev_files and prev_fs.get(p) != v:
+                dirty.add(p)
+        body = _segmentize(table, body, prev_raw, prev_files, dirty)
     tmp = _manifest_path(table, version) + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(body, f)
@@ -272,6 +376,374 @@ def _publish(
         ) from None
     finally:
         os.unlink(tmp)
+
+
+# --------------------------------------------------------------------------
+# Sharded manifests (manifest-list + bounded segments — VERDICT r7 #1).
+#
+# The monolithic single-JSON manifest is the classic metadata bottleneck:
+# at 100 TB / ~100k-1M files it is tens-to-hundreds of MB parsed on the
+# driver for EVERY query plan and re-serialized for EVERY commit. Iceberg
+# solves it with a manifest list + many bounded manifest files; this is
+# that split for the jar-free format:
+#
+# - the head (vN.json) keeps table metadata (schema, specs, sort order,
+#   constraints, txns, MOR sidecar lists) plus a ``segments`` list — one
+#   entry per segment file with its file count, byte/row totals, merged
+#   column bounds and partition-value sets (the manifest-level ranges);
+# - each segment (manifests/segs/seg-*.json) carries ≤ target per-file
+#   entries ({seq, partition tuple, column stats}), grouped by partition
+#   tuple at write time so segment ranges stay tight;
+# - segments are IMMUTABLE and carried BY REFERENCE: a commit re-lists
+#   the untouched segments' paths verbatim and writes new segments only
+#   for new/changed files — a 1-file append touches O(1) segments;
+# - scan planning (SnapshotReader) checks the pushed predicate against
+#   each segment's recorded ranges and opens only the intersecting
+#   segments — manifest-level skipping, one layer above per-file skip;
+# - tables at or under the threshold keep the inline format (human-
+#   readable, zero extra files), and every reader accepts both.
+#
+# Orphaned segments (lost CAS races) and segments referenced only by
+# expired versions are GC'd by vacuum, same contract as data files.
+# --------------------------------------------------------------------------
+
+_SEG_TARGET_DEFAULT = 100
+
+
+def _segment_target() -> int:
+    """Files per manifest segment (and the inline-format threshold).
+    ``SPARK_GRAFT_MANIFEST_SEGMENT_FILES`` tunes it; 0 disables sharding
+    (always inline)."""
+    env = os.environ.get("SPARK_GRAFT_MANIFEST_SEGMENT_FILES")
+    n = int(env) if env else _SEG_TARGET_DEFAULT
+    return n if n > 0 else (1 << 62)
+
+
+def _dec_stat(v):
+    """Inverse of ``_enc_stat``: tagged lists back to datetime/date/
+    Decimal; plain scalars pass through."""
+    if isinstance(v, list) and len(v) == 2 and v[0] in ("t", "d", "n"):
+        import datetime as _dt
+        import decimal
+
+        if v[0] == "t":
+            return _dt.datetime.fromisoformat(v[1])
+        if v[0] == "d":
+            return _dt.date.fromisoformat(v[1])
+        return decimal.Decimal(v[1])
+    return v
+
+
+_SEG_PART_VALUES_MAX = 16  # distinct values per field a summary will list
+
+
+def _summarize_segment(rel: str, entries: dict[str, dict]) -> dict:
+    """The head's manifest-list entry for one segment: file count, known
+    byte/row totals (``stats_n`` says how many members carry stats, so
+    totals are exact iff stats_n == n), merged column bounds (a column is
+    listed only when EVERY member bounds it — else pruning on it would be
+    unsound), and per-field partition value sets when every member shares
+    one spec (capped at 16 distinct values per field)."""
+    n = len(entries)
+    stats_n = 0
+    rows = 0
+    size = 0
+    cols: dict[str, list] | None = None
+    for e in entries.values():
+        st = e.get("stats")
+        if not st:
+            cols = {}
+            continue
+        stats_n += 1
+        rows += int(st.get("rows", 0))
+        size += int(st.get("bytes", 0))
+        b = st.get("cols", {})
+        if cols is None:
+            cols = {c: list(v) for c, v in b.items()}
+        else:
+            for c in list(cols):
+                if c not in b:
+                    del cols[c]
+                    continue
+                try:
+                    if _dec_stat(b[c][0]) < _dec_stat(cols[c][0]):
+                        cols[c][0] = b[c][0]
+                    if _dec_stat(b[c][1]) > _dec_stat(cols[c][1]):
+                        cols[c][1] = b[c][1]
+                except TypeError:
+                    del cols[c]  # mixed physical types — not prunable
+    out = {
+        "path": rel, "n": n, "stats_n": stats_n,
+        "rows": rows, "bytes": size,
+        # member path range: lets the NEXT commit decide reuse without
+        # opening the segment (a dirty path outside [lo, hi] cannot be a
+        # member — conservative, zero-read reuse for pure appends)
+        "lo": min(entries), "hi": max(entries),
+    }
+    if cols:
+        out["cols"] = cols
+    tuples = [e.get("part") for e in entries.values()]
+    if all(t is not None for t in tuples):
+        spec_ids = {t["spec_id"] for t in tuples}
+        if len(spec_ids) == 1:
+            fields = set(tuples[0]["values"])
+            for t in tuples[1:]:
+                fields &= set(t["values"])
+            parts: dict[str, list] = {}
+            for fname in sorted(fields):
+                vals = {t["values"][fname] for t in tuples}
+                if len(vals) <= _SEG_PART_VALUES_MAX:
+                    parts[fname] = sorted(
+                        vals, key=lambda x: (x is None, x or "")
+                    )
+            if parts:
+                out["part_spec"] = spec_ids.pop()
+                out["parts"] = parts
+    return out
+
+
+def _segmentize(
+    table: str,
+    body: dict,
+    prev_raw: dict | None,
+    prev_files: set[str],
+    dirty: set[str],
+) -> dict:
+    """Move a computed logical manifest's per-file maps into bounded
+    segment files, reusing the predecessor's segments wherever their
+    members ride this commit unchanged.
+
+    Reuse is decided WITHOUT opening segments whenever possible: the
+    publisher knows exactly which files this commit removes or re-stamps
+    (``dirty``), and every summary records its members' path range
+    [lo, hi] — a segment whose range misses every dirty path is re-listed
+    verbatim, zero reads. A pure append therefore touches NO prior
+    segment (the probe's O(1)-commit criterion); only segments that might
+    contain a dirty file are opened, their surviving members re-homed.
+    Tiny reused segments (a long run of small appends) are folded back
+    into full-size ones once more than 8 accumulate — LSM-style amortized
+    O(1) manifest writes per commit. Segment files are written BEFORE the
+    head's CAS publish; a lost race leaves them unreferenced for vacuum
+    to GC (the same story as data files)."""
+    files = body["files"]
+    fileset = set(files)
+    fseq = body["file_seq"]
+    fp = body.get("file_partitions", {})
+    fs = body.get("file_stats", {})
+    target = _segment_target()
+    reused: list[dict] = []
+    tiny: list[dict] = []
+    to_read: list[dict] = []
+    for seg in (prev_raw or {}).get("segments", []):
+        lo, hi = seg.get("lo"), seg.get("hi")
+        if lo is None or any(lo <= f <= hi for f in dirty):
+            to_read.append(seg)  # may hold a dirty file — verify members
+        else:
+            (tiny if seg["n"] * 4 < target else reused).append(seg)
+    # files needing a (new) home: net-new files, plus survivors of any
+    # segment that fails verification below. Carried files NOT in a
+    # dropped segment are, by the partition property of segments, inside
+    # a reused one — no member lists needed for the sight-unseen path.
+    # An INLINE predecessor has no segments at all: every file is loose
+    # (the one-time transition commit materializes the full split).
+    if (prev_raw or {}).get("segments"):
+        loose = [f for f in files if f not in prev_files]
+    else:
+        loose = list(files)
+
+    def _entries(seg: dict) -> dict:
+        try:
+            return _read_segment(table, seg["path"])["entries"]
+        except FileNotFoundError:
+            # head-referenced segments are vacuum-protected; a missing one
+            # means the manifest plane was mutated outside the format's
+            # contract — refusing beats silently dropping its files
+            raise FileNotFoundError(
+                f"manifest segment {seg['path']} of {table} is missing "
+                "(externally deleted?) — cannot commit safely"
+            ) from None
+
+    for seg in to_read:
+        ent = _entries(seg)
+        ok = all(
+            p in fileset
+            and int(e["seq"]) == int(fseq.get(p, -1))
+            and e.get("part") == fp.get(p)
+            and e.get("stats") == fs.get(p)
+            for p, e in ent.items()
+        )
+        if ok:
+            (tiny if seg["n"] * 4 < target else reused).append(seg)
+        else:
+            loose.extend(p for p in ent if p in fileset)
+    if len(tiny) <= 8:
+        reused += tiny  # few enough — keep them as-is
+    else:
+        for seg in tiny:  # fold the tiny tail into full-size segments
+            loose.extend(p for p in _entries(seg) if p in fileset)
+    ent_of: dict[str, dict] = {}
+    for p in dict.fromkeys(loose):
+        e: dict = {"seq": int(fseq[p])}
+        if p in fp:
+            e["part"] = fp[p]
+        if p in fs:
+            e["stats"] = fs[p]
+        ent_of[p] = e
+    segs_out = [dict(seg) for seg in reused] + _write_segment_chunks(
+        table, ent_of, (body.get("sort_order") or {}).get("cols") or []
+    )
+    out = {
+        k: v
+        for k, v in body.items()
+        if k not in ("files", "file_seq", "file_partitions", "file_stats")
+    }
+    out["format"] = 2
+    out["segments"] = segs_out
+    return out
+
+
+def _write_segment_chunks(
+    table: str, ent_of: dict[str, dict], sort_cols: list[str]
+) -> list[dict]:
+    """Chunk loose file entries into new bounded segment files. Segments
+    are KEYED BY RANGE: files order by (partition tuple, sort-column
+    lower bounds, path) before chunking, so each segment's recorded
+    partition values / column bounds stay tight — that's what makes the
+    head's manifest-level skip selective on both partitioned and
+    write-ordered tables."""
+
+    def _gkey(f: str):
+        e = ent_of[f].get("part")
+        part = (
+            (-1, ())
+            if e is None
+            else (
+                e["spec_id"],
+                tuple(
+                    (k, v if v is not None else "\x00")
+                    for k, v in sorted(e["values"].items())
+                ),
+            )
+        )
+        bounds = []
+        st = (ent_of[f].get("stats") or {}).get("cols", {})
+        for c in sort_cols:
+            b = st.get(c)
+            # (missing-bounds-last, decoded lower) — element i is always
+            # column i, so decoded values compare within one column only
+            bounds.append((b is None, _dec_stat(b[0]) if b else None))
+        return (part, tuple(bounds), f)
+
+    loose = list(ent_of)
+    try:
+        loose.sort(key=_gkey)
+    except TypeError:
+        # mixed physical types in one sort column — path order is still
+        # correct (ranges merely less tight)
+        loose.sort()
+    target = _segment_target()
+    out: list[dict] = []
+    segdir = os.path.join(table, MANIFEST_DIR, SEGS_SUBDIR)
+    if loose:
+        os.makedirs(segdir, exist_ok=True)
+    for i in range(0, len(loose), target):
+        entries = {p: ent_of[p] for p in loose[i : i + target]}
+        rel = os.path.join(SEGS_SUBDIR, f"seg-{uuid.uuid4().hex[:16]}.json")
+        with open(_segment_abspath(table, rel), "w") as f:
+            json.dump({"entries": entries}, f)
+        out.append(_summarize_segment(rel, entries))
+    return out
+
+
+def _segmentize_delta(
+    table: str,
+    body: dict,
+    prev_raw: dict,
+    new_files: list[str],
+    removed_files: list[str],
+    override: dict[str, int],
+    fp_arg: dict[str, dict],
+    fs_arg: dict[str, dict],
+    version: int,
+) -> dict:
+    """O(delta) segmentize: the caller DESCRIBED the commit (new files,
+    removed files, per-file overrides), so the predecessor's maps are
+    never hydrated. Segments whose recorded path range misses every
+    touched file re-list sight-unseen; segments that might hold one are
+    opened and their surviving members re-homed alongside the new files.
+    A steady streaming append therefore publishes with zero prior-segment
+    reads and one new segment — commit metadata I/O stops scaling with
+    table size entirely."""
+    new = list(dict.fromkeys(new_files))
+    newset = set(new)
+    removed = set(removed_files)
+    dirty = set(removed)
+    for src in (override, fp_arg, fs_arg):
+        for p in src:
+            if p not in newset:
+                dirty.add(p)  # conservative: any override may re-stamp it
+    target = _segment_target()
+    reused: list[dict] = []
+    tiny: list[dict] = []
+    to_read: list[dict] = []
+    for seg in prev_raw.get("segments", []):
+        lo, hi = seg.get("lo"), seg.get("hi")
+        if lo is None or any(lo <= f <= hi for f in dirty):
+            to_read.append(seg)
+        else:
+            (tiny if seg["n"] * 4 < target else reused).append(seg)
+
+    def _entries(seg: dict) -> dict:
+        try:
+            return _read_segment(table, seg["path"])["entries"]
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"manifest segment {seg['path']} of {table} is missing "
+                "(externally deleted?) — cannot commit safely"
+            ) from None
+
+    ent_of: dict[str, dict] = {}
+    for p in new:
+        e: dict = {"seq": int(override.get(p, version))}
+        if fp_arg.get(p) is not None:
+            e["part"] = fp_arg[p]
+        if fs_arg.get(p) is not None:
+            e["stats"] = fs_arg[p]
+        ent_of[p] = e
+    for seg in to_read:
+        ent = _entries(seg)
+        if all(p not in dirty for p in ent):
+            (tiny if seg["n"] * 4 < target else reused).append(seg)
+            continue
+        for p, e in ent.items():
+            if p in removed:
+                continue
+            merged: dict = {"seq": int(override.get(p, e["seq"]))}
+            part = fp_arg.get(p, e.get("part"))
+            stats = fs_arg.get(p, e.get("stats"))
+            if part is not None:
+                merged["part"] = part
+            if stats is not None:
+                merged["stats"] = stats
+            ent_of[p] = merged
+    if len(tiny) <= 8:
+        reused += tiny
+    else:
+        for seg in tiny:  # fold the tiny tail into full-size segments
+            for p, e in _entries(seg).items():
+                if p not in removed:
+                    ent_of[p] = e
+    segs_out = [dict(seg) for seg in reused] + _write_segment_chunks(
+        table, ent_of, (body.get("sort_order") or {}).get("cols") or []
+    )
+    out = {
+        k: v
+        for k, v in body.items()
+        if k not in ("files", "file_seq", "file_partitions", "file_stats")
+    }
+    out["format"] = 2
+    out["segments"] = segs_out
+    return out
 
 
 _STATS_MAX_STR = 96
@@ -329,10 +801,34 @@ def _enc_stat(v):
     return None  # bytes / unknown — skip
 
 
+_URI_RE = None  # compiled lazily
+
+
+def _fs_for_path(p: str):
+    """(pyarrow FileSystem, in-fs path) for a URI-scheme path, or None for
+    a plain local path. This is what lets ``_stats_for_file`` run inside
+    executor tasks against object stores (ADVICE r7: the distributed
+    stats branch exists FOR remote paths, but ``pq.ParquetFile(p)`` /
+    ``os.path.getsize(p)`` don't resolve URI schemes — the dispatch would
+    have crashed at commit time if ever reached)."""
+    import re
+
+    global _URI_RE
+    if _URI_RE is None:
+        _URI_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+    if not _URI_RE.match(p):
+        return None
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(p)
+
+
 def _stats_for_file(p: str) -> dict:
     """One file's manifest-stats entry from its parquet footer — pure
     function of the path, runnable on the driver OR inside an executor
-    task (collect_file_stats' distributed fan-out)."""
+    task (collect_file_stats' distributed fan-out). URI-scheme paths
+    (s3://, gs://, file://, …) open through ``pyarrow.fs``; plain paths
+    stay on the cheap local-FS calls."""
     import pyarrow.parquet as pq
 
     delay = os.environ.get("SPARK_GRAFT_STATS_FOOTER_DELAY_MS")
@@ -340,7 +836,16 @@ def _stats_for_file(p: str) -> dict:
         # probe-only hook (tools/stats_collect_probe.py): simulate the
         # per-footer round-trip latency of object storage on a local box
         time.sleep(float(delay) / 1000.0)
-    meta = pq.ParquetFile(p).metadata
+    remote = _fs_for_path(p)
+    if remote is not None:
+        fsys, rel = remote
+        info = fsys.get_file_info(rel)
+        with fsys.open_input_file(rel) as fh:
+            meta = pq.ParquetFile(fh).metadata
+        size = info.size
+    else:
+        meta = pq.ParquetFile(p).metadata
+        size = os.path.getsize(p)
     names = {
         meta.schema.column(i).name: i for i in range(meta.num_columns)
     }
@@ -377,7 +882,7 @@ def _stats_for_file(p: str) -> dict:
         cols[name] = [elo, ehi]
     return {
         "rows": meta.num_rows,
-        "bytes": os.path.getsize(p),
+        "bytes": size,
         "cols": cols,
         "types": _file_types(p),
     }
@@ -490,7 +995,11 @@ def _file_types(path: str) -> dict[str, str] | None:
     try:
         from pyspark.sql.pandas.types import from_arrow_type
 
-        sch = pq.read_schema(path)
+        remote = _fs_for_path(path)
+        if remote is not None:
+            sch = pq.read_schema(remote[1], filesystem=remote[0])
+        else:
+            sch = pq.read_schema(path)
         for f in sch:
             # ns timestamps don't round-trip through simpleString (the
             # reconstruction would render us where the file walk renders
@@ -534,7 +1043,7 @@ def table_sort_order(table: str, version: int | None = None):
     v = current_version(table) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots at {table}")
-    block = _read_manifest(table, v).get("sort_order")
+    block = _read_manifest_head(table, v).get("sort_order")
     return block.get("cols") if block else None
 
 
@@ -612,7 +1121,7 @@ def last_committed_batch(table: str, app: str) -> int | None:
     map (see ``_publish``), so one read answers it even after vacuum; the
     newest-first scan below only matters for pre-``txns`` legacy tables."""
     for v in reversed(_versions(table)):
-        txns = _manifest_txns(_read_manifest(table, v))
+        txns = _manifest_txns(_read_manifest_head(table, v))
         if app in txns:
             return txns[app]
     return None
@@ -637,7 +1146,10 @@ def commit_append(
     # the caller's logical columns before writing. Physical names are
     # immutable across renames, so a concurrent evolve between this write
     # and the CAS publish below cannot invalidate the written bytes.
-    m_prev = _read_manifest(table, cur) if cur is not None else {}
+    # HEAD-only read: everything an append needs (schema, spec, sort
+    # order, constraints) rides the head — on a sharded manifest the
+    # append path never materializes the per-file maps at all.
+    m_prev = _read_manifest_head(table, cur) if cur is not None else {}
     sch = m_prev.get("schema")
     if sch is not None:
         from web_analytics_on_aws_spark.sources.evolution import to_physical
@@ -684,23 +1196,32 @@ def commit_append(
     # by re-reading the new head and re-publishing on top of it (data files
     # are already durable — only the manifest pointer moves).
     for _ in range(16):
-        prev_m = _read_manifest(table, cur) if cur is not None else {}
-        prev = prev_m.get("files", [])
+        prev_m = _read_manifest_head(table, cur) if cur is not None else {}
         # a racing set_constraints may have landed since validation —
         # re-validate under the head's CURRENT constraint set before
         # publishing on top of it (no-op when unchanged)
         _validate(prev_m.get("constraints", {}))
         version = (cur or 0) + 1
+        # sharded predecessor: publish the DELTA (files=None) — the full
+        # file list lives in the segments and is never materialized here;
+        # inline predecessor: the head IS the full manifest, list from it
+        files_arg = (
+            None
+            if "segments" in prev_m
+            else prev_m.get("files", []) + new_files
+        )
         try:
             # appends never touch existing files → outstanding MOR delete
             # sidecars carry forward unchanged (the new files' HIGHER
             # sequence keeps them out of older equality deletes' scope)
             _publish(
-                table, version, prev + new_files, "append", txn=txn,
+                table, version, files_arg, "append", txn=txn,
                 delete_files=_manifest_deletes(prev_m),
                 eq_deletes=_manifest_eq_deletes(prev_m),
                 file_partitions=fparts,
                 file_stats=new_stats,
+                new_files=new_files,
+                removed_files=[],
             )
             return version
         except CommitConflict:
@@ -867,7 +1388,7 @@ def _commit_time(table: str, version: int) -> float:
     """Wall-clock commit time of a version: the manifest's
     ``committed_at`` stamp, or (pre-stamp manifests) the manifest file's
     mtime — the atomic ``os.link`` publish makes that the publish time."""
-    m = _read_manifest(table, version)
+    m = _read_manifest_head(table, version)
     if "committed_at" in m:
         return float(m["committed_at"])
     return os.path.getmtime(_manifest_path(table, version))
@@ -1044,7 +1565,38 @@ def vacuum(
     for v in vs[:-retain_last]:
         if v not in ref_vs:
             os.remove(_manifest_path(table, v))
+    # Sharded manifests: GC segment files no retained head references —
+    # both segments of expired versions and orphans from lost CAS races
+    # (written before a publish that never landed). Same orphan grace as
+    # data files: a fresh unreferenced segment may belong to a concurrent
+    # commit that has not CAS-published yet.
+    segdir = os.path.join(table, MANIFEST_DIR, SEGS_SUBDIR)
+    if os.path.isdir(segdir):
+        referenced: set[str] = set()
+        for v in _versions(table):
+            for seg in _read_manifest_head(table, v).get("segments", []):
+                referenced.add(os.path.basename(seg["path"]))
+        for fn in os.listdir(segdir):
+            p = os.path.join(segdir, fn)
+            if fn not in referenced:
+                if orphan_grace_seconds and os.path.getmtime(p) > cutoff:
+                    continue
+                os.remove(p)
     return deleted
+
+
+def _file_bytes(fs: dict[str, dict], path: str) -> int:
+    """One live file's size for maintenance planning: the manifest's
+    commit-time ``file_stats`` byte count when recorded, ``os.path.
+    getsize`` only for pre-stats legacy files (VERDICT r7 #2 — on an
+    object store each getsize is a ~20 ms HEAD request, so sizing 100k
+    candidates from the filesystem is a 30+ min driver stall per
+    maintenance tick; the manifest has carried per-file bytes since
+    round 6)."""
+    ent = fs.get(path)
+    if ent and "bytes" in ent:
+        return int(ent["bytes"])
+    return os.path.getsize(path)
 
 
 def _normalize_file(p: str) -> str:
@@ -1164,6 +1716,8 @@ def _rewrite_matched(
         table, version, kept + new_files, op,
         file_partitions=fparts or None,
         file_stats=collect_file_stats(new_files, spark),
+        new_files=new_files,
+        removed_files=sorted(touched),
     )
     return {
         "version": version,
@@ -1249,20 +1803,18 @@ def delete_where_mor(spark: SparkSession, table: str, predicate) -> dict:
     }
 
 
-def _check_metadata_path_roundtrip(spark: SparkSession, files: list[str]) -> None:
+def _check_metadata_path_roundtrip(
+    spark: SparkSession, table: str, m: dict
+) -> None:
     """Verify that the read-side URI normalization (scheme strip +
     percent-decode in _apply_equality_deletes) maps this table's actual
     ``_metadata.file_path`` rendering back onto its manifest paths — ONE
     tiny 1-row job at equality-delete COMMIT time, so an exotic path
     rendering (e.g. a literal '+' the decoder would mangle) fails loudly
     here instead of silently disabling the delete at read time."""
-    import pyarrow.parquet as pq
-
     import pyspark.sql.functions as F
 
-    probe = next(
-        (f for f in files if pq.ParquetFile(f).metadata.num_rows > 0), None
-    )
+    probe = _probe_file_with_rows(table, m)
     if probe is None:
         return  # no rows anywhere → nothing a delete could miss
     rendered = (
@@ -1289,6 +1841,32 @@ def _table_columns(spark: SparkSession, m: dict) -> list[str]:
     return _scan_files(spark, m["files"], m.get("schema")).columns
 
 
+def _probe_file_with_rows(table: str, m: dict) -> str | None:
+    """One data file that provably holds rows — for the MOR commit-time
+    path-roundtrip probe. On a sharded manifest the segment summaries
+    point straight at one (zero footer opens); otherwise walk footers."""
+    import pyarrow.parquet as pq
+
+    if "segments" in m:
+        for seg in m["segments"]:
+            if int(seg.get("rows", 0)) > 0:
+                for p, e in _read_segment(table, seg["path"])[
+                    "entries"
+                ].items():
+                    st = e.get("stats")
+                    if st and int(st.get("rows", 0)) > 0:
+                        return p
+        m = _hydrate_manifest(table, m)  # stats-less members — rare
+    return next(
+        (
+            f
+            for f in m["files"]
+            if pq.ParquetFile(f).metadata.num_rows > 0
+        ),
+        None,
+    )
+
+
 def _check_key_types(
     spark: SparkSession, m: dict, key_df: DataFrame, op: str
 ) -> None:
@@ -1296,8 +1874,14 @@ def _check_key_types(
     schema: a mistyped key (string ids vs a bigint column) would commit a
     sidecar whose read-time eqNullSafe comparison goes through implicit
     casts and can silently match nothing — the same silent-no-op class the
-    name check prevents (ADVICE r3). Raise loudly at commit time."""
-    head = dict(_scan_files(spark, m["files"], m.get("schema")).dtypes)
+    name check prevents (ADVICE r3). Raise loudly at commit time. Mapped
+    tables resolve the head types from the schema block alone (no file
+    list needed — O(1) on sharded manifests)."""
+    sch = m.get("schema")
+    if sch is not None:
+        head = {f["phys"]: f["type"] for f in sch["fields"]}
+    else:
+        head = dict(_scan_files(spark, m["files"], None).dtypes)
     bad = {
         k: (t, head[k]) for k, t in key_df.dtypes if k in head and t != head[k]
     }
@@ -1332,7 +1916,16 @@ def delete_keys_mor(
         last = last_committed_batch(table, txn[0])
         if last is not None and int(txn[1]) <= last:
             return {"version": cur, "operation": "delete-keys", "replayed": True}
-    m = _read_manifest(table, cur)
+    # head first: a MAPPED table's delete-keys commit never needs the
+    # per-file maps (key checks resolve from the schema block, the probe
+    # from segment summaries) — O(head) on sharded manifests. Unmapped
+    # tables still hydrate for the union-schema column check.
+    head = _read_manifest_head(table, cur)
+    m = (
+        head
+        if head.get("schema") is not None and "segments" in head
+        else _hydrate_manifest(table, head)
+    )
     if m.get("schema") is not None:
         # column mapping: sidecars store PHYSICAL key names — the read-side
         # resolvers (_apply_equality_deletes, the change-feed engine) all
@@ -1355,15 +1948,16 @@ def delete_keys_mor(
                 "table schema"
             )
     _check_key_types(spark, m, keys_df, "delete_keys_mor")
-    _check_metadata_path_roundtrip(spark, m["files"])
+    _check_metadata_path_roundtrip(spark, table, m)
     sidecars = _write_data_files(keys_df.dropDuplicates(key_cols), table)
     version = cur + 1
     entries = _manifest_eq_deletes(m) + [
         {"path": p, "keys": key_cols, "seq": version} for p in sidecars
     ]
     _publish(
-        table, version, m["files"], "delete-keys", txn=txn,
+        table, version, m.get("files"), "delete-keys", txn=txn,
         delete_files=_manifest_deletes(m), eq_deletes=entries,
+        new_files=[], removed_files=[],
     )
     return {
         "version": version,
@@ -1398,7 +1992,8 @@ def upsert_keys_mor(
         last = last_committed_batch(table, txn[0])
         if last is not None and int(txn[1]) <= last:
             return {"version": cur, "operation": "upsert-keys", "replayed": True}
-    sch = _read_manifest(table, cur).get("schema")
+    head = _read_manifest_head(table, cur)
+    sch = head.get("schema")
     if sch is not None:
         # translate the logical source/keys once; everything below —
         # uniqueness check, sidecars, data files, sequence stamping —
@@ -1415,7 +2010,15 @@ def upsert_keys_mor(
         n_src = src.count()
         if src.select(*keys).distinct().count() != n_src:
             raise ValueError(f"upsert source is not unique on {keys}")
-        m = _read_manifest(table, cur)
+        # the streaming hot path: a MAPPED sharded table never hydrates —
+        # schema/spec/sort checks are head-only, the roundtrip probe is
+        # summary-guided, and the publish is a pure delta (O(|batch|)
+        # metadata per trigger regardless of table size)
+        m = (
+            head
+            if sch is not None and "segments" in head
+            else _hydrate_manifest(table, head)
+        )
         # same column contract as merge_into (review r3 finding): the
         # source must carry the table's columns; extras are dropped —
         # mode="mor" and mode="cow" streams produce the same table schema.
@@ -1435,7 +2038,7 @@ def upsert_keys_mor(
         if not set(keys) <= set(table_cols):
             raise ValueError(f"upsert keys {keys} not all in table schema")
         _check_key_types(spark, m, src.select(*keys), "upsert_keys_mor")
-        _check_metadata_path_roundtrip(spark, m["files"])
+        _check_metadata_path_roundtrip(spark, table, m)
         src_proj = src.select(*table_cols)
         sidecars = _write_data_files(src.select(*keys), table)
         # the appended data half routes through the current partition spec
@@ -1466,10 +2069,13 @@ def upsert_keys_mor(
             {"path": p, "keys": list(keys), "seq": version} for p in sidecars
         ]
         _publish(
-            table, version, m["files"] + data_files, "upsert-keys", txn=txn,
+            table, version,
+            (m["files"] + data_files) if "files" in m else None,
+            "upsert-keys", txn=txn,
             delete_files=_manifest_deletes(m), eq_deletes=entries,
             file_partitions=fparts,
             file_stats=collect_file_stats(data_files, spark),
+            new_files=data_files, removed_files=[],
         )
         return {
             "version": version,
@@ -1646,6 +2252,7 @@ def compact_deletes(spark: SparkSession, table: str) -> dict:
     # the tuple, so a MOR streaming table keeps manifest pruning as its
     # sidecars fold in instead of degrading to footer-stat skipping
     head_fp = m.get("file_partitions", {})
+    head_fs = m.get("file_stats", {})
     groups: dict = {}
     for f in sorted(touched):
         e = head_fp.get(f)
@@ -1666,13 +2273,20 @@ def compact_deletes(spark: SparkSession, table: str) -> dict:
             # write-ordered table: Spark's split packing can merge several
             # small band-disjoint inputs into one task — re-range + local
             # sort keeps the fold-in from undoing the layout, exactly like
-            # optimize's sorted rewrite (round 7)
+            # optimize's sorted rewrite (round 7). Sizes come from the
+            # manifest (_file_bytes), width from the same tunable target
+            # every other write path honors (ADVICE r7: this one hardcoded
+            # 128 MB, so SPARK_GRAFT_TARGET_FILE_MB didn't reach it).
             import math
+
+            from web_analytics_on_aws_spark.sources.partitioning import (
+                _target_bytes,
+            )
 
             n_out = max(
                 1,
                 math.ceil(
-                    sum(os.path.getsize(f) for f in grp) / (128 * 1024 * 1024)
+                    sum(_file_bytes(head_fs, f) for f in grp) / _target_bytes()
                 ),
             )
             survivors = survivors.repartitionByRange(
@@ -1689,6 +2303,8 @@ def compact_deletes(spark: SparkSession, table: str) -> dict:
         table, version, kept + new_files, "compact-deletes",
         file_partitions=new_fp or None,
         file_stats=collect_file_stats(new_files, spark),
+        new_files=new_files,
+        removed_files=sorted(touched),
     )
     return {
         "version": version,
@@ -1873,10 +2489,11 @@ def cluster_zorder(
             else None
         )
         groups.setdefault(key, []).append(f)
+    head_fs = head_m.get("file_stats", {})
     new_files: list[str] = []
     new_fp: dict[str, dict] = {}
     for key, grp in groups.items():
-        total = sum(os.path.getsize(f) for f in grp)
+        total = sum(_file_bytes(head_fs, f) for f in grp)
         n_out = max(1, round(total / (target_file_mb * 1024 * 1024)))
         clustered = (
             _scan_files(spark, grp, head_m.get("schema"))
@@ -1951,7 +2568,11 @@ def optimize(
     _require_no_deletes(table, head_m, "optimize")
     files = head_m["files"]
     cutoff = small_file_mb * 1024 * 1024
-    small = [f for f in files if os.path.getsize(f) < cutoff]
+    # candidate selection reads sizes from the MANIFEST (VERDICT r7 #2):
+    # getsize only for pre-stats legacy files — a scheduled optimize tick
+    # over a 100k-file object-store table must not issue 100k HEADs
+    head_fs = head_m.get("file_stats", {})
+    small = [f for f in files if _file_bytes(head_fs, f) < cutoff]
     head_fp = head_m.get("file_partitions", {})
     groups: dict = {}
     for f in small:
@@ -1973,7 +2594,7 @@ def optimize(
     new_fp: dict[str, dict] = {}
     sort_cols = (head_m.get("sort_order") or {}).get("cols")
     for key, grp in groups.items():
-        total = sum(os.path.getsize(f) for f in grp)
+        total = sum(_file_bytes(head_fs, f) for f in grp)
         n_out = max(1, round(total / (target_file_mb * 1024 * 1024)))
         merged = _scan_files(spark, grp, head_m.get("schema"))
         if sort_cols and all(c in merged.columns for c in sort_cols):
@@ -1999,6 +2620,8 @@ def optimize(
         table, version, kept + new_files, "optimize",
         file_partitions=new_fp or None,
         file_stats=collect_file_stats(new_files, spark),
+        new_files=new_files,
+        removed_files=rewritten,
     )
     from web_analytics_on_aws_spark.sources.bloom_index import refresh_if_present
 
@@ -2062,7 +2685,7 @@ def table_constraints(table: str) -> dict[str, str]:
     cur = current_version(table)
     if cur is None:
         return {}
-    return _read_manifest(table, cur).get("constraints", {})
+    return _read_manifest_head(table, cur).get("constraints", {})
 
 
 def table_statistics(table: str, version: int | None = None) -> dict:
@@ -2086,20 +2709,31 @@ def table_statistics(table: str, version: int | None = None) -> dict:
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table}")
     v = cur if version is None else version
-    m = _read_manifest(table, v)
-    fs = m.get("file_stats", {})
-    rows = 0
-    size = 0
-    for f in m["files"]:
-        ent = fs.get(f)
-        if ent and "rows" in ent:
-            # manifest stats: footer-free (at 100k files the difference
-            # between a dict fold and 100k footer opens)
-            rows += int(ent["rows"])
-            size += int(ent["bytes"])
-        else:
-            rows += pq.ParquetFile(f).metadata.num_rows
-            size += os.path.getsize(f)
+    m = _read_manifest_head(table, v)
+    if "segments" in m and all(
+        s.get("stats_n") == s["n"] for s in m["segments"]
+    ):
+        # sharded manifest, fully stats-bearing: the head's segment
+        # summaries answer it — O(segments) regardless of file count
+        rows = sum(int(s["rows"]) for s in m["segments"])
+        size = sum(int(s["bytes"]) for s in m["segments"])
+        n_files = sum(int(s["n"]) for s in m["segments"])
+    else:
+        m = _hydrate_manifest(table, m)
+        fs = m.get("file_stats", {})
+        rows = 0
+        size = 0
+        for f in m["files"]:
+            ent = fs.get(f)
+            if ent and "rows" in ent:
+                # manifest stats: footer-free (at 100k files the
+                # difference between a dict fold and 100k footer opens)
+                rows += int(ent["rows"])
+                size += int(ent["bytes"])
+            else:
+                rows += pq.ParquetFile(f).metadata.num_rows
+                size += os.path.getsize(f)
+        n_files = len(m["files"])
     dv_rows = sum(
         pq.ParquetFile(f).metadata.num_rows for f in _manifest_deletes(m)
     )
@@ -2107,7 +2741,7 @@ def table_statistics(table: str, version: int | None = None) -> dict:
     return {
         "row_count": rows - dv_rows,
         "size_bytes": size,
-        "n_files": len(m["files"]),
+        "n_files": n_files,
         "exact": not eq,
     }
 
@@ -2126,26 +2760,35 @@ def _parse_byte_conf(v: str) -> int:
     return int(float(s)) * mult
 
 
-def estimate_pruned_bytes(table: str, pushed: list) -> int:
+def estimate_pruned_bytes(
+    table: str, pushed: list, version: int | None = None
+) -> int:
     """Manifest-resolved byte estimate of a FILTERED snapshot read: run the
-    reader's own file-skipping (partition tuples → manifest column bounds
-    → bloom sidecar, via ``SnapshotReader``) against ``pushed`` — a list
-    of ``pyspark.sql.datasource`` filters — and sum the surviving files'
-    manifest byte counts (footer size for stats-less legacy files). Pure
-    planning metadata: no data file is read."""
+    reader's own file-skipping (segment ranges → partition tuples →
+    manifest column bounds → bloom sidecar, via ``SnapshotReader``)
+    against ``pushed`` — a list of ``pyspark.sql.datasource`` filters —
+    and sum the surviving files' manifest byte counts (footer size for
+    stats-less legacy files). Pure planning metadata: no data file is
+    read, and on a sharded manifest only predicate-intersecting segments
+    are parsed. ``version`` pins the estimate to that snapshot's manifest
+    (default: head) — the time-travel contract ``broadcast_if_small``
+    relies on (ADVICE r7)."""
     from web_analytics_on_aws_spark.sources.snapshot_datasource import (
         SnapshotReader,
     )
 
-    r = SnapshotReader({"path": table}, None)
+    opts = {"path": table}
+    if version is not None:
+        opts["version"] = str(int(version))
+    r = SnapshotReader(opts, None)
     r.pushFilters(list(pushed))
-    m = _read_manifest(table, current_version(table))
-    fs = m.get("file_stats", {})
     total = 0
     for p in r.partitions():
         if p is None:
             continue
-        ent = fs.get(p.path)
+        # r._stats holds the surviving segments' manifest stats after
+        # partitions() — never re-hydrate the full file map here
+        ent = r._stats.get(p.path)
         total += (
             int(ent["bytes"])
             if ent and "bytes" in ent
@@ -2177,8 +2820,11 @@ def broadcast_if_small(
     (``estimate_pruned_bytes``): a one-partition slice of an
     over-threshold partitioned dimension still broadcasts, which is what
     actually arrives at the join. The caller must apply the SAME filters
-    to ``df`` (the hint does not filter). ``version`` is ignored when
-    ``pushed`` is given (pruning runs against the head manifest)."""
+    to ``df`` (the hint does not filter). ``version`` + ``pushed``
+    together prune against THAT version's manifest (ADVICE r7: silently
+    estimating a time-travel read from the head manifest risked
+    broadcasting a version much larger than head — OOM, not just a slow
+    plan)."""
     import pyspark.sql.functions as F
 
     thr = _parse_byte_conf(
@@ -2187,7 +2833,8 @@ def broadcast_if_small(
     if thr <= 0:
         return df
     if pushed:
-        return F.broadcast(df) if estimate_pruned_bytes(table, pushed) <= thr else df
+        est = estimate_pruned_bytes(table, pushed, version=version)
+        return F.broadcast(df) if est <= thr else df
     st = table_statistics(table, version)
     return F.broadcast(df) if st["size_bytes"] <= thr else df
 
@@ -2274,12 +2921,13 @@ def metadata_table(spark: SparkSession, table: str, kind: str) -> DataFrame:
         for v in vs:
             m = _read_manifest(table, v)
             files = set(m["files"])
+            mfs = m.get("file_stats", {})
             rows.append(
                 {
                     "version": v,
                     "operation": m["operation"],
                     "n_files": len(files),
-                    "total_bytes": sum(os.path.getsize(f) for f in files),
+                    "total_bytes": sum(_file_bytes(mfs, f) for f in files),
                     "added_files": len(files - prev),
                     "removed_files": len(prev - files),
                 }
@@ -2559,6 +3207,8 @@ def merge_into(
             table, version, kept + new_files, "merge", txn=txn,
             file_partitions=fparts,
             file_stats=collect_file_stats(new_files, spark),
+            new_files=new_files,
+            removed_files=sorted(touched),
         )
         return {
             "version": version,

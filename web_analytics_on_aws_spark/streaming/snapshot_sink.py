@@ -73,7 +73,18 @@ def start_snapshot_ingest(
                 )
             typed = validated.filter(F.col("result") == RESULT_OK).select(*data_cols)
             if typed.limit(1).count() > 0:
-                snapshots.commit_append(typed, table, txn=(app_id, batch_id))
+                # steady-state scope: once batches prove self-similar, the
+                # partitioned write sizes its exchange from the write-bytes
+                # EMA instead of running a per-trigger sizing job
+                # (partitioning.steady_state_writes — VERDICT r7 #4)
+                from web_analytics_on_aws_spark.sources.partitioning import (
+                    steady_state_writes,
+                )
+
+                with steady_state_writes(table):
+                    snapshots.commit_append(
+                        typed, table, txn=(app_id, batch_id)
+                    )
         finally:
             validated.unpersist()
 
@@ -159,16 +170,25 @@ def start_snapshot_upsert(
             typed = dedup_batch(typed, keys=keys, order_col="__seq").drop("__seq")
             if typed.limit(1).count() == 0:
                 return
-            if snapshots.current_version(table) is None:
-                snapshots.commit_append(typed, table, txn=(app_id, batch_id))
-            elif mode == "mor":
-                snapshots.upsert_keys_mor(
-                    spark, table, typed, keys, txn=(app_id, batch_id)
-                )
-            else:
-                snapshots.merge_into(
-                    spark, table, typed, keys, txn=(app_id, batch_id)
-                )
+            from web_analytics_on_aws_spark.sources.partitioning import (
+                steady_state_writes,
+            )
+
+            # steady-state EMA sizing for every per-trigger commit shape
+            # (append / MOR upsert / CoW merge) — VERDICT r7 #4
+            with steady_state_writes(table):
+                if snapshots.current_version(table) is None:
+                    snapshots.commit_append(
+                        typed, table, txn=(app_id, batch_id)
+                    )
+                elif mode == "mor":
+                    snapshots.upsert_keys_mor(
+                        spark, table, typed, keys, txn=(app_id, batch_id)
+                    )
+                else:
+                    snapshots.merge_into(
+                        spark, table, typed, keys, txn=(app_id, batch_id)
+                    )
         finally:
             validated.unpersist()
 
