@@ -453,3 +453,23 @@ def test_census_refuses_mixed_transform_fast_path(registered, tmp_path):
         ).agg(F.count("*").alias("n")).collect()
     }
     assert counts == want
+
+
+def test_reader_pickle_drops_planning_state(registered, tmp_path, seg4):
+    """Executor tasks only run read(); after partitions() the pickled
+    reader must not carry the per-file stats/tuple maps (tens of MB at
+    100k files, shipped into every task binary otherwise)."""
+    import pickle
+
+    spark = registered
+    t = str(tmp_path / "t")
+    _build_sharded(spark, t)
+    r = SnapshotReader({"path": t}, None)
+    parts = r.partitions()
+    clone = pickle.loads(pickle.dumps(r))
+    assert clone._stats == {} and clone._parts == {} and clone._head == {}
+    # and the stripped clone still reads every partition correctly
+    total = sum(
+        sum(len(b) for b in clone.read(p)) for p in parts
+    )
+    assert total == 500

@@ -290,6 +290,7 @@ class SnapshotReader(DataSourceReader):
         # this read actually parsed (segments_read < segments_total under
         # a selective predicate is the manifest-level skip working)
         self.plan_stats: dict | None = None
+        self._planned = False
         # Bloom sidecar (sources/bloom_index.py): consulted at planning for
         # EqualTo/In probes where min/max envelopes can't prune (high-
         # cardinality equality lookups). Files without an entry are never
@@ -500,11 +501,38 @@ class SnapshotReader(DataSourceReader):
         return sorted(files)
 
     def partitions(self):
-        return [
+        out = [
             _FilePartition(f, self._deletes.get(f, ()))
             for f in self._plan_files()
             if self._file_may_match(f)
         ]
+        # everything read() needs now rides the partition objects +
+        # _want/_map — flag the planning state droppable for the NEXT
+        # pickle hop (__getstate__)
+        self._planned = True
+        return out
+
+    def __getstate__(self):
+        """Executor tasks only run ``read()``, which touches ``_want`` and
+        ``_map`` — but pyspark pickles the WHOLE reader into the task
+        binary after ``partitions()`` runs. Without this, a 100k-file
+        table ships its entire per-file stats/tuple maps (tens of MB) to
+        every python worker. Planning state is dropped once planning has
+        happened; the pre-planning pickle hop (driver → planning worker)
+        keeps everything it still needs."""
+        d = dict(self.__dict__)
+        if d.get("_planned"):
+            d["_parts"] = {}
+            d["_stats"] = {}
+            d["_deletes"] = {}
+            d["_bloom"] = {}
+            d["_files"] = []
+            d["_head"] = {}
+        elif self._segmented:
+            # sharded manifests rebuild these inside partitions() anyway
+            d["_parts"] = {}
+            d["_stats"] = {}
+        return d
 
     def read(self, partition: _FilePartition) -> Iterator:
         import pyarrow as pa

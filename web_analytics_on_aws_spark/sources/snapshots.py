@@ -1473,10 +1473,19 @@ def _logical(df: DataFrame, sch: dict | None, keep: tuple = ()) -> DataFrame:
 
 
 def history(table: str) -> list[dict]:
-    return [
-        {k: m[k] for k in ("version", "operation")} | {"n_files": len(m["files"])}
-        for m in (_read_manifest(table, v) for v in _versions(table))
-    ]
+    # head-only: sharded manifests answer n_files from segment summaries
+    out = []
+    for v in _versions(table):
+        m = _read_manifest_head(table, v)
+        n = (
+            sum(int(s["n"]) for s in m["segments"])
+            if "segments" in m
+            else len(m["files"])
+        )
+        out.append(
+            {k: m[k] for k in ("version", "operation")} | {"n_files": n}
+        )
+    return out
 
 
 def _ref_protected(table: str) -> tuple[set[int], set[str]]:
@@ -2971,9 +2980,17 @@ def metadata_table(spark: SparkSession, table: str, kind: str) -> DataFrame:
             "file_size_bytes long, keys string, seq long",
         )
     if kind == "files":
+        # manifest stats first (commit-time rows/bytes): `$files` over a
+        # 100k-file table is then a metadata fold with zero footer opens;
+        # only pre-stats legacy files read their footer
+        fstats = head_m.get("file_stats", {})
         rows = []
         for f in head:
-            n_rows, n_bytes = _footer(f)
+            ent = fstats.get(f)
+            if ent and "rows" in ent:
+                n_rows, n_bytes = int(ent["rows"]), int(ent["bytes"])
+            else:
+                n_rows, n_bytes = _footer(f)
             rows.append({"file_path": f, "record_count": n_rows, "file_size_bytes": n_bytes})
         return spark.createDataFrame(
             rows, "file_path string, record_count long, file_size_bytes long"
