@@ -399,3 +399,17 @@ def test_refs_lifecycle_reads_and_streams_consistently(spark, ops):
     st_ = table_statistics(t)
     if st_["exact"]:
         assert st_["row_count"] == len(model)
+
+
+def test_lifecycle_property_over_sharded_manifests(spark, monkeypatch):
+    """Round 8: the full lifecycle property suite re-runs with a ONE-file
+    segment target, so every commit shape in the strategy — appends, CoW
+    merge/delete, MOR position/equality deletes, upserts, restores,
+    maintenance, spec/sort/widen metadata commits, refs — crosses the
+    SHARDED manifest path (delta publishes, sight-unseen segment reuse,
+    tiny-segment folding, hydration) instead of the inline format. Same
+    three-reader agreement contract; the manifest layout must be
+    invisible."""
+    monkeypatch.setenv("SPARK_GRAFT_MANIFEST_SEGMENT_FILES", "1")
+    test_any_commit_sequence_reads_and_streams_consistently(spark)
+    test_refs_lifecycle_reads_and_streams_consistently(spark)
