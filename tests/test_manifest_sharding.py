@@ -473,3 +473,39 @@ def test_reader_pickle_drops_planning_state(registered, tmp_path, seg4):
         sum(len(b) for b in clone.read(p)) for p in parts
     )
     assert total == 500
+
+
+def test_raced_append_on_sharded_table(registered, tmp_path, seg4):
+    """CAS loss on a SHARDED table: a concurrent writer claims vN first;
+    the raced append re-reads the head, re-publishes its DELTA on top, and
+    the result carries BOTH writers' rows — with the loser's first-attempt
+    segments left unreferenced for vacuum (same GC story as data files)."""
+    spark = registered
+    t = str(tmp_path / "t")
+    _build_sharded(spark, t)  # v5, sharded
+    v = current_version(t)
+    # steal the next version like the inline race test does — but via the
+    # sharded delta publish
+    stolen = S._write_data_files(_events(spark, 7000, 7010).coalesce(1), t)
+    S._publish(
+        t, v + 1, None, "append",
+        file_stats=S.collect_file_stats(stolen, spark),
+        new_files=stolen, removed_files=[],
+    )
+    got = commit_append(_events(spark, 8000, 8010).coalesce(1), t)
+    assert got == v + 2
+    ids = {r["id"] for r in read_snapshot(spark, t).collect()}
+    assert set(range(7000, 7010)) <= ids and set(range(8000, 8010)) <= ids
+    assert len(ids) == 500 + 20
+    # direct CAS violation still raises on sharded heads
+    with pytest.raises(S.CommitConflict):
+        S._publish(t, got, None, "append", new_files=[], removed_files=[])
+    # GC: vacuum drops any segment no retained head references
+    S.vacuum(t, retain_last=1)
+    live = {
+        os.path.basename(s["path"])
+        for s in _read_manifest_head(t, current_version(t))["segments"]
+    }
+    on_disk = set(os.listdir(os.path.join(t, "manifests", "segs")))
+    assert live == on_disk
+    assert read_snapshot(spark, t).count() == 520

@@ -463,7 +463,7 @@ class SnapshotReader(DataSourceReader):
             return self._files
         from web_analytics_on_aws_spark.sources.snapshots import (
             _manifest_path,
-            _read_segment,
+            _read_segments,
             _segment_abspath,
         )
 
@@ -472,20 +472,18 @@ class SnapshotReader(DataSourceReader):
         segs = self._head.get("segments", [])
         v = int(self._head["version"])
         bytes_read = os.path.getsize(_manifest_path(self._table, v))
-        files: list[str] = []
-        parts: dict = {}
-        stats: dict = {}
-        read = 0
-        for seg in segs:
-            if not self._segment_may_match(seg):
-                continue
-            read += 1
+        survivors = [s for s in segs if self._segment_may_match(s)]
+        for seg in survivors:
             bytes_read += os.path.getsize(
                 _segment_abspath(self._table, seg["path"])
             )
-            for p, e in _read_segment(self._table, seg["path"])[
-                "entries"
-            ].items():
+        files: list[str] = []
+        parts: dict = {}
+        stats: dict = {}
+        # thread-pooled reads — wide scans over many segments stay
+        # latency-bound on object stores (see snapshots._read_segments)
+        for entries in _read_segments(self._table, survivors):
+            for p, e in entries.items():
                 files.append(p)
                 if e.get("part") is not None:
                     parts[p] = e["part"]
@@ -495,7 +493,7 @@ class SnapshotReader(DataSourceReader):
         self._stats = stats
         self.plan_stats = {
             "segments_total": len(segs),
-            "segments_read": read,
+            "segments_read": len(survivors),
             "manifest_bytes_read": bytes_read,
         }
         return sorted(files)
