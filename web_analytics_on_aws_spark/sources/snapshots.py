@@ -455,6 +455,21 @@ def _dec_stat(v):
     return v
 
 
+def _range_hitter(paths: set[str]):
+    """``hit(lo, hi)`` → does any path fall in [lo, hi]? Sorted +
+    bisect: a 10k-file DML against a 10k-segment manifest is then
+    O(segments · log dirty), not O(segments · dirty)."""
+    import bisect
+
+    ordered = sorted(paths)
+
+    def hit(lo: str, hi: str) -> bool:
+        i = bisect.bisect_left(ordered, lo)
+        return i < len(ordered) and ordered[i] <= hi
+
+    return hit
+
+
 _SEG_PART_VALUES_MAX = 16  # distinct values per field a summary will list
 
 
@@ -555,9 +570,10 @@ def _segmentize(
     reused: list[dict] = []
     tiny: list[dict] = []
     to_read: list[dict] = []
+    rng_hit = _range_hitter(dirty)
     for seg in (prev_raw or {}).get("segments", []):
         lo, hi = seg.get("lo"), seg.get("hi")
-        if lo is None or any(lo <= f <= hi for f in dirty):
+        if lo is None or rng_hit(lo, hi):
             to_read.append(seg)  # may hold a dirty file — verify members
         else:
             (tiny if seg["n"] * 4 < target else reused).append(seg)
@@ -707,9 +723,10 @@ def _segmentize_delta(
     reused: list[dict] = []
     tiny: list[dict] = []
     to_read: list[dict] = []
+    rng_hit = _range_hitter(dirty)
     for seg in prev_raw.get("segments", []):
         lo, hi = seg.get("lo"), seg.get("hi")
-        if lo is None or any(lo <= f <= hi for f in dirty):
+        if lo is None or rng_hit(lo, hi):
             to_read.append(seg)
         else:
             (tiny if seg["n"] * 4 < target else reused).append(seg)
