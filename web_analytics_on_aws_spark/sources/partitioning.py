@@ -506,19 +506,24 @@ def set_partition_spec(
     by their LOGICAL names; pass ``[]`` to unpartition future writes."""
     from web_analytics_on_aws_spark.sources.evolution import translate_keys
     from web_analytics_on_aws_spark.sources.snapshots import (
+        _hydrate_manifest,
         _manifest_deletes,
         _manifest_eq_deletes,
-        _manifest_file_seq,
         _publish,
-        _read_manifest,
+        _read_manifest_head,
         current_version,
     )
 
     cur = current_version(table)
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table}")
-    m = _read_manifest(table, cur)
+    # head-first: mapped tables stamp source_type from the schema block
+    # and publish an empty delta — a spec change on a sharded 1M-file
+    # table is O(head); only the unmapped type probe needs the file list
+    m = _read_manifest_head(table, cur)
     sch = m.get("schema")
+    if sch is None:
+        m = _hydrate_manifest(table, m)
     # static type dispatch (ADVICE r5): every spec field records its source
     # column's Spark type at spec time, so writer expression and planner
     # literal-transform agree by construction — never per-row / per-literal
@@ -575,12 +580,13 @@ def set_partition_spec(
     _publish(
         table,
         cur + 1,
-        m["files"],
+        m.get("files"),
         "set-partition-spec",
         delete_files=_manifest_deletes(m),
         eq_deletes=_manifest_eq_deletes(m),
-        file_seq=_manifest_file_seq(m),
         partitioning=block,
+        new_files=[],
+        removed_files=[],
     )
     return cur + 1
 

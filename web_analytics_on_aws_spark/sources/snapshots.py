@@ -1098,7 +1098,11 @@ def set_sort_order(spark: SparkSession, table: str, order: list[str]) -> int:
     cur = current_version(table)
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table}")
-    m = _read_manifest(table, cur)
+    # head-first: a metadata-only commit on a MAPPED sharded table never
+    # touches the per-file maps (column check from the schema block,
+    # publish as an empty delta); only an unmapped table's column check
+    # needs the file union
+    m = _read_manifest_head(table, cur)
     sch = m.get("schema")
     if order:
         if sch is not None:
@@ -1108,6 +1112,7 @@ def set_sort_order(spark: SparkSession, table: str, order: list[str]) -> int:
 
             cols = translate_keys(sch, list(order), "set_sort_order")
         else:
+            m = _hydrate_manifest(table, m)
             cols = list(order)
             have = set(_table_columns(spark, m)) if m["files"] else set(cols)
             missing = sorted(set(cols) - have)
@@ -1119,11 +1124,11 @@ def set_sort_order(spark: SparkSession, table: str, order: list[str]) -> int:
     else:
         block = None
     _publish(
-        table, cur + 1, m["files"], "set-sort-order",
+        table, cur + 1, m.get("files"), "set-sort-order",
         delete_files=_manifest_deletes(m),
         eq_deletes=_manifest_eq_deletes(m),
-        file_seq=_manifest_file_seq(m),
         sort_order=block,
+        new_files=[], removed_files=[],
     )
     return cur + 1
 
@@ -1838,9 +1843,12 @@ def delete_where_mor(spark: SparkSession, table: str, predicate) -> dict:
             "rows_deleted": 0, "delete_files": len(dvs),
         }
     version = cur + 1
+    # files unchanged (the delete is a sidecar) — the empty delta lets a
+    # sharded head republish without re-hydrating the per-file maps
     _publish(
         table, version, files, "delete-mor", delete_files=dvs + new_dv,
         eq_deletes=_manifest_eq_deletes(m),
+        new_files=[], removed_files=[],
     )
     return {
         "version": version,
@@ -2898,15 +2906,17 @@ def set_constraints(spark: SparkSession, table: str, constraints: dict[str, str]
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {table}")
     check_constraints(read_snapshot(spark, table), constraints)
-    head_m = _read_manifest(table, cur)
+    head_m = _read_manifest_head(table, cur)
     version = cur + 1
     # one atomic metadata-only commit carrying the new constraint set
     # (and any outstanding MOR delete files — dropping them would
-    # resurrect deleted rows)
+    # resurrect deleted rows); empty delta → sharded heads republish
+    # without materializing the per-file maps
     _publish(
-        table, version, head_m["files"], "set_constraints",
+        table, version, head_m.get("files"), "set_constraints",
         constraints=constraints, delete_files=_manifest_deletes(head_m),
         eq_deletes=_manifest_eq_deletes(head_m),
+        new_files=[], removed_files=[],
     )
     return version
 
