@@ -544,12 +544,17 @@ def test_metadata_ddl_reads_no_segments_on_mapped_sharded(
     assert [s["path"] for s in head["segments"]] == before  # all reused
     assert (head.get("sort_order") or {}).get("cols") == ["id"]
     assert read_snapshot(spark, t).count() == 500
-    # and the table still writes/reads correctly under the new metadata
+    # and the table still writes/reads correctly under the new metadata:
+    # an append routes through the evolved spec (event_kind identity) +
+    # sort order, addressed by the LOGICAL (renamed) column name
     commit_append(
         spark.range(9000, 9010).select(
             F.col("id"),
-            (F.col("id") % 5).alias("ev"),
+            (F.col("id") % 5).alias("event_kind"),
             F.col("id").cast("double").alias("v"),
-        ).withColumnRenamed("ev", "ev"), t,
-    ) if False else None
-    assert read_snapshot(spark, t).filter("event_kind = 3").count() == 100
+        ),
+        t,
+    )
+    assert read_snapshot(spark, t).count() == 510
+    # 9003 and 9008 join the 100 pre-rename event_kind=3 rows
+    assert read_snapshot(spark, t).filter("event_kind = 3").count() == 102
