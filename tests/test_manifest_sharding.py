@@ -511,6 +511,132 @@ def test_raced_append_on_sharded_table(registered, tmp_path, seg4):
     assert read_snapshot(spark, t).count() == 520
 
 
+def test_sharded_mor_eq_read_is_plan_scoped(registered, tmp_path, seg4):
+    """VERDICT r8 #1 pin: an equality-delete (MOR upsert) read through the
+    DataSource is O(plan) on a sharded table — planning parses only the
+    predicate-surviving segments (never a manifest-wide (path → seq)
+    hydration), each task gets only the sidecars postdating its file, and
+    the result matches the eq-aware JVM path exactly."""
+    from pyspark.sql.datasource import EqualTo
+
+    spark = registered
+    t = str(tmp_path / "t")
+    _build_sharded(spark, t)  # 500 rows, ev = id % 5, partitioned on ev
+    src = spark.createDataFrame(
+        [(int(i), int(i % 7), -1.0) for i in range(0, 500, 50)],
+        "id long, ev long, v double",
+    )
+    S.upsert_keys_mor(spark, t, src, ["id"])
+    r = SnapshotReader({"path": t}, None)
+    r.pushFilters([EqualTo(("ev",), 3)])
+    parts = r.partitions()
+    ps = r.plan_stats
+    assert ps["segments_read"] < ps["segments_total"]
+    # the reader's seq map covers ONLY the surviving segments' files
+    n_total = sum(
+        s["n"] for s in _read_manifest_head(t, current_version(t))["segments"]
+    )
+    assert 0 < len(r._seqs) < n_total
+    # upserted files postdate every sidecar → ride with zero eq entries;
+    # pre-upsert files carry every sidecar part of the upsert commit
+    n_entries = len(
+        _read_manifest_head(t, current_version(t))["eq_deletes"]
+    )
+    n_eq = {len(p.eq_deletes) for p in parts}
+    assert n_eq == {0, n_entries}
+    ds = (
+        spark.read.format("snapshot").option("path", t).load()
+        .filter("ev = 3")
+    )
+    jvm = read_snapshot(spark, t).filter("ev = 3")
+    got = sorted((x["id"], x["v"]) for x in ds.collect())
+    want = sorted((x["id"], x["v"]) for x in jvm.collect())
+    assert got == want
+    # the upsert moved id=150 into ev=3 (150 % 7 == 3) and killed the old
+    # (150, ev=0) row; old ev=3 rows id%5==3 survive minus upserted keys
+    assert (150, -1.0) in got
+    assert len(got) == 100 - len([i for i in range(0, 500, 50) if i % 5 == 3]) + len(
+        [i for i in range(0, 500, 50) if i % 7 == 3]
+    )
+
+
+def test_vacuum_reads_each_segment_once(
+    registered, tmp_path, seg4, monkeypatch
+):
+    """VERDICT r8 #6 pin: vacuum builds its live set from the retained
+    heads plus each DISTINCT referenced segment read exactly once (most
+    segments are shared across versions by the reuse design) — never the
+    old O(files × retained versions) per-version hydration."""
+    spark = registered
+    t = str(tmp_path / "t")
+    _build_sharded(spark, t)
+    commit_append(_events(spark, 1000, 1010).coalesce(1), t)
+    commit_append(_events(spark, 2000, 2010).coalesce(1), t)
+    retained = S._versions(t)[-3:]
+    needed = {
+        s["path"]
+        for v in retained
+        for s in _read_manifest_head(t, v)["segments"]
+    }
+    reads: list[str] = []
+    real = S._read_segment
+    monkeypatch.setattr(
+        S, "_read_segment", lambda tb, r: (reads.append(r), real(tb, r))[1]
+    )
+    S.vacuum(t, retain_last=3)
+    monkeypatch.undo()
+    assert len(reads) == len(set(reads))  # no segment read twice
+    assert set(reads) == needed  # exactly the distinct retained segments
+    # shared segments mean far fewer reads than sum-over-versions
+    total_listed = sum(
+        len(_read_manifest_head(t, v)["segments"]) for v in retained
+    )
+    assert len(reads) < total_listed
+    assert read_snapshot(spark, t).count() == 520
+
+
+def test_unmapped_sharded_schema_is_o_head(
+    registered, tmp_path, seg4, monkeypatch
+):
+    """VERDICT r8 #2 pin: a NEVER-mapped (no schema block) sharded table
+    resolves its union schema from the head's segment summaries — zero
+    segment reads, zero footer walks — and the result equals the
+    authoritative hydrated union."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+        _unified_arrow_schema,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    _build_sharded(spark, t)
+    head = _read_manifest_head(t, current_version(t))
+    assert head.get("schema") is None and head.get("format") == 2
+
+    reads: list[str] = []
+    real = S._read_segment
+    monkeypatch.setattr(
+        S, "_read_segment", lambda tb, r: (reads.append(r), real(tb, r))[1]
+    )
+    src = SnapshotDataSource({"path": t})
+    got = src.schema()
+    # reader construction (planning) resolves its output schema the same
+    # way — the per-plan hydration VERDICT r8 #2 flagged is gone
+    r = SnapshotReader({"path": t}, None)
+    assert reads == []
+    monkeypatch.undo()
+    m = _read_manifest(t, current_version(t))
+    want = from_arrow_schema(_unified_arrow_schema(m["files"], m))
+    assert got == want
+    assert from_arrow_schema(r._want) == want
+    # and the full read still returns every row
+    assert (
+        spark.read.format("snapshot").option("path", t).load().count()
+        == 500
+    )
+
+
 def test_metadata_ddl_reads_no_segments_on_mapped_sharded(
     registered, tmp_path, seg4, monkeypatch
 ):

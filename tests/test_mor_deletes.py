@@ -266,13 +266,13 @@ def test_compact_autoconverts_eq_deletes(spark, two_file_table):
     assert "eq_deletes" not in m and _manifest_deletes(m) == []
 
 
-def test_cdf_resolves_eq_deletes_datasource_refuses(spark, two_file_table):
+def test_cdf_resolves_eq_deletes_datasource_applies(spark, two_file_table):
     """ADVICE r3: historical manifests are immutable, so batch
     table_changes can't demand convert_equality_deletes — it now resolves
     eq deletes driver-side (same engine as the snapshot_changes stream).
-    The per-task `snapshot` batch DataSource still refuses loudly (it
-    ships per-file position sets only; read_snapshot is the eq-aware
-    path)."""
+    The per-task `snapshot` batch DataSource APPLIES them too (VERDICT r8
+    #1): each task receives only the sidecars postdating its file and
+    anti-joins its own rows — no manifest-wide seq map, no refusal."""
     from web_analytics_on_aws_spark.sources.snapshot_datasource import (
         SnapshotDataSource,
     )
@@ -288,8 +288,62 @@ def test_cdf_resolves_eq_deletes_datasource_refuses(spark, two_file_table):
     # and a span ENDING before the eq commit is still the pure file diff
     assert table_changes(spark, t, 1, 2).count() == 10
     spark.dataSource.register(SnapshotDataSource)
-    with pytest.raises(Exception, match="equality deletes"):
-        spark.read.format("snapshot").option("path", t).load().collect()
+    got = sorted(
+        r["id"]
+        for r in spark.read.format("snapshot")
+        .option("path", t).load().collect()
+    )
+    assert got == sorted(set(range(20)) - {4})
+    # time travel through the datasource: pre-delete version sees row 4
+    got_v0 = sorted(
+        r["id"]
+        for r in spark.read.format("snapshot")
+        .option("path", t).option("version", str(v0)).load().collect()
+    )
+    assert got_v0 == list(range(20))
+
+
+def test_datasource_eq_deletes_sequence_rule_and_nulls(spark, tmp_path):
+    """The v2 sequence rule through the DataSource: an upsert's own rows
+    survive its sidecar (same commit sequence) while every older
+    occurrence dies — and a sidecar with a NULL key component matches
+    null cells (eqNullSafe semantics), both identical to read_snapshot."""
+    from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+        SnapshotDataSource,
+    )
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        delete_keys_mor,
+        upsert_keys_mor,
+    )
+
+    t = str(tmp_path / "t")
+    commit_append(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (None, "nullkey"), (3, "c")],
+            "id long, val string",
+        ).coalesce(1),
+        t,
+    )
+    upsert_keys_mor(
+        spark, t,
+        spark.createDataFrame([(2, "B2"), (9, "new")], "id long, val string"),
+        ["id"],
+    )
+    delete_keys_mor(
+        spark, t,
+        spark.createDataFrame([(None,)], "id long"),  # null-key tombstone
+    )
+    spark.dataSource.register(SnapshotDataSource)
+    ds = sorted(
+        (r["id"], r["val"])
+        for r in spark.read.format("snapshot").option("path", t).load()
+        .collect()
+    )
+    jvm = sorted(
+        (r["id"], r["val"]) for r in read_snapshot(spark, t).collect()
+    )
+    assert ds == jvm
+    assert ds == [(1, "a"), (2, "B2"), (3, "c"), (9, "new")]
 
 
 def test_restore_version_rolls_back_head(spark, two_file_table):
