@@ -637,6 +637,121 @@ def test_unmapped_sharded_schema_is_o_head(
     )
 
 
+def test_zero_copy_clone_and_branch_of_sharded_table(
+    registered, tmp_path, seg4
+):
+    """VERDICT r8 #4 pin: cloning/branching a sharded table writes ZERO
+    new segments — the fork's head re-lists the source's immutable
+    segments by absolute path — and the fork's own appends land segments
+    in its OWN segdir, leaving the source untouched."""
+    from web_analytics_on_aws_spark.sources.refs import (
+        branch_path,
+        clone_table,
+        create_branch,
+    )
+
+    spark = registered
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _build_sharded(spark, src)
+    src_segdir = os.path.join(src, "manifests", "segs")
+    n_src_segs = len(os.listdir(src_segdir))
+    base = clone_table(src, dst)
+    assert base == current_version(src)
+    # zero-copy: no clone-side segments, no data files, head references
+    # the source's segments in place
+    assert not os.path.isdir(os.path.join(dst, "manifests", "segs"))
+    assert not os.path.isdir(os.path.join(dst, "data"))
+    head = _read_manifest_head(dst, current_version(dst))
+    assert all(os.path.isabs(s["path"]) for s in head["segments"])
+    assert read_snapshot(spark, dst).count() == 500
+    # the clone's own append: delta publish, new segments in the CLONE's
+    # segdir, source's segdir untouched
+    commit_append(_events(spark, 9000, 9010).coalesce(1), dst)
+    assert read_snapshot(spark, dst).count() == 510
+    assert read_snapshot(spark, src).count() == 500
+    assert len(os.listdir(src_segdir)) == n_src_segs
+    assert len(os.listdir(os.path.join(dst, "manifests", "segs"))) >= 1
+    # branches fork the same way
+    bp = create_branch(src, "exp")
+    assert bp == branch_path(src, "exp")
+    assert not os.path.isdir(os.path.join(bp, "manifests", "segs"))
+    assert read_snapshot(spark, bp).count() == 500
+    assert len(os.listdir(src_segdir)) == n_src_segs
+
+
+@pytest.mark.parametrize("order", ["src_first", "clone_first"])
+def test_vacuum_src_and_clone_in_either_order(
+    registered, tmp_path, seg4, order
+):
+    """VERDICT r8 #4 pin (both orders): after the source OVERWRITES (so
+    its own head no longer references the forked segments/files), vacuum
+    of source and clone — in either order — never GCs a segment or data
+    file the other still references."""
+    from web_analytics_on_aws_spark.sources.refs import clone_table
+
+    spark = registered
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _build_sharded(spark, src)
+    clone_table(src, dst)
+    commit_append(_events(spark, 9000, 9010).coalesce(1), dst)
+    # strand the forked state from the source's own perspective
+    S.commit_overwrite(_events(spark, 0, 40), src)
+    seq = (
+        [(src, 1), (dst, 1)] if order == "src_first" else [(dst, 1), (src, 1)]
+    )
+    for tbl, retain in seq:
+        S.vacuum(tbl, retain_last=retain)
+    assert read_snapshot(spark, dst).count() == 510  # clone fully intact
+    assert read_snapshot(spark, src).count() == 40
+    # dropping the clone (delete its dir) stales the marker; the source's
+    # next vacuum genuinely collects the stranded segments and files
+    import shutil
+
+    shutil.rmtree(dst)
+    S.vacuum(src, retain_last=1)
+    live = {
+        os.path.basename(s["path"])
+        for s in _read_manifest_head(src, current_version(src)).get(
+            "segments", []
+        )
+    }
+    on_disk = set(os.listdir(os.path.join(src, "manifests", "segs")))
+    assert on_disk == live
+    assert read_snapshot(spark, src).count() == 40
+
+
+def test_parent_vacuum_protects_sharded_branch(registered, tmp_path, seg4):
+    """Branch counterpart: the parent's vacuum keeps every segment and
+    data file a live branch references; dropping the branch releases
+    them."""
+    from web_analytics_on_aws_spark.sources.refs import (
+        branch_path,
+        create_branch,
+        drop_branch,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    _build_sharded(spark, t)
+    create_branch(t, "keep")
+    S.commit_overwrite(_events(spark, 0, 30), t)
+    S.vacuum(t, retain_last=1)
+    assert read_snapshot(spark, branch_path(t, "keep")).count() == 500
+    assert read_snapshot(spark, t).count() == 30
+    drop_branch(t, "keep")
+    S.vacuum(t, retain_last=1)
+    live = {
+        os.path.basename(s["path"])
+        for s in _read_manifest_head(t, current_version(t)).get(
+            "segments", []
+        )
+    }
+    assert set(os.listdir(os.path.join(t, "manifests", "segs"))) == live
+    assert read_snapshot(spark, t).count() == 30
+
+
 def test_metadata_ddl_reads_no_segments_on_mapped_sharded(
     registered, tmp_path, seg4, monkeypatch
 ):

@@ -138,6 +138,25 @@ def test_clone_carries_mor_deletes_and_sequences(spark, tmp_path):
     assert 3 in _ids(read_snapshot(spark, dst))
 
 
+def test_clone_of_deep_source_preserves_eq_sequence_scope(spark, tmp_path):
+    """r9 regression: the fork's first manifest publishes AT the source's
+    version number. A clone restarting at v1 would let a carried eq
+    delete (seq = src head, here 5) wrongly reach the clone's own future
+    appends — their sequences would restart below the sidecar's."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    for i in range(4):  # v1..v4
+        commit_append(_df(spark, i * 10, (i + 1) * 10).coalesce(1), src)
+    delete_keys_mor(spark, src, spark.createDataFrame([(3,)], "id long"))
+    base = clone_table(src, dst)  # src head v5, eq delete seq 5
+    assert base == 5 and current_version(dst) == 5
+    assert _ids(read_snapshot(spark, dst)) == set(range(40)) - {3}
+    # the clone's append commits at seq 6 > 5 — its re-insert of key 3
+    # must survive the carried sidecar
+    commit_append(spark.createDataFrame([(3, 99)], "id long, v long"), dst)
+    assert 3 in _ids(read_snapshot(spark, dst))
+
+
 # ------------------------------------------------------------ branches
 
 

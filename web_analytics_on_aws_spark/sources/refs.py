@@ -59,6 +59,7 @@ from .snapshots import (
     _manifest_path,
     _publish,
     _read_manifest,
+    _read_manifest_head,
     _versions,
     _write_data_files,
     check_constraints,
@@ -161,6 +162,16 @@ def list_refs(table: str) -> list[dict]:
                     {"kind": "tag", "name": t["name"],
                      "version": int(t["version"]), "base_version": None}
                 )
+            elif fn.startswith("clone-") and fn.endswith(".json"):
+                with open(os.path.join(rdir, fn)) as f:
+                    c = json.load(f)
+                if not _versions(c["dst"]):
+                    continue  # clone dropped — stale marker
+                out.append(
+                    {"kind": "clone", "name": c["dst"],
+                     "version": current_version(c["dst"]),
+                     "base_version": int(c.get("base_version", 0)) or None}
+                )
     bdir = os.path.join(table, BRANCHES_DIR)
     if os.path.isdir(bdir):
         for name in sorted(os.listdir(bdir)):
@@ -192,22 +203,70 @@ def list_refs(table: str) -> list[dict]:
 
 
 def _clone_manifest(src: str, dst: str, op: str) -> int:
-    """Publish the src head's exact state as ``dst``'s v1 — file paths are
-    referenced, never copied. Carries MOR sidecars, per-file sequences
-    (missing ones stamp 0 = provably older than any carried eq delete),
-    and CHECK constraints. Per-app txn stamps are NOT carried: the clone
-    is a new table with its own exactly-once ledger."""
+    """Publish the src head's exact state as ``dst``'s FIRST manifest —
+    file paths are referenced, never copied. Carries MOR sidecars,
+    per-file sequences (missing ones stamp 0 = provably older than any
+    carried eq delete), and CHECK constraints. Per-app txn stamps are NOT
+    carried: the clone is a new table with its own exactly-once ledger.
+
+    The fork's first manifest is published AT the source's version number
+    (not v1): carried eq-delete sidecars keep their original sequence, so
+    a fork restarting at v1 would let a carried delete (seq = src head)
+    wrongly reach the fork's OWN future appends — their sequences would
+    restart BELOW the sidecar's (the v2 rule deletes lower-seq files).
+    Forking at the source version keeps every sequence relation intact.
+
+    Sharded sources (VERDICT r8 #4) fork ZERO-COPY: the head re-lists the
+    source's immutable segment files by absolute path — O(segments)
+    metadata regardless of file count, no per-file map materialized, no
+    segment written. The source's ``vacuum`` protects segments any branch
+    or registered clone still references (``_ref_protected``)."""
     cur = current_version(src)
     if cur is None:
         raise FileNotFoundError(f"no snapshots at {src}")
     if current_version(dst) is not None:
         raise ValueError(f"{dst} already has snapshots")
+    head = _read_manifest_head(src, cur)
+    if head.get("segments") and all(
+        isinstance(s.get("lo"), str) and os.path.isabs(s["lo"])
+        for s in head["segments"]
+    ):
+        # zero-copy fork: member paths are absolute (the summaries' path
+        # ranges prove it without opening a segment), so the segments are
+        # valid from anywhere — re-list them in place
+        from .snapshots import _publish_raw, _segment_abspath
+
+        body = {
+            "version": cur,
+            "operation": op,
+            "committed_at": time.time(),
+            "format": head.get("format", 2),
+            "segments": [
+                dict(s)
+                | {"path": os.path.abspath(_segment_abspath(src, s["path"]))}
+                for s in head["segments"]
+            ],
+        }
+        if _manifest_deletes(head):
+            body["delete_files"] = [
+                os.path.abspath(f) for f in _manifest_deletes(head)
+            ]
+        if _manifest_eq_deletes(head):
+            body["eq_deletes"] = [
+                e | {"path": os.path.abspath(e["path"])}
+                for e in _manifest_eq_deletes(head)
+            ]
+        for k in ("schema", "partitioning", "sort_order", "constraints"):
+            if head.get(k):
+                body[k] = head[k]
+        _publish_raw(dst, cur, body)
+        return cur
     m = _read_manifest(src, cur)
     seq = _manifest_file_seq(m)
     fp = m.get("file_partitions", {})
     fs = m.get("file_stats", {})
     _publish(
-        dst, 1, [os.path.abspath(f) for f in m["files"]], op,
+        dst, cur, [os.path.abspath(f) for f in m["files"]], op,
         constraints=m.get("constraints", {}),
         delete_files=[os.path.abspath(f) for f in _manifest_deletes(m)],
         eq_deletes=[
@@ -215,11 +274,12 @@ def _clone_manifest(src: str, dst: str, op: str) -> int:
             for e in _manifest_eq_deletes(m)
         ],
         file_seq={os.path.abspath(f): seq.get(f, 0) for f in m["files"]},
-        # column mapping AND the partition spec ride the clone: dst v1 has
-        # no predecessor to carry them from, so pass the src head's blocks
-        # explicitly (tuples re-keyed to the absolute paths published above
-        # — ADVICE r5: a branch of a partitioned table must keep its spec,
-        # or branch appends go unpartitioned and tuple pruning is lost)
+        # column mapping AND the partition spec ride the clone: the fork's
+        # first manifest has no predecessor to carry them from, so pass
+        # the src head's blocks explicitly (tuples re-keyed to the
+        # absolute paths published above — ADVICE r5: a branch of a
+        # partitioned table must keep its spec, or branch appends go
+        # unpartitioned and tuple pruning is lost)
         schema=m.get("schema"),
         partitioning=m.get("partitioning"),
         file_partitions={
@@ -233,15 +293,42 @@ def _clone_manifest(src: str, dst: str, op: str) -> int:
     return cur
 
 
-def clone_table(src: str, dst: str) -> int:
-    """Delta-style SHALLOW CLONE: a new independent table whose v1
-    references the src head's files in place. Returns the src version
+def clone_table(src: str, dst: str, register: bool = True) -> int:
+    """Delta-style SHALLOW CLONE: a new independent table whose first
+    manifest references the src head's files (and, on sharded sources,
+    its immutable manifest segments) in place. Returns the src version
     cloned. O(manifest) regardless of table size — cloning a 100 TB table
     writes a few KB. Writes/DML/vacuum on the clone never touch src data
     (new files land under the clone's own ``data/``; the clone's vacuum
-    only walks that dir). Caveat mirrored from Delta: vacuuming the
-    SOURCE does not know about external clones."""
-    return _clone_manifest(src, dst, "clone")
+    only walks that dir and its own segdir).
+
+    ``register`` (default) leaves a back-reference marker under the
+    SOURCE's refs/, so the source's ``vacuum`` protects files and
+    segments the clone still references — stronger than Delta's
+    documented external-clone caveat. A marker whose clone directory no
+    longer holds manifests is ignored (dropping a clone = deleting its
+    directory). On a read-only source the marker is skipped best-effort
+    and Delta's caveat applies: vacuuming the source may drop files the
+    unregistered clone still references."""
+    base = _clone_manifest(src, dst, "clone")
+    if register:
+        try:
+            os.makedirs(os.path.join(src, REFS_DIR), exist_ok=True)
+            marker = os.path.join(
+                src, REFS_DIR, f"clone-{uuid.uuid4().hex[:12]}.json"
+            )
+            with open(marker, "w") as f:
+                json.dump(
+                    {
+                        "dst": os.path.abspath(dst),
+                        "base_version": base,
+                        "created_at": time.time(),
+                    },
+                    f,
+                )
+        except OSError:
+            pass  # read-only source — unregistered-clone caveat applies
+    return base
 
 
 def create_branch(table: str, name: str) -> str:
