@@ -712,9 +712,28 @@ def gen_storage_program(seed: int) -> dict:
         "sort": rng.choice(STORAGE_SORTS),
         "n_appends": rng.randint(1, 3),
         "shard": rng.random() < 0.5,  # force tiny manifest segments
+        # two-level heads (VERDICT r8 #3): half the sharded seeds also
+        # force tiny groups, so grouped manifests compose with every other
+        # axis (spec × sort × DML × evolution × refs × time travel)
+        "group": rng.random() < 0.5,
+        # schema-evolution axis (VERDICT r8 #5): column-mapping commits
+        # that leave the FINAL logical schema comparable with the DuckDB
+        # baseline — a rename round-trip, an add+widen of a scratch
+        # column, or an add+drop — so mapped reads, stats translation,
+        # and O(head) metadata DDL all compose with the layout axes
+        "evolve": rng.choice(
+            ["none", "none", "rename_roundtrip", "add_widen", "add_drop"]
+        ),
         "mutate": rng.choice(
             ["none", "delete_cow", "delete_mor", "optimize", "restore"]
         ),
+        # time-travel axis: re-read the pre-mutation version AS OF and
+        # compare against the un-mutated baseline
+        "timetravel": rng.random() < 0.35,
+        # refs axis: fork the post-mutation state (shallow clone / branch)
+        # or tag the pre-mutation version and vacuum — the fork/tag must
+        # read exactly what its source version read
+        "ref": rng.choice(["none", "none", "clone", "tag", "branch"]),
         "delete_pred": rng.choice(STORAGE_DELETES),
         "preds": rng.sample(STORAGE_PREDS, rng.randint(1, 2)),
     }
@@ -757,8 +776,13 @@ def run_storage(n_seeds: int, sf: str, spark=None) -> list[int]:
             prog = gen_storage_program(seed)
             t = os.path.join(work, f"t{seed}")
             old_env = os.environ.get("SPARK_GRAFT_MANIFEST_SEGMENT_FILES")
+            old_genv = os.environ.get(
+                "SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP"
+            )
             if prog["shard"]:
                 os.environ["SPARK_GRAFT_MANIFEST_SEGMENT_FILES"] = "3"
+                if prog["group"]:
+                    os.environ["SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP"] = "2"
             try:
                 # --- build: spec → sort → appends of disjoint slices ---
                 S.commit_append(full.limit(0), t)
@@ -771,6 +795,18 @@ def run_storage(n_seeds: int, sf: str, spark=None) -> list[int]:
                     S.commit_append(
                         full.filter(f"event_id % {k} = {i}"), t
                     )
+                # --- evolution: mapping commits, final schema unchanged ---
+                from web_analytics_on_aws_spark.sources import evolution as E
+
+                if prog["evolve"] == "rename_roundtrip":
+                    E.evolve_rename_column(spark, t, "value", "fz_value")
+                    E.evolve_rename_column(spark, t, "fz_value", "value")
+                elif prog["evolve"] == "add_widen":
+                    E.evolve_add_column(spark, t, "fz_extra", "int")
+                    E.evolve_widen_column(spark, t, "fz_extra", "bigint")
+                elif prog["evolve"] == "add_drop":
+                    E.evolve_add_column(spark, t, "fz_extra", "string")
+                    E.evolve_drop_column(spark, t, "fz_extra")
                 restore_to = S.current_version(t)
                 deleted = []
                 if prog["mutate"] == "delete_cow":
@@ -829,6 +865,91 @@ def run_storage(n_seeds: int, sf: str, spark=None) -> list[int]:
                             flush=True,
                         )
                         break
+                # --- time travel: the pre-mutation version reads exactly
+                # the un-mutated baseline, regardless of later DML ---
+                pred0 = prog["preds"][0]
+                agg0 = (
+                    "CAST(COUNT(*) AS BIGINT) AS n, "
+                    "CAST(SUM(user_id % 13) AS BIGINT) AS s, "
+                    "MIN(event_id) AS lo, MAX(user_id % 97) AS hi"
+                )
+                if prog["timetravel"] and seed not in bad:
+                    tv = (
+                        spark.read.format("snapshot")
+                        .option("path", t)
+                        .option("version", str(restore_to))
+                        .load()
+                    )
+                    tv.createOrReplaceTempView("fuzz_tv")
+                    got = canon(
+                        spark.sql(
+                            f"SELECT {agg0} FROM fuzz_tv WHERE {pred0}"
+                        ).toPandas()
+                    )
+                    want = canon(
+                        con.execute(
+                            f"SELECT {agg0} FROM sbase WHERE {pred0}"
+                        ).df()
+                    )
+                    if got != want:
+                        bad.append(seed)
+                        print(
+                            f"STORAGE TIME-TRAVEL DIVERGENCE seed={seed} "
+                            f"prog={prog} pred={pred0!r}",
+                            flush=True,
+                        )
+                # --- refs: a fork/tag must read exactly its source state
+                # (clone/branch: post-mutation head; tag: the pre-mutation
+                # version SURVIVING a retain-1 vacuum) ---
+                if prog["ref"] != "none" and seed not in bad:
+                    from web_analytics_on_aws_spark.sources import refs as R
+
+                    dd_where0 = (
+                        f"{base_where} AND ({pred0})"
+                        if deleted
+                        else f" WHERE {pred0}"
+                    )
+                    if prog["ref"] == "clone":
+                        fork = os.path.join(work, f"t{seed}_clone")
+                        R.clone_table(t, fork)
+                        fdf = (
+                            spark.read.format("snapshot")
+                            .option("path", fork)
+                            .load()
+                        )
+                        want_sql = f"SELECT {agg0} FROM sbase{dd_where0}"
+                    elif prog["ref"] == "branch":
+                        fork = R.create_branch(t, "fz")
+                        fdf = (
+                            spark.read.format("snapshot")
+                            .option("path", fork)
+                            .load()
+                        )
+                        want_sql = f"SELECT {agg0} FROM sbase{dd_where0}"
+                    else:  # tag pins the pre-mutation version through vacuum
+                        R.create_tag(t, "fz", version=restore_to)
+                        S.vacuum(t, retain_last=1)
+                        fdf = (
+                            spark.read.format("snapshot")
+                            .option("path", t)
+                            .option("version", str(restore_to))
+                            .load()
+                        )
+                        want_sql = f"SELECT {agg0} FROM sbase WHERE {pred0}"
+                    fdf.createOrReplaceTempView("fuzz_ref")
+                    got = canon(
+                        spark.sql(
+                            f"SELECT {agg0} FROM fuzz_ref WHERE {pred0}"
+                        ).toPandas()
+                    )
+                    want = canon(con.execute(want_sql).df())
+                    if got != want:
+                        bad.append(seed)
+                        print(
+                            f"STORAGE REF DIVERGENCE seed={seed} "
+                            f"prog={prog} pred={pred0!r}",
+                            flush=True,
+                        )
                 # sanity: the harness itself must not be vacuous
                 if seed == 0 and n_total == 0:
                     raise RuntimeError("storage fuzz base slice is empty")
@@ -842,7 +963,20 @@ def run_storage(n_seeds: int, sf: str, spark=None) -> list[int]:
                         os.environ[
                             "SPARK_GRAFT_MANIFEST_SEGMENT_FILES"
                         ] = old_env
+                    if prog["group"]:
+                        if old_genv is None:
+                            os.environ.pop(
+                                "SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP",
+                                None,
+                            )
+                        else:
+                            os.environ[
+                                "SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP"
+                            ] = old_genv
                 shutil.rmtree(t, ignore_errors=True)
+                shutil.rmtree(
+                    os.path.join(work, f"t{seed}_clone"), ignore_errors=True
+                )
             if seed % 25 == 24:
                 print(f"storage fuzz: {seed + 1}/{n_seeds} clean", flush=True)
     finally:

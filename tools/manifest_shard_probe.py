@@ -12,7 +12,17 @@ then measures:
 3. head-only metadata ops (sort order / constraints / txn stamps) parse
    bytes vs the hydrated manifest.
 
+4. (two-level heads, VERDICT r8 #3) group-layer stats: head bytes vs
+   total manifest bytes, groups read by a selective plan, and group/
+   segment reads of a 1-file commit (must be ZERO on a pure append).
+
+``--fake-data`` skips materializing data files beyond the seed (paths
+are recorded in the manifest but never opened — every measured path is
+metadata-plane, so the probe is identical; it makes the 10M-file row
+tractable without 10M inodes).
+
 Usage: python tools/manifest_shard_probe.py [--files 10000] [--days 100]
+       [--fake-data]
 Prints one JSON line; recorded in SCALE.md.
 """
 
@@ -29,7 +39,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build(table: str, n_files: int, n_days: int) -> None:
+def build(table: str, n_files: int, n_days: int, fake: bool = False) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -46,7 +56,7 @@ def build(table: str, n_files: int, n_days: int) -> None:
     for i in range(n_files):
         day = f"d{i % n_days:03d}"
         p = os.path.join(table, "data", "seed", f"part-{i:06d}.parquet")
-        if i:
+        if i and not fake:
             if i % 50000 == 0:
                 shutil.copy(seed, p)  # fresh inode — hardlink cap is ~65k
                 link_src = p
@@ -94,6 +104,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=10000)
     ap.add_argument("--days", type=int, default=100)
+    ap.add_argument("--fake-data", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql.datasource import EqualTo
@@ -107,7 +118,7 @@ def main() -> None:
     table = os.path.join(d, "t")
     try:
         t0 = time.perf_counter()
-        build(table, args.files, args.days)
+        build(table, args.files, args.days, fake=args.fake_data)
         build_s = time.perf_counter() - t0
 
         head_path = S._manifest_path(table, 1)
@@ -139,8 +150,11 @@ def main() -> None:
         extra = os.path.join(table, "data", "seed", "part-extra.parquet")
         os.link(os.path.join(table, "data", "seed", "part-0.parquet"), extra)
         reads = []
+        greads = []
         real_read = S._read_segment
+        real_gread = S._read_group
         S._read_segment = lambda t, r: (reads.append(r), real_read(t, r))[1]
+        S._read_group = lambda t, r: (greads.append(r), real_gread(t, r))[1]
         t0 = time.perf_counter()
         S._publish(
             table, 2, None, "append",
@@ -159,6 +173,7 @@ def main() -> None:
         )
         commit_s = time.perf_counter() - t0
         S._read_segment = real_read
+        S._read_group = real_gread
         after = seg_bytes(table)
         new_segs = {k: v for k, v in after.items() if k not in before}
 
@@ -175,9 +190,14 @@ def main() -> None:
             "head_bytes": head_bytes,
             "segment_files": len(before),
             "segment_bytes_total": total_seg,
+            "groups_total": len(
+                S._read_manifest_head(table, 1).get("groups", [])
+            ),
             "selective": {
                 "pred": "day = d007",
                 "kept_files": kept,
+                "groups_read": sel.get("groups_read", 0),
+                "groups_total": sel.get("groups_total", 0),
                 "segments_read": sel["segments_read"],
                 "segments_total": sel["segments_total"],
                 "manifest_bytes_read": sel["manifest_bytes_read"],
@@ -197,6 +217,7 @@ def main() -> None:
                 "new_segment_bytes": sum(new_segs.values()),
                 "reused_segment_files": len(before),
                 "prior_segments_read": len(reads),
+                "prior_groups_read": len(greads),
                 "commit_sec": round(commit_s, 3),
                 "head_v2_bytes": os.path.getsize(
                     S._manifest_path(table, 2)

@@ -647,7 +647,10 @@ def _ensure_sharded_day_table(spark: SparkSession, sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "events.parquet")
     fp = _fingerprint(src)
-    table, marker, fresh = _scratch(sf_dir, "sharded_day", fp)
+    # kind bumped to sharded_day2 when the two-level head landed (round
+    # 9): a scratch table cached by an older round would exercise the
+    # single-level format forever
+    table, marker, fresh = _scratch(sf_dir, "sharded_day2", fp)
     if fresh and snapshots.current_version(table) is not None:
         return table
     shutil.rmtree(table, ignore_errors=True)
@@ -664,7 +667,10 @@ def _ensure_sharded_day_table(spark: SparkSession, sf_dir: str) -> str:
         head = snapshots._read_manifest_head(
             table, snapshots.current_version(table)
         )
-        assert head.get("format") == 2 and len(head["segments"]) > 1
+        n_segs = len(head.get("segments", [])) + sum(
+            int(g.get("n_segs", 0)) for g in head.get("groups", [])
+        )
+        assert head.get("format") == 2 and n_segs > 1
     finally:
         if old is None:
             os.environ.pop("SPARK_GRAFT_MANIFEST_SEGMENT_FILES", None)

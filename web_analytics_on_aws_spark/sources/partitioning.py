@@ -637,11 +637,12 @@ def _est_row_bytes(df: DataFrame, table: str) -> float:
         cur = current_version(table)
         if cur is not None:
             head = _read_manifest_head(table, cur)
-            if "segments" in head:
-                # sharded manifest: the head's segment summaries carry
-                # row/byte totals — O(segments), never hydrate for sizing
-                rows = sum(int(s.get("rows", 0)) for s in head["segments"])
-                size = sum(int(s.get("bytes", 0)) for s in head["segments"])
+            if "segments" in head or "groups" in head:
+                # sharded manifest: the head's group + segment summaries
+                # carry row/byte totals — O(head), never hydrate for sizing
+                summ = head.get("groups", []) + head.get("segments", [])
+                rows = sum(int(s.get("rows", 0)) for s in summ)
+                size = sum(int(s.get("bytes", 0)) for s in summ)
             else:
                 fs = head.get("file_stats", {})
                 rows = sum(int(e.get("rows", 0)) for e in fs.values())

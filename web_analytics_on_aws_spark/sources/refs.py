@@ -227,13 +227,18 @@ def _clone_manifest(src: str, dst: str, op: str) -> int:
     if current_version(dst) is not None:
         raise ValueError(f"{dst} already has snapshots")
     head = _read_manifest_head(src, cur)
-    if head.get("segments") and all(
+    summaries = head.get("groups", []) + head.get("segments", [])
+    if summaries and all(
         isinstance(s.get("lo"), str) and os.path.isabs(s["lo"])
-        for s in head["segments"]
+        for s in summaries
     ):
         # zero-copy fork: member paths are absolute (the summaries' path
-        # ranges prove it without opening a segment), so the segments are
-        # valid from anywhere — re-list them in place
+        # ranges prove it without opening a segment or group), so the
+        # source's manifest files are valid from anywhere — re-list them
+        # in place. Foreign GROUP references resolve their members'
+        # relative segment paths against the source table at read time
+        # (snapshots._read_group), so the two-level layer forks by
+        # reference too.
         from .snapshots import _publish_raw, _segment_abspath
 
         body = {
@@ -244,9 +249,15 @@ def _clone_manifest(src: str, dst: str, op: str) -> int:
             "segments": [
                 dict(s)
                 | {"path": os.path.abspath(_segment_abspath(src, s["path"]))}
-                for s in head["segments"]
+                for s in head.get("segments", [])
             ],
         }
+        if head.get("groups"):
+            body["groups"] = [
+                dict(g)
+                | {"path": os.path.abspath(_segment_abspath(src, g["path"]))}
+                for g in head["groups"]
+            ]
         if _manifest_deletes(head):
             body["delete_files"] = [
                 os.path.abspath(f) for f in _manifest_deletes(head)

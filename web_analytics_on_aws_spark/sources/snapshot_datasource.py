@@ -23,6 +23,14 @@ Scan planning is Iceberg-shaped, in miniature:
   batches (zero row-by-row Python), padding net-new columns with nulls so
   additive schema evolution reads like `read_snapshot(mergeSchema=True)`.
 
+Sharp edge (Spark-level, pinned in tests/test_manifest_groups.py::
+test_snapshot_datasource_reuse_sharp_edge): the Python DataSource layer
+caches the most recent pushdown plan per LOADED DataFrame, so an
+unfiltered action on a DataFrame that already executed a filtered action
+reuses the filtered partition list and under-scans. Load fresh per query
+(`spark.read.format("snapshot")...load()` is cheap — planning is
+manifest-head metadata only); every repo call site does.
+
 This is the interoperability path; `snapshots.read_snapshot` (JVM parquet
 reader on the same manifest) remains the raw-throughput path. At 100 TB the
 win of THIS path is planning: pruning thousands of files via footer stats
@@ -172,7 +180,10 @@ def _segments_arrow_schema(head: dict):
 
     order: list[str] = []
     types: dict[str, str] = {}
-    for s in head.get("segments", []):
+    # grouped heads: each group summary carries its members' merged types
+    # (snapshots._summarize_group), so the union stays O(head) — a group
+    # without a types block (member disagreement) fails over to hydration
+    for s in head.get("groups", []) + head.get("segments", []):
         t = s.get("types")
         if not t:
             return None
@@ -386,7 +397,11 @@ class SnapshotReader(DataSourceReader):
         self._table = table
         head = _resolve_head(options)
         self._head = head
-        self._segmented = "segments" in head
+        from web_analytics_on_aws_spark.sources.snapshots import (
+            _is_sharded,
+        )
+
+        self._segmented = _is_sharded(head)
         self._schema = schema
         self._pushed: list[Filter] = []
         self._deletes = _dv_map(table, head)
@@ -602,15 +617,33 @@ class SnapshotReader(DataSourceReader):
             return self._files
         from web_analytics_on_aws_spark.sources.snapshots import (
             _manifest_path,
+            _read_groups,
             _read_segments,
             _segment_abspath,
         )
 
         import os
 
-        segs = self._head.get("segments", [])
         v = int(self._head["version"])
         bytes_read = os.path.getsize(_manifest_path(self._table, v))
+        # group layer first: a group summary carries the same merged
+        # bounds/partition-value shape as a segment summary, so the same
+        # check prunes whole groups — only intersecting groups are opened
+        # and contribute their member segments to the segment-layer check
+        groups = self._head.get("groups", [])
+        g_surv = [g for g in groups if self._segment_may_match(g)]
+        segs: list[dict] = []
+        for g in g_surv:
+            bytes_read += os.path.getsize(
+                _segment_abspath(self._table, g["path"])
+            )
+        for member in _read_groups(self._table, g_surv):
+            segs.extend(member)
+        segs += self._head.get("segments", [])
+        segs_total = (
+            sum(int(g.get("n_segs", 0)) for g in groups)
+            + len(self._head.get("segments", []))
+        )
         survivors = [s for s in segs if self._segment_may_match(s)]
         for seg in survivors:
             bytes_read += os.path.getsize(
@@ -634,7 +667,9 @@ class SnapshotReader(DataSourceReader):
         self._stats = stats
         self._seqs = seqs
         self.plan_stats = {
-            "segments_total": len(segs),
+            "groups_total": len(groups),
+            "groups_read": len(g_surv),
+            "segments_total": segs_total,
             "segments_read": len(survivors),
             "manifest_bytes_read": bytes_read,
         }
@@ -787,14 +822,18 @@ class SnapshotDataSource(DataSource):
         # segment summaries' merged types (O(segments), VERDICT r8 #2) —
         # hydration of the file maps is the last-resort fallback for
         # pre-types segments or mixed physical types
+        from web_analytics_on_aws_spark.sources.snapshots import (
+            _is_sharded,
+        )
+
         head = _resolve_head(self.options)
-        if head.get("schema") is None and "segments" in head:
+        if head.get("schema") is None and _is_sharded(head):
             arrow = _segments_arrow_schema(head)
             if arrow is not None:
                 return from_arrow_schema(arrow)
         m = (
             head
-            if head.get("schema") is not None or "segments" not in head
+            if head.get("schema") is not None or not _is_sharded(head)
             else _hydrate_manifest(self.options["path"], head)
         )
         arrow, _ = _mapped_arrow_schema(m)

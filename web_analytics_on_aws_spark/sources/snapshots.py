@@ -121,6 +121,61 @@ def _read_segments(table: str, segs: list[dict]) -> list[dict]:
         )
 
 
+def _is_sharded(head: dict) -> bool:
+    """Sharded (format-2) head? The inline tail may legitimately be empty
+    once every segment has been spilled into groups, so shardedness is
+    'either layer present', never a truthiness check on ``segments``."""
+    return "segments" in head or "groups" in head
+
+
+def _read_group(table: str, rel: str) -> list[dict]:
+    """Segment summaries of one manifest GROUP file (the second manifest
+    level: ``{"segments": [summary...]}``, immutable, written once by
+    ``_pack_groups`` and carried by reference ever after). Member segment
+    paths stored relative resolve against the group's OWN table — derived
+    from the group path when it is absolute — so a zero-copy clone/branch
+    head that references a foreign group expands to the SOURCE's segment
+    files, not phantom paths under the clone."""
+    ap = _segment_abspath(table, rel)
+    with open(ap) as f:
+        segs = json.load(f)["segments"]
+    if os.path.isabs(rel):
+        base = os.path.dirname(os.path.dirname(os.path.dirname(ap)))
+        out = []
+        for s in segs:
+            s = dict(s)
+            if not os.path.isabs(s["path"]):
+                s["path"] = os.path.abspath(
+                    _segment_abspath(base, s["path"])
+                )
+            out.append(s)
+        return out
+    return segs
+
+
+def _read_groups(table: str, groups: list[dict]) -> list[list[dict]]:
+    """Summaries of many groups — remote-scheme tables fan the reads out
+    over threads exactly like ``_read_segments``."""
+    if len(groups) <= 8 or not table.startswith(_REMOTE_SCHEMES):
+        return [_read_group(table, g["path"]) for g in groups]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(16, len(groups))) as ex:
+        return list(ex.map(lambda g: _read_group(table, g["path"]), groups))
+
+
+def _effective_segments(table: str, head: dict) -> list[dict]:
+    """Every segment summary of a sharded head: the grouped layer
+    expanded plus the inline tail. Full-hydration consumers only — the
+    planning/commit hot paths prune at the GROUP layer first and never
+    expand clean groups."""
+    segs: list[dict] = []
+    for member in _read_groups(table, head.get("groups", [])):
+        segs.extend(member)
+    segs.extend(head.get("segments", []))
+    return segs
+
+
 def _hydrate_manifest(table: str, m: dict) -> dict:
     """Materialize a sharded head into the legacy logical manifest shape
     (``files`` / ``file_seq`` / ``file_partitions`` / ``file_stats``) so
@@ -128,13 +183,13 @@ def _hydrate_manifest(table: str, m: dict) -> dict:
     pass through untouched. Planning hot paths that only need the
     predicate-intersecting slice use the head + per-segment summaries
     directly (SnapshotReader) instead of this full fold."""
-    if "segments" not in m:
+    if not _is_sharded(m):
         return m
     files: list[str] = []
     seqs: dict[str, int] = {}
     fp: dict[str, dict] = {}
     fs: dict[str, dict] = {}
-    for entries in _read_segments(table, m["segments"]):
+    for entries in _read_segments(table, _effective_segments(table, m)):
         for p, e in entries.items():
             files.append(p)
             seqs[p] = int(e["seq"])
@@ -282,7 +337,7 @@ def _publish(
     # materialize the predecessor's per-file maps (O(delta) publish).
     lazy = (
         prev_raw is not None
-        and bool(prev_raw.get("segments"))
+        and _is_sharded(prev_raw)
         and new_files is not None
         and removed_files is not None
         and (files is None or len(files) > _segment_target())
@@ -572,6 +627,169 @@ def _summarize_segment(rel: str, entries: dict[str, dict]) -> dict:
     return out
 
 
+# --------------------------------------------------------------------------
+# Two-level manifest list (VERDICT r8 #3): head → groups → segments.
+#
+# The r8 head listed ONE summary per segment, so the head rewrite a commit
+# pays grew O(segments): 3.4 MB at 1M files, ~34 MB at 10M — the classic
+# next-tier bottleneck Iceberg bounds with a manifest list over manifest
+# files. Same move here: once the head's inline segment tail exceeds the
+# per-group target, full chunks spill into immutable GROUP files
+# (manifests/segs/grp-*.json, ``{"segments": [summary...]}``) and the head
+# keeps one merged summary per group plus a bounded tail. Properties:
+#
+# - head size is O(segments/G + G): 10M files / 100k segments / G=64 →
+#   ~1.6k group entries + ≤64 tail entries, a few hundred KB, not 34 MB;
+# - groups are immutable and carried BY REFERENCE: a steady append
+#   rewrites the head tail only, spilling one new group every G commits
+#   (amortized O(1) group writes — same LSM story as the segments);
+# - a commit whose dirty-path range misses a group re-lists it verbatim,
+#   zero reads; only dirty-hit groups dissolve back into the segment pool
+#   for per-segment reuse evaluation;
+# - planning prunes at the group layer FIRST (merged column bounds /
+#   partition values / types ride the group summary, same shape as a
+#   segment summary), opening only predicate-intersecting groups, then
+#   prunes their member segments — two levels of manifest skip;
+# - group summaries carry exact n/rows/bytes/stats_n sums, so head-only
+#   aggregates (history, broadcast stats, write sizing) stay O(head);
+# - vacuum GC's group files exactly like segments (same dir, same
+#   referenced-set protection), and zero-copy clone/branch heads
+#   re-list foreign groups by absolute path — member segment paths
+#   resolve against the group's OWN table at read time (_read_group).
+# --------------------------------------------------------------------------
+
+_GROUP_TARGET_DEFAULT = 64
+
+
+def _group_target() -> int:
+    """Segment summaries per head group (and the tail-spill threshold).
+    ``SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP`` tunes it; 0 disables
+    grouping (single-level heads, the r8 format)."""
+    env = os.environ.get("SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP")
+    n = int(env) if env else _GROUP_TARGET_DEFAULT
+    return n if n > 0 else (1 << 62)
+
+
+def _split_groups(
+    table: str, prev_raw: dict | None, rng_hit
+) -> tuple[list[dict], list[dict]]:
+    """(clean group summaries carried by reference, segment-summary pool
+    needing per-segment reuse evaluation). A group whose recorded member
+    path range misses every dirty path passes through SIGHT-UNSEEN — the
+    group-layer analogue of the segment fast path; a dirty-hit group is
+    expanded and its segments rejoin the pool (most re-list verbatim at
+    the segment layer)."""
+    clean: list[dict] = []
+    dirty_hit: list[dict] = []
+    for g in (prev_raw or {}).get("groups", []):
+        if g.get("lo") is None or rng_hit(g["lo"], g["hi"]):
+            dirty_hit.append(g)
+        else:
+            clean.append(dict(g))
+    pool: list[dict] = []
+    for member in _read_groups(table, dirty_hit):
+        pool.extend(member)
+    pool.extend((prev_raw or {}).get("segments", []))
+    return clean, pool
+
+
+def _summarize_group(rel: str, segs: list[dict]) -> dict:
+    """The head's entry for one group: exact count/byte/row sums over the
+    member summaries, the merged member path range, and — under the same
+    every-member-or-nothing soundness rule as ``_summarize_segment`` —
+    merged column bounds, union types, and partition value sets, so the
+    planner can prune whole groups without opening them."""
+    out = {
+        "path": rel,
+        "n_segs": len(segs),
+        "n": sum(int(s["n"]) for s in segs),
+        "stats_n": sum(int(s.get("stats_n", 0)) for s in segs),
+        "rows": sum(int(s.get("rows", 0)) for s in segs),
+        "bytes": sum(int(s.get("bytes", 0)) for s in segs),
+        "lo": min(s["lo"] for s in segs),
+        "hi": max(s["hi"] for s in segs),
+    }
+    cols: dict[str, list] | None = None
+    for s in segs:
+        b = s.get("cols")
+        if not b:
+            cols = {}
+            break
+        if cols is None:
+            cols = {c: list(v) for c, v in b.items()}
+            continue
+        for c in list(cols):
+            if c not in b:
+                del cols[c]
+                continue
+            try:
+                if _dec_stat(b[c][0]) < _dec_stat(cols[c][0]):
+                    cols[c][0] = b[c][0]
+                if _dec_stat(b[c][1]) > _dec_stat(cols[c][1]):
+                    cols[c][1] = b[c][1]
+            except TypeError:
+                del cols[c]
+    if cols:
+        out["cols"] = cols
+    types: dict[str, str] | None = {}
+    for s in segs:
+        t = s.get("types")
+        if not t:
+            types = None
+            break
+        for cname, ddl in t.items():
+            if types.setdefault(cname, ddl) != ddl:
+                types = None
+                break
+        if types is None:
+            break
+    if types:
+        out["types"] = types
+    spec_ids = {s.get("part_spec") for s in segs}
+    if len(spec_ids) == 1 and None not in spec_ids:
+        fields = set(segs[0].get("parts", {}))
+        for s in segs[1:]:
+            fields &= set(s.get("parts", {}))
+        parts: dict[str, list] = {}
+        for fname in sorted(fields):
+            vals = set()
+            for s in segs:
+                vals.update(s["parts"][fname])
+            if len(vals) <= _SEG_PART_VALUES_MAX:
+                parts[fname] = sorted(
+                    vals, key=lambda x: (x is None, x or "")
+                )
+        if parts:
+            out["part_spec"] = spec_ids.pop()
+            out["parts"] = parts
+    return out
+
+
+def _pack_groups(
+    table: str, clean_groups: list[dict], segs: list[dict]
+) -> tuple[list[dict], list[dict]]:
+    """(head group entries, inline tail) for a commit: clean groups ride
+    by reference, then FULL chunks of the segment tail spill into new
+    immutable group files once it exceeds the target. Oldest-first
+    chunking keeps each spilled group stable under steady appends (new
+    segments land at the tail's end), so one group write amortizes over
+    G commits."""
+    group_n = _group_target()
+    groups = list(clean_groups)
+    tail = list(segs)
+    if len(tail) <= group_n:
+        return groups, tail
+    segdir = os.path.join(table, MANIFEST_DIR, SEGS_SUBDIR)
+    os.makedirs(segdir, exist_ok=True)
+    while len(tail) > group_n:
+        chunk, tail = tail[:group_n], tail[group_n:]
+        rel = os.path.join(SEGS_SUBDIR, f"grp-{uuid.uuid4().hex[:16]}.json")
+        with open(_segment_abspath(table, rel), "w") as f:
+            json.dump({"segments": chunk}, f)
+        groups.append(_summarize_group(rel, chunk))
+    return groups, tail
+
+
 def _segmentize(
     table: str,
     body: dict,
@@ -605,7 +823,8 @@ def _segmentize(
     tiny: list[dict] = []
     to_read: list[dict] = []
     rng_hit = _range_hitter(dirty)
-    for seg in (prev_raw or {}).get("segments", []):
+    clean_groups, seg_pool = _split_groups(table, prev_raw, rng_hit)
+    for seg in seg_pool:
         lo, hi = seg.get("lo"), seg.get("hi")
         if lo is None or rng_hit(lo, hi):
             to_read.append(seg)  # may hold a dirty file — verify members
@@ -617,7 +836,7 @@ def _segmentize(
     # a reused one — no member lists needed for the sight-unseen path.
     # An INLINE predecessor has no segments at all: every file is loose
     # (the one-time transition commit materializes the full split).
-    if (prev_raw or {}).get("segments"):
+    if prev_raw is not None and _is_sharded(prev_raw):
         loose = [f for f in files if f not in prev_files]
     else:
         loose = list(files)
@@ -669,7 +888,11 @@ def _segmentize(
         if k not in ("files", "file_seq", "file_partitions", "file_stats")
     }
     out["format"] = 2
-    out["segments"] = segs_out
+    out["groups"], out["segments"] = _pack_groups(
+        table, clean_groups, segs_out
+    )
+    if not out["groups"]:
+        del out["groups"]
     return out
 
 
@@ -758,7 +981,8 @@ def _segmentize_delta(
     tiny: list[dict] = []
     to_read: list[dict] = []
     rng_hit = _range_hitter(dirty)
-    for seg in prev_raw.get("segments", []):
+    clean_groups, seg_pool = _split_groups(table, prev_raw, rng_hit)
+    for seg in seg_pool:
         lo, hi = seg.get("lo"), seg.get("hi")
         if lo is None or rng_hit(lo, hi):
             to_read.append(seg)
@@ -814,7 +1038,11 @@ def _segmentize_delta(
         if k not in ("files", "file_seq", "file_partitions", "file_stats")
     }
     out["format"] = 2
-    out["segments"] = segs_out
+    out["groups"], out["segments"] = _pack_groups(
+        table, clean_groups, segs_out
+    )
+    if not out["groups"]:
+        del out["groups"]
     return out
 
 
@@ -1284,7 +1512,7 @@ def commit_append(
         # inline predecessor: the head IS the full manifest, list from it
         files_arg = (
             None
-            if "segments" in prev_m
+            if _is_sharded(prev_m)
             else prev_m.get("files", []) + new_files
         )
         try:
@@ -1558,13 +1786,15 @@ def _logical(df: DataFrame, sch: dict | None, keep: tuple = ()) -> DataFrame:
 
 
 def history(table: str) -> list[dict]:
-    # head-only: sharded manifests answer n_files from segment summaries
+    # head-only: sharded manifests answer n_files from the group and
+    # segment summaries (both carry exact member counts)
     out = []
     for v in _versions(table):
         m = _read_manifest_head(table, v)
         n = (
-            sum(int(s["n"]) for s in m["segments"])
-            if "segments" in m
+            sum(int(s["n"]) for s in m.get("groups", []))
+            + sum(int(s["n"]) for s in m.get("segments", []))
+            if _is_sharded(m)
             else len(m["files"])
         )
         out.append(
@@ -1582,19 +1812,31 @@ def _live_refs(table: str, versions: list[int]) -> tuple[set[str], set[str]]:
     every retained version's full file map)."""
     files: set[str] = set()
     pending: dict[str, str] = {}  # segment abspath → stored path (read key)
+    groups: dict[str, str] = {}  # group abspath → stored path (read key)
     for v in versions:
         m = _read_manifest_head(table, v)
         files.update(_manifest_deletes(m))
         files.update(e["path"] for e in _manifest_eq_deletes(m))
-        if "segments" in m:
-            for seg in m["segments"]:
+        if _is_sharded(m):
+            for g in m.get("groups", []):
+                ap = os.path.abspath(_segment_abspath(table, g["path"]))
+                groups.setdefault(ap, g["path"])
+            for seg in m.get("segments", []):
                 ap = os.path.abspath(_segment_abspath(table, seg["path"]))
                 pending.setdefault(ap, seg["path"])
         else:
             files.update(m.get("files", []))
+    # each distinct GROUP read once — its member segments join the pool
+    # (groups are shared across versions by the reuse design, exactly
+    # like segments, so this stays O(heads + distinct groups + distinct
+    # segments))
+    for rel in groups.values():
+        for seg in _read_group(table, rel):
+            ap = os.path.abspath(_segment_abspath(table, seg["path"]))
+            pending.setdefault(ap, seg["path"])
     for rel in pending.values():
         files.update(_read_segment(table, rel)["entries"])
-    return files, set(pending)
+    return files, set(pending) | set(groups)
 
 
 def _ref_protected(table: str) -> tuple[set[int], set[str], set[str]]:
@@ -1975,8 +2217,15 @@ def _probe_file_with_rows(table: str, m: dict) -> str | None:
     point straight at one (zero footer opens); otherwise walk footers."""
     import pyarrow.parquet as pq
 
-    if "segments" in m:
-        for seg in m["segments"]:
+    if _is_sharded(m):
+        # descend rows>0 summaries only: group → segment → file, opening
+        # one group and one segment in the common case
+        segs = list(m.get("segments", []))
+        for g in m.get("groups", []):
+            if int(g.get("rows", 0)) > 0:
+                segs.extend(_read_group(table, g["path"]))
+                break
+        for seg in segs:
             if int(seg.get("rows", 0)) > 0:
                 for p, e in _read_segment(table, seg["path"])[
                     "entries"
@@ -2051,7 +2300,7 @@ def delete_keys_mor(
     head = _read_manifest_head(table, cur)
     m = (
         head
-        if head.get("schema") is not None and "segments" in head
+        if head.get("schema") is not None and _is_sharded(head)
         else _hydrate_manifest(table, head)
     )
     if m.get("schema") is not None:
@@ -2144,7 +2393,7 @@ def upsert_keys_mor(
         # metadata per trigger regardless of table size)
         m = (
             head
-            if sch is not None and "segments" in head
+            if sch is not None and _is_sharded(head)
             else _hydrate_manifest(table, head)
         )
         # same column contract as merge_into (review r3 finding): the
@@ -2838,14 +3087,15 @@ def table_statistics(table: str, version: int | None = None) -> dict:
         raise FileNotFoundError(f"no snapshots at {table}")
     v = cur if version is None else version
     m = _read_manifest_head(table, v)
-    if "segments" in m and all(
-        s.get("stats_n") == s["n"] for s in m["segments"]
+    summaries = m.get("groups", []) + m.get("segments", [])
+    if _is_sharded(m) and all(
+        s.get("stats_n") == s["n"] for s in summaries
     ):
-        # sharded manifest, fully stats-bearing: the head's segment
-        # summaries answer it — O(segments) regardless of file count
-        rows = sum(int(s["rows"]) for s in m["segments"])
-        size = sum(int(s["bytes"]) for s in m["segments"])
-        n_files = sum(int(s["n"]) for s in m["segments"])
+        # sharded manifest, fully stats-bearing: the head's group and
+        # segment summaries answer it — O(head) regardless of file count
+        rows = sum(int(s["rows"]) for s in summaries)
+        size = sum(int(s["bytes"]) for s in summaries)
+        n_files = sum(int(s["n"]) for s in summaries)
     else:
         m = _hydrate_manifest(table, m)
         fs = m.get("file_stats", {})
