@@ -50,13 +50,22 @@ def test_fuzzed_trino_dialect_agrees_across_engines(spark):
 
 
 def test_fuzzed_storage_programs_agree_across_engines(spark):
-    """Storage-surface differential fuzz (VERDICT r7 #5): random partition
-    spec × sort order × sharded/inline manifest × commit/maintenance
-    program × pushdown predicate — snapshot DataSource reads (full pruning
-    stack engaged) must equal DuckDB over the same bytes. 10 seeds in CI;
-    `python tools/fuzz_differential.py storage 300` is the recorded
-    SCALE.md sweep."""
+    """Storage-surface differential fuzz (VERDICT r7 #5, axes widened per
+    VERDICT r8 #5): random partition spec × sort order × inline/sharded/
+    GROUPED manifest × commit/maintenance program × schema evolution
+    (rename round-trip, add+widen, add+drop) × refs (shallow clone,
+    branch, tag-through-vacuum) × time-travel read × pushdown predicate —
+    snapshot DataSource reads (full pruning stack engaged) must equal
+    DuckDB over the same bytes. 12 seeds in CI; `python
+    tools/fuzz_differential.py storage 300` is the recorded SCALE.md
+    sweep."""
     from tools.fuzz_differential import gen_storage_program, run_storage
 
     assert gen_storage_program(5) == gen_storage_program(5)
-    assert run_storage(10, "/root/testdata/sf0.001", spark=spark) == []
+    # the program space grew axes — pin that the generator draws them
+    progs = [gen_storage_program(s) for s in range(40)]
+    assert any(p["group"] and p["shard"] for p in progs)
+    assert any(p["evolve"] != "none" for p in progs)
+    assert any(p["ref"] != "none" for p in progs)
+    assert any(p["timetravel"] for p in progs)
+    assert run_storage(12, "/root/testdata/sf0.001", spark=spark) == []
