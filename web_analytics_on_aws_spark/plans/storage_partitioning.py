@@ -647,15 +647,20 @@ def _ensure_sharded_day_table(spark: SparkSession, sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "events.parquet")
     fp = _fingerprint(src)
-    # kind bumped to sharded_day2 when the two-level head landed (round
-    # 9): a scratch table cached by an older round would exercise the
-    # single-level format forever
-    table, marker, fresh = _scratch(sf_dir, "sharded_day2", fp)
+    # kind bumped when the two-level head landed (round 9): a scratch
+    # table cached by an older build would exercise the single-level
+    # format forever
+    table, marker, fresh = _scratch(sf_dir, "sharded_day3", fp)
     if fresh and snapshots.current_version(table) is not None:
         return table
     shutil.rmtree(table, ignore_errors=True)
     old = os.environ.get("SPARK_GRAFT_MANIFEST_SEGMENT_FILES")
+    old_g = os.environ.get("SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP")
     os.environ["SPARK_GRAFT_MANIFEST_SEGMENT_FILES"] = "4"
+    # tiny groups too (round 9): the sf0.01 correctness-gate build must
+    # cross BOTH spill thresholds, so the oracled rollup exercises the
+    # full head → group → segment planning descent, not just segments
+    os.environ["SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP"] = "4"
     try:
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
@@ -671,11 +676,16 @@ def _ensure_sharded_day_table(spark: SparkSession, sf_dir: str) -> str:
             int(g.get("n_segs", 0)) for g in head.get("groups", [])
         )
         assert head.get("format") == 2 and n_segs > 1
+        assert head.get("groups"), "expected a two-level (grouped) head"
     finally:
         if old is None:
             os.environ.pop("SPARK_GRAFT_MANIFEST_SEGMENT_FILES", None)
         else:
             os.environ["SPARK_GRAFT_MANIFEST_SEGMENT_FILES"] = old
+        if old_g is None:
+            os.environ.pop("SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP", None)
+        else:
+            os.environ["SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP"] = old_g
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     with open(marker, "w") as fh:
         json.dump(fp, fh)
