@@ -413,3 +413,16 @@ def test_lifecycle_property_over_sharded_manifests(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_MANIFEST_SEGMENT_FILES", "1")
     test_any_commit_sequence_reads_and_streams_consistently(spark)
     test_refs_lifecycle_reads_and_streams_consistently(spark)
+
+
+def test_lifecycle_property_over_grouped_manifests(spark, monkeypatch):
+    """Round 9: the same lifecycle property suite with a one-file segment
+    target AND a two-segment group target, so every commit shape also
+    crosses the TWO-LEVEL head path (group spills, sight-unseen group
+    reuse, dirty-hit group dissolution, grouped hydration, grouped ref
+    forks). Same three-reader agreement contract; the extra manifest
+    level must be invisible."""
+    monkeypatch.setenv("SPARK_GRAFT_MANIFEST_SEGMENT_FILES", "1")
+    monkeypatch.setenv("SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP", "2")
+    test_any_commit_sequence_reads_and_streams_consistently(spark)
+    test_refs_lifecycle_reads_and_streams_consistently(spark)
