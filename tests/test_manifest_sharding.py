@@ -752,6 +752,89 @@ def test_parent_vacuum_protects_sharded_branch(registered, tmp_path, seg4):
     assert read_snapshot(spark, t).count() == 30
 
 
+@pytest.mark.parametrize("order", ["middle_first", "root_first"])
+def test_chained_clone_survives_vacuums_both_orders(
+    registered, tmp_path, seg4, order
+):
+    """VERDICT r9 #1 pin (the exact repro sequence, both vacuum orders):
+    clone chain A → B → C where C's zero-copy head re-lists A's segment
+    files by absolute path. B then rewrites itself (its own head no
+    longer references A) and both A and B vacuum. Before the fix, A's
+    protection walk only saw DIRECT forks — vacuum(B) dropped the base
+    head tying C into A's walk, then vacuum(A) GC'd the segments only C
+    references (FileNotFoundError on read). Now the fork walk is
+    transitive AND each fork's base_version is pinned in its immediate
+    source, so either mechanism alone keeps C whole."""
+    from web_analytics_on_aws_spark.sources.refs import clone_table
+
+    spark = registered
+    a = str(tmp_path / "A")
+    b = str(tmp_path / "B")
+    c = str(tmp_path / "C")
+    _build_sharded(spark, a)
+    clone_table(a, b)
+    clone_table(b, c)
+    # strand the lineage from B's own perspective, then the repro DML on A
+    S.commit_overwrite(_events(spark, 0, 40), b)
+    seq = [(b, a), (a, b)][order == "root_first"]
+    for tbl in seq:
+        S.vacuum(tbl, retain_last=1)
+    assert read_snapshot(spark, c).count() == 500  # leaf fully intact
+    assert read_snapshot(spark, b).count() == 40
+    assert read_snapshot(spark, a).count() == 500
+
+
+def test_vacuum_gcs_stale_clone_markers_keeps_live(
+    registered, tmp_path, seg4
+):
+    """VERDICT r9 #5 pin: vacuum removes markers whose clone dir no
+    longer holds manifests (implicit drop), never markers of live clones
+    — and drop_clone releases protection explicitly."""
+    import shutil
+
+    from web_analytics_on_aws_spark.sources.refs import (
+        clone_table,
+        drop_clone,
+    )
+
+    spark = registered
+    src = str(tmp_path / "src")
+    d1 = str(tmp_path / "d1")
+    d2 = str(tmp_path / "d2")
+    _build_sharded(spark, src)
+    clone_table(src, d1)
+    clone_table(src, d2)
+    rdir = os.path.join(src, "refs")
+    n_markers = lambda: len(
+        [f for f in os.listdir(rdir) if f.startswith("clone-")]
+    )
+    assert n_markers() == 2
+    shutil.rmtree(d1)  # implicit drop
+    S.vacuum(src, retain_last=1)
+    assert n_markers() == 1  # stale marker GC'd, live one kept
+    # grace keeps a fresh stale marker (in-flight-clone belt-and-braces)
+    shutil.rmtree(d2)
+    S.vacuum(src, retain_last=1, orphan_grace_seconds=3600)
+    assert n_markers() == 1
+    S.vacuum(src, retain_last=1)
+    assert n_markers() == 0
+    # explicit drop: marker released immediately, vacuum then collects
+    d3 = str(tmp_path / "d3")
+    clone_table(src, d3)
+    S.commit_overwrite(_events(spark, 0, 25), src)
+    assert drop_clone(src, d3, delete_table=True) == 1
+    assert n_markers() == 0
+    S.vacuum(src, retain_last=1)
+    live = {
+        os.path.basename(s["path"])
+        for s in _read_manifest_head(src, current_version(src)).get(
+            "segments", []
+        )
+    }
+    assert set(os.listdir(os.path.join(src, "manifests", "segs"))) == live
+    assert read_snapshot(spark, src).count() == 25
+
+
 def test_metadata_ddl_reads_no_segments_on_mapped_sharded(
     registered, tmp_path, seg4, monkeypatch
 ):

@@ -342,6 +342,33 @@ def clone_table(src: str, dst: str, register: bool = True) -> int:
     return base
 
 
+def drop_clone(src: str, dst: str, delete_table: bool = False) -> int:
+    """Explicitly release a registered clone: remove the back-reference
+    marker(s) under ``src``'s refs/ pointing at ``dst``, so the source's
+    next vacuum stops protecting the clone's references. With
+    ``delete_table`` the clone directory itself is removed too (the
+    implicit drop — deleting the dir — still works; stale markers are
+    then GC'd by the source's vacuum). Returns markers removed."""
+    removed = 0
+    target = os.path.abspath(dst)
+    rdir = os.path.join(src, REFS_DIR)
+    if os.path.isdir(rdir):
+        for fn in os.listdir(rdir):
+            if not (fn.startswith("clone-") and fn.endswith(".json")):
+                continue
+            mp = os.path.join(rdir, fn)
+            with open(mp) as f:
+                c = json.load(f)
+            if os.path.abspath(c["dst"]) == target:
+                os.remove(mp)
+                removed += 1
+    if delete_table and os.path.isdir(dst):
+        import shutil
+
+        shutil.rmtree(dst)
+    return removed
+
+
 def create_branch(table: str, name: str) -> str:
     """Fork the head into a writable branch (audit/backfill/experiment
     isolation — the Iceberg branch workflow). Zero-copy; returns the

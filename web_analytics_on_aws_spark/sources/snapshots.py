@@ -1839,47 +1839,100 @@ def _live_refs(table: str, versions: list[int]) -> tuple[set[str], set[str]]:
     return files, set(pending) | set(groups)
 
 
-def _ref_protected(table: str) -> tuple[set[int], set[str], set[str]]:
-    """Versions, data files, and manifest SEGMENTS that named refs keep
-    alive through vacuum: tagged versions (Iceberg tag retention), files
-    and segments any branch manifest still references (branches fork by
-    reference, never by copy — including the source's immutable manifest
-    segments since r9's zero-copy fork), files and segments referenced by
-    REGISTERED shallow clones (``clone_table`` leaves a back-reference
-    marker under refs/; a marker whose clone directory no longer holds
-    manifests is ignored as dropped), and staged write-audit-publish files
-    awaiting publish/discard. Metadata-only: heads plus each distinct
-    referenced segment once."""
+def _fork_children(table: str) -> list[tuple[str, int | None, str | None]]:
+    """(fork dir, base_version, clone-marker path | None) for every fork
+    recorded ON ``table``: registered shallow clones (refs/clone-*.json
+    back-reference markers) and branch dirs. Metadata listing only —
+    nothing is opened beyond the marker / branch.json files."""
+    out: list[tuple[str, int | None, str | None]] = []
+    rdir = os.path.join(table, REFS_DIR)
+    if os.path.isdir(rdir):
+        for fn in os.listdir(rdir):
+            if fn.startswith("clone-") and fn.endswith(".json"):
+                mp = os.path.join(rdir, fn)
+                with open(mp) as f:
+                    c = json.load(f)
+                base = c.get("base_version")
+                out.append((c["dst"], int(base) if base is not None else None, mp))
+    bdir = os.path.join(table, BRANCHES_DIR)
+    if os.path.isdir(bdir):
+        for name in os.listdir(bdir):
+            bp = os.path.join(bdir, name)
+            base = None
+            meta = os.path.join(bp, "branch.json")
+            if os.path.exists(meta):
+                with open(meta) as f:
+                    b = json.load(f).get("base_version")
+                base = int(b) if b is not None else None
+            out.append((bp, base, None))
+    return out
+
+
+def _ref_protected(
+    table: str,
+) -> tuple[set[int], set[str], set[str], list[str]]:
+    """(versions, data files, manifest segments, stale clone markers):
+    what named refs keep alive through vacuum — tagged versions (Iceberg
+    tag retention), files and segments any branch manifest still
+    references (branches fork by reference, never by copy — including the
+    source's immutable manifest segments since r9's zero-copy fork),
+    files and segments referenced by REGISTERED shallow clones
+    (``clone_table`` leaves a back-reference marker under refs/), and
+    staged write-audit-publish files awaiting publish/discard.
+
+    The fork walk is TRANSITIVE with a visited set (VERDICT r9 #1): a
+    clone chain A → B → C references A's files/segments from C's head by
+    absolute path, and after B rewrites itself B's OWN head no longer
+    ties C back to A — so A's protection set must fold in the refs of
+    forks-of-forks, not just direct forks. Belt-and-braces on the same
+    hole, each DIRECT fork's ``base_version`` is pinned into the kept
+    versions: an intermediate table in a chain always retains the head
+    its forks were cut from, so vacuuming the MIDDLE table first cannot
+    sever the lineage either.
+
+    A marker whose clone directory no longer holds manifests is a
+    dropped clone: it protects nothing and is returned as stale for the
+    caller to GC (clone-marker lifecycle, VERDICT r9 #5). Metadata-only:
+    heads plus each distinct referenced segment once."""
     keep_vs: set[int] = set()
     keep_files: set[str] = set()
     keep_segs: set[str] = set()
-    forks: list[str] = []  # branch dirs + registered clone dsts
+    stale_markers: list[str] = []
     rdir = os.path.join(table, REFS_DIR)
     if os.path.isdir(rdir):
         for fn in os.listdir(rdir):
             if fn.startswith("tag-") and fn.endswith(".json"):
                 with open(os.path.join(rdir, fn)) as f:
                     keep_vs.add(int(json.load(f)["version"]))
-            elif fn.startswith("clone-") and fn.endswith(".json"):
-                with open(os.path.join(rdir, fn)) as f:
-                    forks.append(json.load(f)["dst"])
     mdir = os.path.join(table, MANIFEST_DIR)
     if os.path.isdir(mdir):
         for fn in os.listdir(mdir):
             if fn.startswith("wap-") and fn.endswith(".json"):
                 with open(os.path.join(mdir, fn)) as f:
                     keep_files.update(json.load(f)["new_files"])
-    bdir = os.path.join(table, BRANCHES_DIR)
-    if os.path.isdir(bdir):
-        forks.extend(os.path.join(bdir, name) for name in os.listdir(bdir))
-    for fork in forks:
-        fvs = _versions(fork)
-        if not fvs:
-            continue  # dropped branch dir / stale clone marker — ignore
-        ffiles, fsegs = _live_refs(fork, fvs)
-        keep_files.update(ffiles)
-        keep_segs.update(fsegs)
-    return keep_vs, keep_files, keep_segs
+    visited = {os.path.abspath(table)}
+    stack: list[tuple[str, bool]] = [(table, True)]
+    while stack:
+        node, is_root = stack.pop()
+        for dst, base, marker in _fork_children(node):
+            fvs = _versions(dst)
+            if not fvs:
+                # dropped branch dir / stale clone marker — protects
+                # nothing; root-level markers are GC candidates
+                if marker is not None and is_root:
+                    stale_markers.append(marker)
+                continue
+            if is_root and base is not None:
+                keep_vs.add(base)
+            ap = os.path.abspath(dst)
+            if ap in visited:
+                continue
+            visited.add(ap)
+            ffiles, fsegs = _live_refs(dst, fvs)
+            keep_files.update(ffiles)
+            keep_segs.update(fsegs)
+            stack.append((dst, False))
+    return keep_vs, keep_files, keep_segs, stale_markers
 
 
 def vacuum(
@@ -1907,7 +1960,7 @@ def vacuum(
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1 (the head manifest must survive)")
     vs = _versions(table)
-    ref_vs, ref_files, ref_segs = _ref_protected(table)
+    ref_vs, ref_files, ref_segs, stale_markers = _ref_protected(table)
     keep_vs = sorted(set(vs[-retain_last:]) | (ref_vs & set(vs)))
     # Liveness compares ABSOLUTE paths on both sides: branch/clone/
     # fast-forward manifests store abspaths while a relative ``table``
@@ -1949,6 +2002,19 @@ def vacuum(
                 if orphan_grace_seconds and os.path.getmtime(p) > cutoff:
                     continue
                 os.remove(p)
+    # clone-marker lifecycle (VERDICT r9 #5): a marker whose clone dir no
+    # longer holds manifests protects nothing and would otherwise be
+    # stat-walked by every future vacuum/list_refs forever. Same orphan
+    # grace as data files — a marker may be written moments before its
+    # clone's first manifest lands (clone_table publishes the manifest
+    # first, so this is belt-and-braces, not a live race on this code).
+    for mp in stale_markers:
+        try:
+            if orphan_grace_seconds and os.path.getmtime(mp) > cutoff:
+                continue
+            os.remove(mp)
+        except OSError:
+            pass
     return deleted
 
 
