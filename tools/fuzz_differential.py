@@ -954,25 +954,17 @@ def run_storage(n_seeds: int, sf: str, spark=None) -> list[int]:
                 if seed == 0 and n_total == 0:
                     raise RuntimeError("storage fuzz base slice is empty")
             finally:
-                if prog["shard"]:
-                    if old_env is None:
-                        os.environ.pop(
-                            "SPARK_GRAFT_MANIFEST_SEGMENT_FILES", None
-                        )
+                # restore both env vars UNCONDITIONALLY (ADVICE r9: the
+                # set path is gated on prog flags; mirroring those gates
+                # here invites a leak the moment the set condition changes)
+                for var, old in (
+                    ("SPARK_GRAFT_MANIFEST_SEGMENT_FILES", old_env),
+                    ("SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP", old_genv),
+                ):
+                    if old is None:
+                        os.environ.pop(var, None)
                     else:
-                        os.environ[
-                            "SPARK_GRAFT_MANIFEST_SEGMENT_FILES"
-                        ] = old_env
-                    if prog["group"]:
-                        if old_genv is None:
-                            os.environ.pop(
-                                "SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP",
-                                None,
-                            )
-                        else:
-                            os.environ[
-                                "SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP"
-                            ] = old_genv
+                        os.environ[var] = old
                 shutil.rmtree(t, ignore_errors=True)
                 shutil.rmtree(
                     os.path.join(work, f"t{seed}_clone"), ignore_errors=True

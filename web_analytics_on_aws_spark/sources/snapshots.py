@@ -140,6 +140,18 @@ def _read_group(table: str, rel: str) -> list[dict]:
     with open(ap) as f:
         segs = json.load(f)["segments"]
     if os.path.isabs(rel):
+        # the group's table base is the path minus manifests/segs/<file> —
+        # verify that suffix instead of blindly stripping three levels
+        # (ADVICE r9: a layout change must raise here, not resolve member
+        # segments against a phantom base)
+        expect = os.path.join(MANIFEST_DIR, SEGS_SUBDIR)
+        if os.path.basename(os.path.dirname(os.path.dirname(ap))) != \
+                MANIFEST_DIR or \
+                os.path.basename(os.path.dirname(ap)) != SEGS_SUBDIR:
+            raise ValueError(
+                f"foreign group path {ap!r} does not end with "
+                f"{expect}/<group>.json — cannot derive its table base"
+            )
         base = os.path.dirname(os.path.dirname(os.path.dirname(ap)))
         out = []
         for s in segs:
