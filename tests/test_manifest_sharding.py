@@ -835,6 +835,87 @@ def test_vacuum_gcs_stale_clone_markers_keeps_live(
     assert read_snapshot(spark, src).count() == 25
 
 
+def test_upgrade_manifest_backfills_types_zero_data_reads(
+    registered, tmp_path, seg4, monkeypatch
+):
+    """VERDICT r9 #4 pin: a table sharded before the r9 types summaries
+    (simulated by stripping the blocks from the head's group/segment
+    entries) falls back to full hydration on every unmapped schema
+    resolve. upgrade_manifest re-stamps it in ONE metadata commit with
+    ZERO data-file reads (_file_types patched to raise) — after it, the
+    O(head) probe answers and a second run publishes nothing."""
+    import json as J
+
+    from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+        _segments_arrow_schema,
+    )
+
+    spark = registered
+    monkeypatch.setenv("SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP", "2")
+    t = str(tmp_path / "t")
+    _build_sharded(spark, t)
+    v = current_version(t)
+    hp = S._manifest_path(t, v)
+    with open(hp) as f:
+        head = J.load(f)
+    assert head.get("groups"), "fixture must exercise the grouped layer"
+    for s in head.get("groups", []) + head.get("segments", []):
+        s.pop("types", None)
+    with open(hp, "w") as f:
+        J.dump(head, f)
+    assert _segments_arrow_schema(_read_manifest_head(t, v)) is None
+
+    def _boom(p):
+        raise AssertionError(f"data-file read during upgrade: {p}")
+
+    monkeypatch.setattr(S, "_file_types", _boom)
+    res = S.upgrade_manifest(t)
+    monkeypatch.undo()
+    assert res["upgraded"] and res["version"] == v + 1
+    assert res["footer_reads"] == 0 and res["segments_rewritten"] == 0
+    new_head = _read_manifest_head(t, current_version(t))
+    sch = _segments_arrow_schema(new_head)
+    assert sch is not None and set(sch.names) == {"id", "ev", "v"}
+    assert read_snapshot(spark, t).count() == 500
+    # idempotent: nothing left to change, nothing published
+    res2 = S.upgrade_manifest(t)
+    assert not res2["upgraded"] and current_version(t) == v + 1
+
+
+def test_upgrade_manifest_stamps_legacy_entries_from_footers(
+    registered, tmp_path, seg4, monkeypatch
+):
+    """Legacy tier: entries written before per-file types (simulated by a
+    None-returning _file_types during the build) need one FOOTER read per
+    member — the upgrade rewrites those segments as new immutable files
+    (originals keep serving time travel) and the schema probe is O(head)
+    after."""
+    from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+        _segments_arrow_schema,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    monkeypatch.setattr(S, "_file_types", lambda p: None)
+    _build_sharded(spark, t)
+    monkeypatch.undo()
+    v = current_version(t)
+    assert _segments_arrow_schema(_read_manifest_head(t, v)) is None
+    segdir = os.path.join(t, "manifests", "segs")
+    before = set(os.listdir(segdir))
+    res = S.upgrade_manifest(t)
+    assert res["upgraded"] and res["footer_reads"] > 0
+    assert res["segments_rewritten"] > 0
+    # originals still on disk for older versions; new files added
+    assert before <= set(os.listdir(segdir))
+    sch = _segments_arrow_schema(_read_manifest_head(t, current_version(t)))
+    assert sch is not None and set(sch.names) == {"id", "ev", "v"}
+    assert read_snapshot(spark, t).count() == 500
+    assert read_snapshot(spark, t, version=v).count() == 500  # time travel
+    res2 = S.upgrade_manifest(t)
+    assert not res2["upgraded"]
+
+
 def test_metadata_ddl_reads_no_segments_on_mapped_sharded(
     registered, tmp_path, seg4, monkeypatch
 ):

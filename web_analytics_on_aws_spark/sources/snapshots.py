@@ -2655,6 +2655,133 @@ def restore_version(spark: SparkSession, table: str, version: int) -> int:
     return new_version
 
 
+def upgrade_manifest(table: str) -> dict:
+    """Backfill the O(head) union-schema metadata onto a sharded table
+    created before the ``types`` summaries existed (VERDICT r9 #4): such
+    a table silently fell back to full manifest hydration on EVERY schema
+    resolve of an unmapped read, forever — the summaries are recomputed
+    only when a commit dirties their segment, which a read-mostly table
+    never does. One metadata commit fixes it in place:
+
+    - a segment summary without a merged ``types`` block is recomputed
+      from its (immutable) segment file's entries — ZERO data-file reads
+      when the entries already carry per-file types (any table written
+      since the entry-level stats era);
+    - a LEGACY segment whose entries predate per-file types is re-stamped
+      from each member's parquet FOOTER (schema-only) and rewritten as a
+      NEW immutable segment file — the original stays referenced by older
+      versions/forks and is GC'd by vacuum once unreferenced;
+    - groups whose summary already carries types ride by reference; a
+      group opened because it lacks one is re-listed VERBATIM when none
+      of its members change, so idempotent re-runs publish nothing.
+
+    Inline (non-sharded) manifests hydrate O(files-in-head) by
+    construction — no-op. Returns counters + the published version."""
+    cur = current_version(table)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots at {table}")
+    head = _read_manifest_head(table, cur)
+    res = {
+        "upgraded": False,
+        "segments_resummarized": 0,
+        "segments_rewritten": 0,
+        "footer_reads": 0,
+        "version": cur,
+    }
+    if not _is_sharded(head):
+        return res
+
+    def _upgrade_summary(s: dict) -> tuple[dict, bool]:
+        if s.get("types"):
+            return dict(s), False
+        rel = s["path"]
+        entries = {
+            p: dict(e) for p, e in _read_segment(table, rel)["entries"].items()
+        }
+        # a member with NO stats at all can never contribute types (the
+        # every-member-or-nothing rule) — don't burn footer reads on a
+        # segment that cannot gain a block
+        if any(not e.get("stats") for e in entries.values()):
+            return dict(s), False
+        stamped = False
+        for p, e in entries.items():
+            st = e["stats"]
+            if st.get("types"):
+                continue
+            t = _file_types(p)
+            res["footer_reads"] += 1
+            if t is None:
+                return dict(s), False  # unconvertible member — leave as-is
+            e["stats"] = dict(st) | {"types": t}
+            stamped = True
+        if stamped:
+            # entries changed → NEW immutable segment file; the original
+            # keeps serving older versions and zero-copy forks
+            segdir = os.path.join(table, MANIFEST_DIR, SEGS_SUBDIR)
+            os.makedirs(segdir, exist_ok=True)
+            new_rel = os.path.join(
+                SEGS_SUBDIR, f"seg-{uuid.uuid4().hex[:16]}.json"
+            )
+            with open(_segment_abspath(table, new_rel), "w") as f:
+                json.dump({"entries": entries}, f)
+            res["segments_rewritten"] += 1
+            res["segments_resummarized"] += 1
+            return _summarize_segment(new_rel, entries), True
+        out = _summarize_segment(rel, entries)
+        res["segments_resummarized"] += 1
+        if out.get("types"):
+            return out, True
+        return dict(s), False  # genuine member disagreement — unchanged
+
+    changed = False
+    clean_groups: list[dict] = []
+    pool: list[dict] = []
+    for g in head.get("groups", []):
+        if g.get("types"):
+            clean_groups.append(dict(g))
+            continue
+        ups = [_upgrade_summary(m) for m in _read_group(table, g["path"])]
+        if any(c for _s, c in ups):
+            changed = True
+            pool.extend(s for s, _c in ups)
+            continue
+        # members unchanged — but the GROUP entry itself may predate the
+        # group-level types block: re-summarize over the same group file
+        # (no member rewrite, no new file) and keep it if types appear
+        ng = _summarize_group(g["path"], [s for s, _c in ups])
+        if ng.get("types"):
+            changed = True
+            clean_groups.append(ng)
+        else:
+            clean_groups.append(dict(g))  # verbatim — idempotent re-run
+    for s in head.get("segments", []):
+        ns, c = _upgrade_summary(s)
+        changed = changed or c
+        pool.append(ns)
+    if not changed:
+        return res
+    groups, tail = _pack_groups(table, clean_groups, pool)
+    body = {
+        k: v
+        for k, v in head.items()
+        if k not in ("groups", "segments", "version", "operation",
+                     "committed_at")
+    }
+    body |= {
+        "version": cur + 1,
+        "operation": "upgrade_manifest",
+        "committed_at": time.time(),
+        "format": 2,
+        "segments": tail,
+    }
+    if groups:
+        body["groups"] = groups
+    _publish_raw(table, cur + 1, body)
+    res["upgraded"] = True
+    res["version"] = cur + 1
+    return res
+
+
 def compact_deletes(spark: SparkSession, table: str) -> dict:
     """Fold outstanding position-delete sidecars back into data files
     (Iceberg's rewrite_position_delete_files + data-file rewrite, the
