@@ -67,5 +67,6 @@ def test_fuzzed_storage_programs_agree_across_engines(spark):
     assert any(p["group"] and p["shard"] for p in progs)
     assert any(p["evolve"] != "none" for p in progs)
     assert any(p["ref"] != "none" for p in progs)
+    assert any(p["ref"] == "clone_chain" for p in progs)
     assert any(p["timetravel"] for p in progs)
     assert run_storage(12, "/root/testdata/sf0.001", spark=spark) == []

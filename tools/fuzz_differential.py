@@ -732,8 +732,13 @@ def gen_storage_program(seed: int) -> dict:
         "timetravel": rng.random() < 0.35,
         # refs axis: fork the post-mutation state (shallow clone / branch)
         # or tag the pre-mutation version and vacuum — the fork/tag must
-        # read exactly what its source version read
-        "ref": rng.choice(["none", "none", "clone", "tag", "branch"]),
+        # read exactly what its source version read. clone_chain (VERDICT
+        # r9 #2) composes the round-10 fix: clone→clone, rewrite + vacuum
+        # the MIDDLE table, vacuum the root, then the LEAF must still
+        # read the forked state (both vacuum orders, drawn by seed)
+        "ref": rng.choice(
+            ["none", "none", "clone", "tag", "branch", "clone_chain"]
+        ),
         "delete_pred": rng.choice(STORAGE_DELETES),
         "preds": rng.sample(STORAGE_PREDS, rng.randint(1, 2)),
     }
@@ -912,6 +917,25 @@ def run_storage(n_seeds: int, sf: str, spark=None) -> list[int]:
                     if prog["ref"] == "clone":
                         fork = os.path.join(work, f"t{seed}_clone")
                         R.clone_table(t, fork)
+                        fdf = (
+                            spark.read.format("snapshot")
+                            .option("path", fork)
+                            .load()
+                        )
+                        want_sql = f"SELECT {agg0} FROM sbase{dd_where0}"
+                    elif prog["ref"] == "clone_chain":
+                        mid = os.path.join(work, f"t{seed}_mid")
+                        fork = os.path.join(work, f"t{seed}_leaf")
+                        R.clone_table(t, mid)
+                        R.clone_table(mid, fork)
+                        # strand the lineage from the middle table's own
+                        # perspective, then vacuum root and middle in a
+                        # seed-drawn order — the leaf's zero-copy head
+                        # references the ROOT's files/segments and must
+                        # survive both walks
+                        S.commit_overwrite(full.limit(7), mid)
+                        for tb in [t, mid] if seed % 2 else [mid, t]:
+                            S.vacuum(tb, retain_last=1)
                         fdf = (
                             spark.read.format("snapshot")
                             .option("path", fork)
