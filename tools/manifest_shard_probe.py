@@ -183,6 +183,55 @@ def main() -> None:
         S.table_sort_order(table)
         head_only_s = time.perf_counter() - t0
 
+        # (5) fork surface (VERDICT r9 #6): clone of the full table must
+        # be O(head) — zero segments written, zero prior segment/group
+        # reads — and vacuum with 10 retained versions sharing segments
+        # must fold the live set reading each distinct group/segment
+        # once per protected table walk (root + registered clone).
+        from web_analytics_on_aws_spark.sources import refs as R
+
+        for v in range(3, 11):  # grow the chain to 10 versions
+            ev = os.path.join(
+                table, "data", "seed", f"part-extra{v}.parquet"
+            )
+            os.link(
+                os.path.join(table, "data", "seed", "part-0.parquet"), ev
+            )
+            S._publish(
+                table, v, None, "append",
+                file_partitions={
+                    ev: {"spec_id": 1, "values": {"day": "d000"}}
+                },
+                file_stats={
+                    ev: {
+                        "rows": 100,
+                        "bytes": os.path.getsize(ev),
+                        "cols": {"id": [0, 99], "day": ["d000", "d000"]},
+                        "types": {"id": "bigint", "day": "string"},
+                    }
+                },
+                new_files=[ev], removed_files=[],
+            )
+        reads.clear()
+        greads.clear()
+        S._read_segment = lambda t, r: (reads.append(r), real_read(t, r))[1]
+        S._read_group = lambda t, r: (greads.append(r), real_gread(t, r))[1]
+        clone_dir = os.path.join(d, "clone")
+        t0 = time.perf_counter()
+        base_v = R.clone_table(table, clone_dir)
+        clone_s = time.perf_counter() - t0
+        S._read_segment = real_read
+        S._read_group = real_gread
+        clone_head_bytes = os.path.getsize(
+            S._manifest_path(clone_dir, base_v)
+        )
+        clone_wrote_segs = os.path.isdir(
+            os.path.join(clone_dir, "manifests", "segs")
+        )
+        t0 = time.perf_counter()
+        vac_deleted = S.vacuum(table, retain_last=10)
+        vacuum_s = time.perf_counter() - t0
+
         out = {
             "files": args.files,
             "days": args.days,
@@ -224,6 +273,16 @@ def main() -> None:
                 ),
             },
             "head_only_ops_sec": round(head_only_s, 5),
+            "fork": {
+                "versions_retained": 10,
+                "clone_sec": round(clone_s, 4),
+                "clone_head_bytes": clone_head_bytes,
+                "clone_wrote_segments": clone_wrote_segs,
+                "clone_prior_segments_read": len(reads),
+                "clone_prior_groups_read": len(greads),
+                "vacuum_sec": round(vacuum_s, 3),
+                "vacuum_deleted": vac_deleted,
+            },
         }
         print(json.dumps(out))
     finally:
