@@ -595,6 +595,45 @@ def test_vacuum_reads_each_segment_once(
     assert read_snapshot(spark, t).count() == 520
 
 
+def test_vacuum_reads_each_segment_once_across_fork_walks(
+    registered, tmp_path, seg4, monkeypatch
+):
+    """Round 10: the GLOBAL read budget — a clone chain A → B → C re-lists
+    A's immutable segments by absolute path from every fork head, so A's
+    vacuum walks three tables; the shared seen-sets must keep each
+    distinct segment (and group) file read ONCE across all walks, not
+    once per referencing table. Protection is unaffected: the leaf stays
+    fully readable after the vacuum."""
+    from web_analytics_on_aws_spark.sources.refs import clone_table
+
+    spark = registered
+    monkeypatch.setenv("SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP", "2")
+    a = str(tmp_path / "A")
+    b = str(tmp_path / "B")
+    c = str(tmp_path / "C")
+    _build_sharded(spark, a)
+    clone_table(a, b)
+    clone_table(b, c)
+    sreads: list[str] = []
+    greads: list[str] = []
+    real_s = S._read_segment
+    real_g = S._read_group
+    monkeypatch.setattr(
+        S, "_read_segment", lambda tb, r: (sreads.append(r), real_s(tb, r))[1]
+    )
+    monkeypatch.setattr(
+        S, "_read_group", lambda tb, r: (greads.append(r), real_g(tb, r))[1]
+    )
+    S.vacuum(a, retain_last=1)
+    monkeypatch.undo()
+    abs_s = [os.path.abspath(S._segment_abspath(a, r)) for r in sreads]
+    abs_g = [os.path.abspath(S._segment_abspath(a, r)) for r in greads]
+    assert len(abs_s) == len(set(abs_s))  # each segment read once GLOBALLY
+    assert len(abs_g) == len(set(abs_g))  # each group read once GLOBALLY
+    assert read_snapshot(spark, c).count() == 500
+    assert read_snapshot(spark, a).count() == 500
+
+
 def test_unmapped_sharded_schema_is_o_head(
     registered, tmp_path, seg4, monkeypatch
 ):
