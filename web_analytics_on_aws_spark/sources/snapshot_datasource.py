@@ -330,15 +330,16 @@ def _inline_eq_payloads(eq_entries) -> dict[str, bytes]:
             total += os.path.getsize(e["path"])
             if total > budget:
                 return {}
-        out: dict[str, bytes] = {}
+        out: dict[tuple, bytes] = {}
         for e in eq_entries:
-            if e["path"] in out:
+            k = (e["path"], tuple(e["keys"]))  # keyed by path AND key set
+            if k in out:
                 continue
             t = pq.read_table(e["path"], columns=list(e["keys"]))
             sink = pa.BufferOutputStream()
             with pa.ipc.new_stream(sink, t.schema) as w:
                 w.write_table(t)
-            out[e["path"]] = sink.getvalue().to_pybytes()
+            out[k] = sink.getvalue().to_pybytes()
         return out
     except OSError:
         return {}
@@ -763,7 +764,7 @@ class SnapshotReader(DataSourceReader):
                         e["path"],
                         tuple(e["keys"]),
                         int(e["seq"]),
-                        payloads.get(e["path"]),
+                        payloads.get((e["path"], tuple(e["keys"]))),
                     )
                     for e in self._eq
                     if int(e["seq"]) > fseq
