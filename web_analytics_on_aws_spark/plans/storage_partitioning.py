@@ -732,3 +732,98 @@ def snapshot_sharded_manifest_rollup(
             .alias("total_value"),
         )
     )
+
+
+def _ensure_clone_chain_leaf(spark: SparkSession, sf_dir: str) -> str:
+    """The round-10 survivor table: a SHARDED day-partitioned events table
+    A, shallow-cloned A → B → C (zero-copy — C re-lists A's immutable
+    segments by absolute path), then the exact sequence that lost data
+    before the fix: B rewrites itself (its own head stops referencing A),
+    B vacuums to retain 1, and A vacuums after a CoW overwrite. The LEAF
+    C must still read A's full forked state — the transitive fork walk +
+    base-version pins in snapshots._ref_protected are what keep its
+    segments alive (tests/test_manifest_sharding.py pins both vacuum
+    orders; tools/fuzz_differential.py draws the same composition as the
+    clone_chain axis)."""
+    from web_analytics_on_aws_spark.sources import partitioning, refs, snapshots
+
+    src = os.path.join(sf_dir, "events.parquet")
+    fp = _fingerprint(src)
+    root, marker, fresh = _scratch(sf_dir, "clone_chain1", fp)
+    leaf = root + "_leaf"
+    if fresh and snapshots.current_version(leaf) is not None:
+        return leaf
+    mid = root + "_mid"
+    for p in (root, mid, leaf):
+        shutil.rmtree(p, ignore_errors=True)
+    old = os.environ.get("SPARK_GRAFT_MANIFEST_SEGMENT_FILES")
+    old_g = os.environ.get("SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP")
+    os.environ["SPARK_GRAFT_MANIFEST_SEGMENT_FILES"] = "4"
+    os.environ["SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP"] = "4"
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        snapshots.commit_append(ev.limit(0), root)
+        partitioning.set_partition_spec(spark, root, [("ts", "day")])
+        for r in range(3):
+            snapshots.commit_append(ev.filter(f"event_id % 3 = {r}"), root)
+        head = snapshots._read_manifest_head(
+            root, snapshots.current_version(root)
+        )
+        assert head.get("format") == 2 and head.get("groups")
+        refs.clone_table(root, mid)
+        refs.clone_table(mid, leaf)
+        # strand the lineage from the middle's perspective, then vacuum
+        # middle AND root — the leaf survives only through the r10 walk
+        snapshots.commit_overwrite(ev.filter("event_id % 97 = 0"), mid)
+        snapshots.vacuum(mid, retain_last=1)
+        snapshots.commit_overwrite(ev.filter("event_id % 51 = 0"), root)
+        snapshots.vacuum(root, retain_last=1)
+    finally:
+        if old is None:
+            os.environ.pop("SPARK_GRAFT_MANIFEST_SEGMENT_FILES", None)
+        else:
+            os.environ["SPARK_GRAFT_MANIFEST_SEGMENT_FILES"] = old
+        if old_g is None:
+            os.environ.pop("SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP", None)
+        else:
+            os.environ["SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP"] = old_g
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        json.dump(fp, fh)
+    return leaf
+
+
+@query(
+    "snapshot_clone_chain_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def snapshot_clone_chain_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rollup over the LEAF of a vacuumed clone chain (round 10, VERDICT
+    r9 #1): A → B → C shallow clones where B rewrote itself and both A
+    and B vacuumed to retain 1. C's zero-copy head references A's
+    original immutable segments and data files by absolute path — the
+    oracle aggregates the SOURCE events table, so any segment or file the
+    vacuums wrongly GC'd shows up as a crash or a hash mismatch. Mirrors
+    Iceberg's metadata-pointer lineage safety under its branch/WAP
+    workflow (web-analytics-iceberg/README.md:169-189)."""
+    table = _ensure_clone_chain_leaf(spark, sf_dir)
+    return (
+        _snapshot_read(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
