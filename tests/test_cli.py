@@ -131,3 +131,26 @@ def test_cli_ref_verbs(spark, tmp_path, capsys):
     assert main(["snapshot", t, "wap-discard", "w1"]) == 2  # already gone
     assert main(["snapshot", t, "tag"]) == 2  # missing name → usage
     assert "usage" in capsys.readouterr().err
+
+
+def test_cli_clone_and_upgrade_verbs(spark, tmp_path, capsys):
+    """Round 10: shallow clone, marker release, and the manifest upgrade
+    are CLI-reachable — all metadata-only (no Spark session), exit-coded."""
+    from web_analytics_on_aws_spark.sources.snapshots import (
+        commit_append,
+        read_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    c = str(tmp_path / "c")
+    commit_append(spark.range(6).selectExpr("id", "id * 2 AS v"), t)
+    assert main(["snapshot", t, "clone", c]) == 0
+    assert "'base_version': 1" in capsys.readouterr().out
+    assert read_snapshot(spark, c).count() == 6
+    assert main(["snapshot", t, "clone", c]) == 2  # dst already exists
+    assert main(["snapshot", t, "drop-clone", c]) == 0
+    assert "'markers_removed': 1" in capsys.readouterr().out
+    assert main(["snapshot", t, "upgrade-manifest"]) == 0
+    out = capsys.readouterr().out
+    assert "'upgraded': False" in out  # inline manifest — no-op
+    assert main(["snapshot", t, "clone"]) == 2  # missing dst = usage

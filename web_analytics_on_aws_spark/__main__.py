@@ -163,6 +163,8 @@ def _snapshot_cmd(args) -> int:
         ... snapshot <path> restore <version>
         ... snapshot <path> compact-deletes
         ... snapshot <path> tag|drop-tag|branch|drop-branch|fast-forward <name>
+        ... snapshot <path> clone|drop-clone <dst-path>
+        ... snapshot <path> upgrade-manifest
         ... snapshot <path> read-ref <name>
         ... snapshot <path> wap-publish|wap-discard <wap-id>
         ... snapshot <path> partition-spec [src:transform,... | none]
@@ -180,11 +182,13 @@ def _snapshot_cmd(args) -> int:
     # changes/zorder/bloom require the third argument; fail with the usage
     # message, not an AttributeError traceback (ADVICE r2)
     _REF_VERBS = ("tag", "drop-tag", "branch", "drop-branch",
-                  "fast-forward", "read-ref", "wap-publish", "wap-discard")
+                  "fast-forward", "read-ref", "wap-publish", "wap-discard",
+                  "clone", "drop-clone")
     if (sub in ("changes", "zorder", "bloom", "restore") or
             sub in _REF_VERBS) and not args.arg3:
         needs = {"changes": "<from-version>", "zorder": "<cols>",
-                 "bloom": "<cols>", "restore": "<version>"}
+                 "bloom": "<cols>", "restore": "<version>",
+                 "clone": "<dst-path>", "drop-clone": "<dst-path>"}
         arg_name = needs.get(
             sub, "<wap-id>" if sub.startswith("wap-") else "<name>"
         )
@@ -231,6 +235,16 @@ def _snapshot_cmd(args) -> int:
             elif sub == "wap-discard":
                 refs.discard_wap(path, args.arg3)
                 print({"discarded_wap": args.arg3})
+            elif sub == "clone":
+                print({"clone": args.arg3,
+                       "base_version": refs.clone_table(path, args.arg3)})
+            elif sub == "drop-clone":
+                print({"dropped_clone": args.arg3,
+                       "markers_removed": refs.drop_clone(path, args.arg3)})
+            return 0
+        if sub == "upgrade-manifest":
+            # metadata-only backfill (round 10) — no Spark session needed
+            print(snapshots.upgrade_manifest(path))
             return 0
         spark = get_spark(app_name="snapshot-cli")
         spark.sparkContext.setLogLevel("ERROR")
