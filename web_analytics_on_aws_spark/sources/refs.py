@@ -342,15 +342,65 @@ def clone_table(src: str, dst: str, register: bool = True) -> int:
     return base
 
 
+def _live_forks_of(table: str) -> list[tuple[str, str]]:
+    """(kind, path) of every LIVE fork recorded on ``table``: registered
+    clone markers whose destination still holds manifests, and branch
+    dirs with manifests. Metadata listing only."""
+    out: list[tuple[str, str]] = []
+    rdir = os.path.join(table, REFS_DIR)
+    if os.path.isdir(rdir):
+        for fn in os.listdir(rdir):
+            if fn.startswith("clone-") and fn.endswith(".json"):
+                with open(os.path.join(rdir, fn)) as f:
+                    d = json.load(f)["dst"]
+                if os.path.isdir(os.path.join(d, MANIFEST_DIR)):
+                    out.append(("clone", d))
+    bdir = os.path.join(table, BRANCHES_DIR)
+    if os.path.isdir(bdir):
+        for name in os.listdir(bdir):
+            bp = os.path.join(bdir, name)
+            if os.path.isdir(os.path.join(bp, MANIFEST_DIR)):
+                out.append(("branch", bp))
+    return out
+
+
 def drop_clone(src: str, dst: str, delete_table: bool = False) -> int:
     """Explicitly release a registered clone: remove the back-reference
     marker(s) under ``src``'s refs/ pointing at ``dst``, so the source's
-    next vacuum stops protecting the clone's references. With
-    ``delete_table`` the clone directory itself is removed too (the
+    next vacuum stops protecting the clone's references. Returns markers
+    removed.
+
+    Descendant safety (VERDICT r10 #2 / ADVICE r10): dropping the MIDDLE
+    table of a chain src → dst → grandchild must not strand the
+    grandchild — its zero-copy head still references ``src``'s files and
+    segments by absolute path, but after the marker is gone ``src``'s
+    transitive fork walk can no longer reach it THROUGH ``dst``. So
+    before removing the marker, every live clone registered on ``dst``
+    is PROMOTED: re-registered as a direct marker on ``src`` (carrying
+    the dropped marker's ``base_version`` pin — anything the grandchild
+    references inside ``src``'s tree entered through that version, so
+    the pin is a safe over-approximation). Branches live UNDER ``dst``'s
+    directory and belong to its subtree: they stay protected exactly as
+    long as ``dst`` itself is live, which dropping the marker does not
+    change.
+
+    With ``delete_table`` the clone directory itself is removed too (the
     implicit drop — deleting the dir — still works; stale markers are
-    then GC'd by the source's vacuum). Returns markers removed."""
+    then GC'd by the source's vacuum). Deletion REFUSES when ``dst`` has
+    live forks of its own: a shallow grandchild references ``dst``-local
+    data files in place and a branch physically lives inside ``dst``, so
+    rmtree would destroy both — drop or delete the descendants first."""
     removed = 0
+    base_pin: int | None = None
     target = os.path.abspath(dst)
+    if delete_table:
+        forks = _live_forks_of(dst)
+        if forks:
+            raise ValueError(
+                f"refusing to delete clone {dst!r}: it has live forks "
+                f"{forks} whose data lives in (or under) its directory — "
+                "drop_clone/drop_branch them first"
+            )
     rdir = os.path.join(src, REFS_DIR)
     if os.path.isdir(rdir):
         for fn in os.listdir(rdir):
@@ -360,8 +410,35 @@ def drop_clone(src: str, dst: str, delete_table: bool = False) -> int:
             with open(mp) as f:
                 c = json.load(f)
             if os.path.abspath(c["dst"]) == target:
+                b = c.get("base_version")
+                if b is not None:
+                    base_pin = b if base_pin is None else min(base_pin, b)
                 os.remove(mp)
                 removed += 1
+    if removed:
+        # promote dst's own live clones onto src so the transitive walk
+        # (and their protection) survives losing the intermediate hop;
+        # their descendants stay reachable through THEIR refs in turn
+        for kind, gdst in _live_forks_of(dst):
+            if kind != "clone":
+                continue
+            try:
+                os.makedirs(rdir, exist_ok=True)
+                marker = os.path.join(
+                    rdir, f"clone-{uuid.uuid4().hex[:12]}.json"
+                )
+                with open(marker, "w") as f:
+                    json.dump(
+                        {
+                            "dst": os.path.abspath(gdst),
+                            "base_version": base_pin,
+                            "created_at": time.time(),
+                            "promoted_from": target,
+                        },
+                        f,
+                    )
+            except OSError:
+                pass  # read-only source — unregistered-clone caveat
     if delete_table and os.path.isdir(dst):
         import shutil
 

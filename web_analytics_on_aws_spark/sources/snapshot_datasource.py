@@ -304,9 +304,34 @@ def _eq_inline_budget() -> int:
     """Aggregate sidecar bytes under which eq-delete KEY tuples are decoded
     once at planning and shipped inline on the partition objects.
     ``SPARK_GRAFT_EQ_INLINE_BUDGET`` tunes it (0 disables — every task
-    reads the sidecars itself, the pre-r10 behavior)."""
+    reads the sidecars itself, the pre-r10 behavior). A non-integer value
+    degrades to 0 (per-task fallback) instead of failing the scan."""
     env = os.environ.get("SPARK_GRAFT_EQ_INLINE_BUDGET")
-    return int(env) if env is not None else (4 << 20)
+    if env is None:
+        return 4 << 20
+    try:
+        return int(env)
+    except ValueError:
+        return 0
+
+
+def _eq_ship_cap() -> int:
+    """TOTAL driver→executor bytes the inline eq-delete path may ship
+    across ALL task pickles of one scan (VERDICT r10 #1). PySpark pickles
+    one ``InputPartition`` per task, so an inline payload is REPLICATED
+    onto every carrying partition — the aggregate-sidecar budget alone
+    bounds per-copy size, not the replication factor, and a near-budget
+    payload on a 100k-task scan would funnel ~400 GB through one driver
+    (strictly worse than the per-task GETs it replaced, which at least
+    fan out). ``SPARK_GRAFT_EQ_SHIP_CAP`` tunes it; default 64 MB; a
+    non-integer degrades to 0 (never inline)."""
+    env = os.environ.get("SPARK_GRAFT_EQ_SHIP_CAP")
+    if env is None:
+        return 64 << 20
+    try:
+        return int(env)
+    except ValueError:
+        return 0
 
 
 def _inline_eq_payloads(eq_entries) -> dict[str, bytes]:
@@ -341,7 +366,10 @@ def _inline_eq_payloads(eq_entries) -> dict[str, bytes]:
                 w.write_table(t)
             out[k] = sink.getvalue().to_pybytes()
         return out
-    except OSError:
+    except Exception:
+        # ANY stat/read/decode failure — remote scheme, corrupt sidecar
+        # (pyarrow ArrowInvalid is not an OSError) — keeps the per-task
+        # fallback instead of failing the whole scan at planning
         return {}
 
 
@@ -745,30 +773,63 @@ class SnapshotReader(DataSourceReader):
         return sorted(files)
 
     def partitions(self):
-        payloads = _inline_eq_payloads(self._eq) if self._eq else {}
-        out = []
+        # pass 1 — plan survivors and resolve the v2 sequence rule: only
+        # sidecars whose sequence postdates a file's commit ride its
+        # partition (an upsert's own data files postdate their sidecar and
+        # carry nothing). Pre-sequence legacy files default 0 = provably
+        # older than any eq delete — the same rule as the change-feed
+        # resolver.
+        planned: list[tuple[str, tuple]] = []
         for f in self._plan_files():
             if not self._file_may_match(f):
                 continue
-            eq: tuple = ()
+            surv: tuple = ()
             if self._eq:
-                # the v2 sequence rule, resolved at planning: only sidecars
-                # whose sequence postdates this file's commit ride its
-                # partition (an upsert's own data files postdate their
-                # sidecar and carry nothing). Pre-sequence legacy files
-                # default 0 = provably older than any eq delete — the same
-                # rule as the change-feed resolver.
                 fseq = int(self._seqs.get(f, 0))
-                eq = tuple(
-                    (
-                        e["path"],
-                        tuple(e["keys"]),
-                        int(e["seq"]),
-                        payloads.get((e["path"], tuple(e["keys"]))),
-                    )
-                    for e in self._eq
-                    if int(e["seq"]) > fseq
+                surv = tuple(
+                    e for e in self._eq if int(e["seq"]) > fseq
                 )
+            planned.append((f, surv))
+        # pass 2 — the inline decision is made AFTER planning (VERDICT r10
+        # #1): each carrying partition ships its own COPY of the payload
+        # in its task pickle, so the real driver→executor volume is
+        # Σ_partition Σ_sidecar bytes. Bound THAT by the ship cap, not
+        # just the per-copy aggregate (which _inline_eq_payloads still
+        # enforces); over either cap, every task falls back to reading
+        # the sidecars itself — which at least fans out across executors.
+        payloads: dict[tuple, bytes] = {}
+        needed = {
+            (e["path"], tuple(e["keys"])): e
+            for _f, surv in planned
+            for e in surv
+        }
+        if needed:
+            try:
+                sizes = {
+                    p: os.path.getsize(p) for p, _k in needed
+                }
+                shipped = sum(
+                    sizes[e["path"]]
+                    for _f, surv in planned
+                    for e in surv
+                )
+            except OSError:
+                shipped = None  # remote scheme — per-task fallback
+            if shipped is not None and shipped <= _eq_ship_cap():
+                # decode only what a surviving partition will carry — an
+                # all-postdated sidecar never counts against the budget
+                payloads = _inline_eq_payloads(list(needed.values()))
+        out = []
+        for f, surv in planned:
+            eq = tuple(
+                (
+                    e["path"],
+                    tuple(e["keys"]),
+                    int(e["seq"]),
+                    payloads.get((e["path"], tuple(e["keys"]))),
+                )
+                for e in surv
+            )
             out.append(_FilePartition(f, self._deletes.get(f, ()), eq))
         # everything read() needs now rides the partition objects +
         # _want/_map — flag the planning state droppable for the NEXT

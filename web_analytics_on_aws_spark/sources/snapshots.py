@@ -1839,7 +1839,15 @@ def _live_refs(
     referenced-abspath set still lists EVERY referenced segment/group
     (skipped or not) — it feeds GC protection, which must never depend
     on which walk read a file first. Skipped GROUPS contribute their
-    member segments to protection through the walk that did read them."""
+    member segments to protection through the walk that did read them.
+
+    The segment fold itself parallelizes across a process pool above
+    ``_VACUUM_FOLD_MIN_SEGS`` distinct segments (VERDICT r10 #5: at 10M
+    files the fold was ONE single-threaded stdlib-JSON pass over 2.76 GB
+    — 399 s; segment parses are independent and each worker returns only
+    its entry KEYS, so the pickle back is tiny). Serial below the
+    threshold, when ``SPARK_GRAFT_VACUUM_FOLD_PROCS`` ≤ 1, or on any
+    pool failure."""
     files: set[str] = set()
     pending: dict[str, str] = {}  # segment abspath → stored path (read key)
     groups: dict[str, str] = {}  # group abspath → stored path (read key)
@@ -1877,9 +1885,74 @@ def _live_refs(
             ap: rel for ap, rel in pending.items() if ap not in seen_segs
         }
         seen_segs.update(pending)
-    for rel in read_segs.values():
-        files.update(_read_segment(table, rel)["entries"])
+    files.update(_fold_segment_keys(table, list(read_segs.values())))
     return files, referenced
+
+
+def _segment_entry_keys(args: tuple[str, str]) -> str:
+    """Process-pool worker of the vacuum live-set fold: one segment
+    file's entry PATHS, NUL-joined into a single string — all the fold
+    needs, and one string pickles orders of magnitude faster across the
+    result queue than millions of separate ones (at 10M files the keys
+    alone are ~800 MB of IPC; one object per segment keeps that a
+    C-level memcpy, never a per-string pickle op)."""
+    table, rel = args
+    return "\0".join(_read_segment(table, rel)["entries"])
+
+
+_VACUUM_FOLD_MIN_SEGS = 64
+
+
+def _vacuum_fold_procs() -> int:
+    """Worker processes for the vacuum segment fold.
+    ``SPARK_GRAFT_VACUUM_FOLD_PROCS`` overrides (≤1 = serial); default
+    min(16, cpu count) — JSON parse is pure CPU and holds the GIL, so
+    threads cannot help here (unlike the remote-latency thread fans in
+    ``_read_segments``)."""
+    env = os.environ.get("SPARK_GRAFT_VACUUM_FOLD_PROCS")
+    if env is not None:
+        try:
+            return int(env)
+        except ValueError:
+            return 1
+    return min(16, os.cpu_count() or 1)
+
+
+def _fold_segment_keys(table: str, rels: list[str]) -> set[str]:
+    """Union of entry paths across the given segment files — the 100 TB
+    vacuum bottleneck (VERDICT r10 #5). Parallel across forked workers
+    when the segment count is worth the fork cost; the workers only read
+    and parse (never touch the JVM gateway), and any pool-level failure
+    falls back to the serial fold."""
+    procs = _vacuum_fold_procs()
+    if len(rels) < _VACUUM_FOLD_MIN_SEGS or procs <= 1:
+        out: set[str] = set()
+        for rel in rels:
+            out.update(_read_segment(table, rel)["entries"])
+        return out
+    try:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        out = set()
+        with ProcessPoolExecutor(
+            max_workers=min(procs, len(rels)),
+            mp_context=mp.get_context("fork"),
+        ) as ex:
+            for joined in ex.map(
+                _segment_entry_keys,
+                [(table, r) for r in rels],
+                chunksize=max(1, len(rels) // (procs * 4)),
+            ):
+                if joined:
+                    out.update(joined.split("\0"))
+        return out
+    except (OSError, ValueError, RuntimeError):
+        # fork/pool unavailable (sandbox, rlimits) — correctness first
+        out = set()
+        for rel in rels:
+            out.update(_read_segment(table, rel)["entries"])
+        return out
 
 
 def _fork_children(table: str) -> list[tuple[str, int | None, str | None]]:
@@ -2770,8 +2843,11 @@ def upgrade_manifest(table: str) -> dict:
             res["segments_resummarized"] += 1
             return _summarize_segment(new_rel, entries), True
         out = _summarize_segment(rel, entries)
-        res["segments_resummarized"] += 1
         if out.get("types"):
+            # count only when the re-summary actually gained a types
+            # block (ADVICE r10: a never-upgradeable segment re-counted
+            # on every re-run overstated the CLI verb's work)
+            res["segments_resummarized"] += 1
             return out, True
         return dict(s), False  # genuine member disagreement — unchanged
 
