@@ -69,4 +69,15 @@ def test_fuzzed_storage_programs_agree_across_engines(spark):
     assert any(p["ref"] != "none" for p in progs)
     assert any(p["ref"] == "clone_chain" for p in progs)
     assert any(p["timetravel"] for p in progs)
+    # VERDICT r10 #3: equality deletes must be drawn — both *_keys_mor
+    # verbs, both key sets, and both inline-payload env axes
+    assert any(p["mutate"] == "delete_keys_mor" for p in progs)
+    assert any(p["mutate"] == "upsert_keys_mor" for p in progs)
+    assert any(len(p["eq_keys"]) == 2 for p in progs)
+    assert any(p["eq_budget"] is not None for p in progs)
+    assert any(p["eq_ship"] is not None for p in progs)
+    assert any(
+        p["mutate"].endswith("_keys_mor") and p["eq_maint"] is not None
+        for p in progs
+    )
     assert run_storage(12, "/root/testdata/sf0.001", spark=spark) == []

@@ -724,9 +724,35 @@ def gen_storage_program(seed: int) -> dict:
         "evolve": rng.choice(
             ["none", "none", "rename_roundtrip", "add_widen", "add_drop"]
         ),
+        # delete_keys_mor / upsert_keys_mor (VERDICT r10 #3): the exact
+        # path r10 moved to planning-attached inline payloads had only
+        # hand-written pins — the r9 hole was a COMPOSITION no pin had
+        # tried, so equality deletes now draw against every other axis
+        # (shard/group/spec/sort/evolution/refs/clone_chain/timetravel)
         "mutate": rng.choice(
-            ["none", "delete_cow", "delete_mor", "optimize", "restore"]
+            [
+                "none",
+                "delete_cow",
+                "delete_mor",
+                "optimize",
+                "restore",
+                "delete_keys_mor",
+                "upsert_keys_mor",
+            ]
         ),
+        # equality-key set for the *_keys_mor mutations
+        "eq_keys": rng.choice([["user_id"], ["user_id", "event_type"]]),
+        # inline-payload budget axis: default / disabled / 1 byte — both
+        # the planning-attached and per-task fallback paths get fuzzed
+        "eq_budget": rng.choice([None, None, "0", "1"]),
+        # ship-cap axis (VERDICT r10 #1): occasionally force the fan-out
+        # fallback even when the aggregate budget would inline
+        "eq_ship": rng.choice([None, None, None, "1"]),
+        # maintenance axis: after an eq-DML mutation, optionally fold the
+        # sidecars down (convert → positional, compact → rewrite into
+        # data files) — results must be identical before and after, the
+        # exact invariant the reference's optimize mirror relies on
+        "eq_maint": rng.choice([None, None, "convert", "compact"]),
         # time-travel axis: re-read the pre-mutation version AS OF and
         # compare against the un-mutated baseline
         "timetravel": rng.random() < 0.35,
@@ -742,6 +768,79 @@ def gen_storage_program(seed: int) -> dict:
         "delete_pred": rng.choice(STORAGE_DELETES),
         "preds": rng.sample(STORAGE_PREDS, rng.randint(1, 2)),
     }
+
+
+def _eq_key_match(prog: dict, outer: str, inner: str) -> str:
+    """Null-safe key-tuple match between two sbase aliases — mirrors the
+    engine's eqNullSafe eq-delete semantics in DuckDB."""
+    return " AND ".join(
+        f"{inner}.{k} IS NOT DISTINCT FROM {outer}.{k}"
+        for k in prog["eq_keys"]
+    )
+
+
+def _eq_upsert_srcsql(prog: dict) -> tuple[str, str]:
+    """(select-list SQL, distinct-keys subquery SQL) of the synthesized
+    upsert source — one deterministic row per distinct key tuple drawn
+    by ``delete_pred``, expressed in the SHARED dialect so Spark
+    (via selectExpr) and DuckDB build byte-identical relations."""
+    if prog["eq_keys"] == ["user_id"]:
+        sel = (
+            "-user_id AS event_id, user_id, 'fzup' AS event_type, "
+            "TIMESTAMP '2024-02-01 00:00:00' AS ts, "
+            "CAST(user_id % 10 AS DOUBLE) + 0.5 AS value"
+        )
+    else:
+        sel = (
+            "-(user_id * 8 + length(event_type)) AS event_id, "
+            "user_id, event_type, "
+            "TIMESTAMP '2024-02-01 00:00:00' AS ts, "
+            "CAST(user_id % 10 AS DOUBLE) + 0.5 AS value"
+        )
+    keys_sql = (
+        f"SELECT DISTINCT {', '.join(prog['eq_keys'])} FROM sbase "
+        f"WHERE {prog['delete_pred']}"
+    )
+    return sel, keys_sql
+
+
+def _eq_upsert_source(spark, full, prog: dict, table: str):
+    """Spark half of the synthesized upsert source: same shared-dialect
+    expressions as the DuckDB view, cast back to the base table's exact
+    column types. The evolution axis can leave the table with EXTRA
+    logical columns (add_widen's fz_extra) — those ride as typed NULLs,
+    matching what the pre-upsert rows carry for a post-hoc column, so
+    the DuckDB mirror (which never references them) stays comparable."""
+    import pyspark.sql.functions as F
+
+    sel, _ = _eq_upsert_srcsql(prog)
+    kdf = (
+        full.filter(prog["delete_pred"]).select(*prog["eq_keys"]).distinct()
+    )
+    src = kdf.selectExpr(*[e.strip() for e in sel.split(", ")])
+    dtypes = dict(full.dtypes)
+    cols = [F.col(c).cast(dtypes[c]).alias(c) for c in full.columns]
+    live = spark.read.format("snapshot").option("path", table).load()
+    for f in live.schema.fields:
+        if f.name not in full.columns:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return src.select(*cols)
+
+
+def _eq_expected_sql(prog: dict) -> str:
+    """DuckDB view body for the post-eq-DML expected relation: the
+    null-safe anti-join removes every row whose key tuple was drawn;
+    upsert appends its synthesized source rows (cast to the base column
+    types so UNION ALL cannot widen them)."""
+    anti = (
+        "SELECT b.* FROM sbase b WHERE NOT EXISTS ("
+        f"SELECT 1 FROM sbase kk WHERE ({prog['delete_pred']}) AND "
+        f"{_eq_key_match(prog, 'b', 'kk')})"
+    )
+    if prog["mutate"] == "delete_keys_mor":
+        return anti
+    sel, keys_sql = _eq_upsert_srcsql(prog)
+    return f"{anti} UNION ALL SELECT {sel} FROM ({keys_sql}) ks"
 
 
 def run_storage(n_seeds: int, sf: str, spark=None) -> list[int]:
@@ -784,10 +883,16 @@ def run_storage(n_seeds: int, sf: str, spark=None) -> list[int]:
             old_genv = os.environ.get(
                 "SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP"
             )
+            old_eqb = os.environ.get("SPARK_GRAFT_EQ_INLINE_BUDGET")
+            old_eqs = os.environ.get("SPARK_GRAFT_EQ_SHIP_CAP")
             if prog["shard"]:
                 os.environ["SPARK_GRAFT_MANIFEST_SEGMENT_FILES"] = "3"
                 if prog["group"]:
                     os.environ["SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP"] = "2"
+            if prog["eq_budget"] is not None:
+                os.environ["SPARK_GRAFT_EQ_INLINE_BUDGET"] = prog["eq_budget"]
+            if prog["eq_ship"] is not None:
+                os.environ["SPARK_GRAFT_EQ_SHIP_CAP"] = prog["eq_ship"]
             try:
                 # --- build: spec → sort → appends of disjoint slices ---
                 S.commit_append(full.limit(0), t)
@@ -825,6 +930,41 @@ def run_storage(n_seeds: int, sf: str, spark=None) -> list[int]:
                 elif prog["mutate"] == "restore":
                     S.delete_where(spark, t, prog["delete_pred"])
                     S.restore_version(spark, t, restore_to)
+                elif prog["mutate"] == "delete_keys_mor":
+                    S.delete_keys_mor(
+                        spark,
+                        t,
+                        full.filter(prog["delete_pred"])
+                        .select(*prog["eq_keys"])
+                        .distinct(),
+                    )
+                elif prog["mutate"] == "upsert_keys_mor":
+                    S.upsert_keys_mor(
+                        spark,
+                        t,
+                        _eq_upsert_source(spark, full, prog, t),
+                        prog["eq_keys"],
+                    )
+                if (
+                    prog["mutate"] in ("delete_keys_mor", "upsert_keys_mor")
+                    and prog["eq_maint"] is not None
+                ):
+                    if prog["eq_maint"] == "convert":
+                        S.convert_equality_deletes(spark, t)
+                    else:
+                        S.compact_deletes(spark, t)
+                # DuckDB mirror of the eq-delete key semantics: the final
+                # expected relation goes through a view (anti-join on the
+                # null-safe key match; upsert appends its synthesized
+                # source rows), so every downstream pred/probe/ref check
+                # just swaps the relation name
+                dd_rel = "sbase"
+                if prog["mutate"] in ("delete_keys_mor", "upsert_keys_mor"):
+                    dd_rel = "sfinal"
+                    con.execute(
+                        "CREATE OR REPLACE VIEW sfinal AS "
+                        + _eq_expected_sql(prog)
+                    )
                 # --- compare: DataSource read (pruning ON) vs DuckDB ---
                 sdf_all = (
                     spark.read.format("snapshot").option("path", t).load()
@@ -849,14 +989,14 @@ def run_storage(n_seeds: int, sf: str, spark=None) -> list[int]:
                         else f" WHERE {pred}"
                     )
                     ddf = con.execute(
-                        f"SELECT {agg} FROM sbase{dd_where}"
+                        f"SELECT {agg} FROM {dd_rel}{dd_where}"
                     ).df()
                     probe_s = spark.sql(
                         f"SELECT event_id FROM fuzz_t WHERE {pred} "
                         "ORDER BY event_id LIMIT 50"
                     ).toPandas()
                     probe_d = con.execute(
-                        f"SELECT event_id FROM sbase{dd_where} "
+                        f"SELECT event_id FROM {dd_rel}{dd_where} "
                         "ORDER BY event_id LIMIT 50"
                     ).df()
                     if (
@@ -922,7 +1062,7 @@ def run_storage(n_seeds: int, sf: str, spark=None) -> list[int]:
                             .option("path", fork)
                             .load()
                         )
-                        want_sql = f"SELECT {agg0} FROM sbase{dd_where0}"
+                        want_sql = f"SELECT {agg0} FROM {dd_rel}{dd_where0}"
                     elif prog["ref"] == "clone_chain":
                         mid = os.path.join(work, f"t{seed}_mid")
                         fork = os.path.join(work, f"t{seed}_leaf")
@@ -941,7 +1081,7 @@ def run_storage(n_seeds: int, sf: str, spark=None) -> list[int]:
                             .option("path", fork)
                             .load()
                         )
-                        want_sql = f"SELECT {agg0} FROM sbase{dd_where0}"
+                        want_sql = f"SELECT {agg0} FROM {dd_rel}{dd_where0}"
                     elif prog["ref"] == "branch":
                         fork = R.create_branch(t, "fz")
                         fdf = (
@@ -949,7 +1089,7 @@ def run_storage(n_seeds: int, sf: str, spark=None) -> list[int]:
                             .option("path", fork)
                             .load()
                         )
-                        want_sql = f"SELECT {agg0} FROM sbase{dd_where0}"
+                        want_sql = f"SELECT {agg0} FROM {dd_rel}{dd_where0}"
                     else:  # tag pins the pre-mutation version through vacuum
                         R.create_tag(t, "fz", version=restore_to)
                         S.vacuum(t, retain_last=1)
@@ -984,15 +1124,21 @@ def run_storage(n_seeds: int, sf: str, spark=None) -> list[int]:
                 for var, old in (
                     ("SPARK_GRAFT_MANIFEST_SEGMENT_FILES", old_env),
                     ("SPARK_GRAFT_MANIFEST_SEGMENTS_PER_GROUP", old_genv),
+                    ("SPARK_GRAFT_EQ_INLINE_BUDGET", old_eqb),
+                    ("SPARK_GRAFT_EQ_SHIP_CAP", old_eqs),
                 ):
                     if old is None:
                         os.environ.pop(var, None)
                     else:
                         os.environ[var] = old
-                shutil.rmtree(t, ignore_errors=True)
-                shutil.rmtree(
-                    os.path.join(work, f"t{seed}_clone"), ignore_errors=True
-                )
+                # every per-seed table dir, including the clone_chain pair
+                # (ADVICE r10: 300 seeds accumulated ~600 undead snapshot
+                # dirs until the end-of-run rmtree — disk pressure)
+                for suffix in ("", "_clone", "_mid", "_leaf"):
+                    shutil.rmtree(
+                        os.path.join(work, f"t{seed}{suffix}"),
+                        ignore_errors=True,
+                    )
             if seed % 25 == 24:
                 print(f"storage fuzz: {seed + 1}/{n_seeds} clean", flush=True)
     finally:
