@@ -71,17 +71,37 @@ def main() -> int:
     ok = ok and not stray
     print(f"stray_binaries: {stray or 'none'}", flush=True)
 
+    # Plan-freshness gate (VERDICT r10 #4): PLANS.md is REGENERATED on
+    # HEAD every verify — plan drift (a new shuffle, a lost pushdown, a
+    # row-at-a-time Python node) shows up as a content diff and fails the
+    # gate loudly instead of hiding behind a stale table. The regeneration
+    # leaves the tree fixed, so commit + re-verify converges.
+    plans_path = os.path.join(ROOT, "PLANS.md")
+    plans_before = open(plans_path, encoding="utf-8").read()
+    rc, out = run(
+        [sys.executable, "tools/gen_plan_report.py"], "/tmp/verify_plans.log"
+    )
+    plans_md = open(plans_path, encoding="utf-8").read()
+    plans_stale = plans_md != plans_before
+    results["plan_fresh"] = {"rc": rc, "stale": plans_stale}
+    ok = ok and rc == 0 and not plans_stale
+    print(f"plan_fresh: rc={rc} stale={plans_stale}", flush=True)
+
     # Plan-audit gate (VERDICT r4 #4): every bench headline query must have
-    # a row in PLANS.md — a new headline query without a physical-plan
-    # audit fails verify (regenerate with tools/gen_plan_report.py).
+    # a row in PLANS.md, and the py-eval contract (0 row-at-a-time Python
+    # nodes) must hold on the regenerated table.
     sys.path.insert(0, ROOT)
     from bench import HEADLINE
 
-    plans_md = open(os.path.join(ROOT, "PLANS.md"), encoding="utf-8").read()
     unaudited = [n for n in HEADLINE if f"| {n} |" not in plans_md]
-    results["plan_audit"] = {"unaudited": unaudited}
-    ok = ok and not unaudited
-    print(f"plan_audit: unaudited={unaudited or 'none'}", flush=True)
+    py_eval_ok = "queries: **0**" in plans_md
+    results["plan_audit"] = {"unaudited": unaudited, "py_eval_zero": py_eval_ok}
+    ok = ok and not unaudited and py_eval_ok
+    print(
+        f"plan_audit: unaudited={unaudited or 'none'} "
+        f"py_eval_zero={py_eval_ok}",
+        flush=True,
+    )
 
     # Coverage gate (VERDICT r4 #4): every registered query name must be
     # mentioned somewhere in COVERAGE.md (rows reference their queries) —
