@@ -819,6 +819,18 @@ class SnapshotReader(DataSourceReader):
                 # decode only what a surviving partition will carry — an
                 # all-postdated sidecar never counts against the budget
                 payloads = _inline_eq_payloads(list(needed.values()))
+                if payloads:
+                    # parquet size is a compressed proxy; re-check the cap
+                    # against the ACTUAL Arrow-IPC bytes each task ships
+                    real = sum(
+                        len(payloads[k])
+                        for _f, surv in planned
+                        for e in surv
+                        for k in ((e["path"], tuple(e["keys"])),)
+                        if k in payloads
+                    )
+                    if real > _eq_ship_cap():
+                        payloads = {}
         out = []
         for f, surv in planned:
             eq = tuple(
