@@ -409,3 +409,53 @@ def test_wap_append_applies_write_sort_order(spark, tmp_path):
     )
     assert len(bands) >= 4
     assert all(bands[i][1] < bands[i + 1][0] for i in range(len(bands) - 1))
+
+
+# ----------------------------------------------- ADVICE r11 regressions
+
+
+def test_list_refs_tolerates_null_base_version_marker(spark, tmp_path):
+    """ADVICE r11: a clone marker carrying an explicit JSON-null
+    ``base_version`` (legacy or externally written) made ``list_refs``
+    raise ``TypeError`` on ``int(None)``, breaking ref listing for the
+    whole table; and ``drop_clone`` promotion re-emitted that null into
+    the promoted grandchild marker. The reader now treats null like the
+    absent key, and promotion omits the key entirely when it has no pin."""
+    import json as _json
+
+    from web_analytics_on_aws_spark.sources.refs import drop_clone
+
+    a = str(tmp_path / "A")
+    b = str(tmp_path / "B")
+    c = str(tmp_path / "C")
+    commit_append(_df(spark, 0, 10), a)
+    clone_table(a, b)
+    clone_table(b, c)
+    # rewrite A's marker for B as a legacy null-pin marker
+    rdir = os.path.join(a, "refs")
+    (marker,) = [f for f in os.listdir(rdir) if f.startswith("clone-")]
+    mp = os.path.join(rdir, marker)
+    with open(mp) as f:
+        m = _json.load(f)
+    m["base_version"] = None
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+
+    refs = list_refs(a)  # used to raise TypeError
+    assert [(r["kind"], r["base_version"]) for r in refs] == [
+        ("clone", None)
+    ]
+
+    # promotion under a null pin: grandchild marker omits the key, and
+    # listing the promoted state still works
+    assert drop_clone(a, b) == 1
+    markers = [
+        _json.load(open(os.path.join(rdir, f)))
+        for f in os.listdir(rdir)
+        if f.startswith("clone-")
+    ]
+    assert [m["dst"] for m in markers] == [os.path.abspath(c)]
+    assert "base_version" not in markers[0]
+    assert [r["base_version"] for r in list_refs(a)] == [None]
+    # the promoted grandchild still reads (marker alone protects it here)
+    assert _ids(read_snapshot(spark, c)) == set(range(10))

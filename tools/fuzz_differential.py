@@ -779,24 +779,31 @@ def _eq_key_match(prog: dict, outer: str, inner: str) -> str:
     )
 
 
-def _eq_upsert_srcsql(prog: dict) -> tuple[str, str]:
-    """(select-list SQL, distinct-keys subquery SQL) of the synthesized
+def _eq_upsert_srcsql(prog: dict) -> tuple[list[str], str]:
+    """(select-list exprs, distinct-keys subquery SQL) of the synthesized
     upsert source — one deterministic row per distinct key tuple drawn
     by ``delete_pred``, expressed in the SHARED dialect so Spark
-    (via selectExpr) and DuckDB build byte-identical relations."""
+    (via selectExpr) and DuckDB build byte-identical relations. The
+    select list is a LIST of expression strings (one per output column)
+    so the Spark half never has to re-split a joined string — splitting
+    on ", " would shred any future expression containing a comma
+    (round(x, 2), DECIMAL(18,6), ...)."""
     if prog["eq_keys"] == ["user_id"]:
-        sel = (
-            "-user_id AS event_id, user_id, 'fzup' AS event_type, "
-            "TIMESTAMP '2024-02-01 00:00:00' AS ts, "
-            "CAST(user_id % 10 AS DOUBLE) + 0.5 AS value"
-        )
+        sel = [
+            "-user_id AS event_id",
+            "user_id",
+            "'fzup' AS event_type",
+            "TIMESTAMP '2024-02-01 00:00:00' AS ts",
+            "CAST(user_id % 10 AS DOUBLE) + 0.5 AS value",
+        ]
     else:
-        sel = (
-            "-(user_id * 8 + length(event_type)) AS event_id, "
-            "user_id, event_type, "
-            "TIMESTAMP '2024-02-01 00:00:00' AS ts, "
-            "CAST(user_id % 10 AS DOUBLE) + 0.5 AS value"
-        )
+        sel = [
+            "-(user_id * 8 + length(event_type)) AS event_id",
+            "user_id",
+            "event_type",
+            "TIMESTAMP '2024-02-01 00:00:00' AS ts",
+            "CAST(user_id % 10 AS DOUBLE) + 0.5 AS value",
+        ]
     keys_sql = (
         f"SELECT DISTINCT {', '.join(prog['eq_keys'])} FROM sbase "
         f"WHERE {prog['delete_pred']}"
@@ -817,7 +824,7 @@ def _eq_upsert_source(spark, full, prog: dict, table: str):
     kdf = (
         full.filter(prog["delete_pred"]).select(*prog["eq_keys"]).distinct()
     )
-    src = kdf.selectExpr(*[e.strip() for e in sel.split(", ")])
+    src = kdf.selectExpr(*sel)
     dtypes = dict(full.dtypes)
     cols = [F.col(c).cast(dtypes[c]).alias(c) for c in full.columns]
     live = spark.read.format("snapshot").option("path", table).load()
@@ -840,7 +847,9 @@ def _eq_expected_sql(prog: dict) -> str:
     if prog["mutate"] == "delete_keys_mor":
         return anti
     sel, keys_sql = _eq_upsert_srcsql(prog)
-    return f"{anti} UNION ALL SELECT {sel} FROM ({keys_sql}) ks"
+    return (
+        f"{anti} UNION ALL SELECT {', '.join(sel)} FROM ({keys_sql}) ks"
+    )
 
 
 def run_storage(n_seeds: int, sf: str, spark=None) -> list[int]:

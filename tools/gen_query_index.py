@@ -48,13 +48,24 @@ def main() -> None:
     import re
 
     readme = root / "README.md"
-    readme.write_text(
-        re.sub(
-            r"\d+ registered queries",
-            f"{len(rows)} registered queries",
-            readme.read_text(),
-        )
+    txt = re.sub(
+        r"\d+ registered queries",
+        f"{len(rows)} registered queries",
+        readme.read_text(),
     )
+    # oracle + rows-only counts cite the same registry — rewrite them
+    # too (whitespace-preserving: the phrases wrap across lines)
+    txt = re.sub(
+        r"\d+ with(\s+)DuckDB oracle SQL",
+        lambda m: f"{n_oracle} with{m.group(1)}DuckDB oracle SQL",
+        txt,
+    )
+    txt = re.sub(
+        r"rows-only rows are the \d+",
+        f"rows-only rows are the {len(rows) - n_oracle}",
+        txt,
+    )
+    readme.write_text(txt)
     print(f"QUERIES.md: {len(rows)} queries ({n_oracle} oracled)")
 
 

@@ -170,7 +170,7 @@ def list_refs(table: str) -> list[dict]:
                 out.append(
                     {"kind": "clone", "name": c["dst"],
                      "version": current_version(c["dst"]),
-                     "base_version": int(c.get("base_version", 0)) or None}
+                     "base_version": int(c.get("base_version") or 0) or None}
                 )
     bdir = os.path.join(table, BRANCHES_DIR)
     if os.path.isdir(bdir):
@@ -427,16 +427,18 @@ def drop_clone(src: str, dst: str, delete_table: bool = False) -> int:
                 marker = os.path.join(
                     rdir, f"clone-{uuid.uuid4().hex[:12]}.json"
                 )
+                promoted = {
+                    "dst": os.path.abspath(gdst),
+                    "created_at": time.time(),
+                    "promoted_from": target,
+                }
+                # legacy/externally-written markers may carry no pin:
+                # omit the key rather than write a JSON null that a
+                # strict reader would trip over
+                if base_pin is not None:
+                    promoted["base_version"] = base_pin
                 with open(marker, "w") as f:
-                    json.dump(
-                        {
-                            "dst": os.path.abspath(gdst),
-                            "base_version": base_pin,
-                            "created_at": time.time(),
-                            "promoted_from": target,
-                        },
-                        f,
-                    )
+                    json.dump(promoted, f)
             except OSError:
                 pass  # read-only source — unregistered-clone caveat
     if delete_table and os.path.isdir(dst):

@@ -2010,8 +2010,12 @@ def _fold_segment_keys(table: str, rels: list[str]) -> set[str]:
                 if joined:
                     out.update(joined.split("\0"))
         return out
-    except (OSError, ValueError, RuntimeError):
-        # pool unavailable (sandbox, rlimits) — correctness first
+    except Exception:
+        # ANY pool-path failure — pool infrastructure (sandbox, rlimits)
+        # or a worker exception on a malformed segment — falls back to
+        # the serial fold, which re-raises genuine corruption itself so
+        # nothing is masked; this keeps the documented any-pool-failure
+        # contract exact instead of enumerating exception types
         out = set()
         for rel in rels:
             out.update(_read_segment(table, rel)["entries"])
