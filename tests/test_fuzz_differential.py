@@ -80,4 +80,8 @@ def test_fuzzed_storage_programs_agree_across_engines(spark):
         p["mutate"].endswith("_keys_mor") and p["eq_maint"] is not None
         for p in progs
     )
+    # round 12: the segment-format axis must draw all three non-default
+    # shapes (legacy json build, mid-life straddle, in-place conversion)
+    for shape in ("json", "mixed", "convert"):
+        assert any(p["seg_format"] == shape for p in progs)
     assert run_storage(12, "/root/testdata/sf0.001", spark=spark) == []

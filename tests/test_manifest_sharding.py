@@ -578,10 +578,15 @@ def test_vacuum_reads_each_segment_once(
         for v in retained
         for s in _read_manifest_head(t, v)["segments"]
     }
+    # the fold consumes segments through _segment_entry_paths (the
+    # columnar fast path reads the path column alone and never goes
+    # through _read_segment) — count opens at that seam
     reads: list[str] = []
-    real = S._read_segment
+    real = S._segment_entry_paths
     monkeypatch.setattr(
-        S, "_read_segment", lambda tb, r: (reads.append(r), real(tb, r))[1]
+        S,
+        "_segment_entry_paths",
+        lambda tb, r: (reads.append(r), real(tb, r))[1],
     )
     S.vacuum(t, retain_last=3)
     monkeypatch.undo()
@@ -616,10 +621,12 @@ def test_vacuum_reads_each_segment_once_across_fork_walks(
     clone_table(b, c)
     sreads: list[str] = []
     greads: list[str] = []
-    real_s = S._read_segment
+    real_s = S._segment_entry_paths
     real_g = S._read_group
     monkeypatch.setattr(
-        S, "_read_segment", lambda tb, r: (sreads.append(r), real_s(tb, r))[1]
+        S,
+        "_segment_entry_paths",
+        lambda tb, r: (sreads.append(r), real_s(tb, r))[1],
     )
     monkeypatch.setattr(
         S, "_read_group", lambda tb, r: (greads.append(r), real_g(tb, r))[1]
@@ -1087,16 +1094,16 @@ def test_upgrade_manifest_counter_skips_unupgradeable(
     assert head.get("segments"), "fixture must leave an inline tail"
     target = head["segments"][0]
     target.pop("types", None)
-    with open(hp, "w") as f:
-        J.dump(head, f)
-    sp = S._segment_abspath(t, target["path"])
-    with open(sp) as f:
-        seg = J.load(f)
-    first = next(iter(seg["entries"].values()))
+    # plant the member-type conflict through the format-agnostic helpers
+    # (segments are parquet by default now): rewrite the member list to
+    # a fresh segment file and point the head's summary at it
+    entries = S._read_segment(t, target["path"])["entries"]
+    first = next(iter(entries.values()))
     assert first.get("stats", {}).get("types"), "fixture needs typed entries"
     first["stats"]["types"]["id"] = "string"  # conflicts with the others
-    with open(sp, "w") as f:
-        J.dump(seg, f)
+    target["path"] = S._write_segment_entries(t, entries)
+    with open(hp, "w") as f:
+        J.dump(head, f)
     for _ in range(2):  # idempotent: counters stay 0 on every re-run
         res = S.upgrade_manifest(t)
         assert not res["upgraded"]

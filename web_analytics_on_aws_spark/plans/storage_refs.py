@@ -51,7 +51,7 @@ def _ensure_refs_table(spark: SparkSession, sf_dir: str) -> str:
     fingerprint = {
         "n": pq.ParquetFile(src).metadata.num_rows,
         "bytes": os.path.getsize(src),
-        "layout": 1,
+        "layout": 2,  # v2: columnar parquet manifest segments
     }
     key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
     table = os.path.join(
