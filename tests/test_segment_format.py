@@ -280,3 +280,53 @@ def test_entries_without_part_or_stats_survive_the_hop(tmp_path):
     assert rel.endswith(".parquet")
     assert S._read_segment(t, rel)["entries"] == entries
     assert S._segment_entry_paths(t, rel) == list(entries)
+
+
+def test_convert_loses_cas_race_cleanly(
+    registered, tmp_path, seg4, monkeypatch
+):
+    """A concurrent append claiming v+1 mid-convert makes
+    convert_segment_format's publish raise CommitConflict; the appended
+    data wins, the table stays fully readable, and the loser's
+    already-written segment files are unreferenced orphans that vacuum
+    GCs under the normal grace rules."""
+    spark = registered
+    t = str(tmp_path / "t")
+    os.environ["SPARK_GRAFT_SEGMENT_FORMAT"] = "json"
+    try:
+        _build_sharded(spark, t, n_appends=1)
+    finally:
+        del os.environ["SPARK_GRAFT_SEGMENT_FORMAT"]
+    v = current_version(t)
+
+    real_pack = S._pack_groups
+    raced = {"done": False}
+
+    def pack_and_race(table, clean, pool):
+        if not raced["done"]:
+            raced["done"] = True
+            commit_append(_events(spark, 900, 950), t)  # claims v+1
+        return real_pack(table, clean, pool)
+
+    monkeypatch.setattr(S, "_pack_groups", pack_and_race)
+    with pytest.raises(S.CommitConflict):
+        S.convert_segment_format(t)
+    monkeypatch.undo()
+
+    assert current_version(t) == v + 1  # the append's commit
+    assert read_snapshot(spark, t).count() == 350
+    n_before = len(_segs(t, "parquet"))
+    assert n_before > 0  # loser's converted segments linger as orphans
+    S.vacuum(t, retain_last=10, orphan_grace_seconds=0)
+    # every surviving segment is referenced by a retained head; the
+    # loser's parquet orphans are gone and the table still reads whole
+    assert read_snapshot(spark, t).count() == 350
+    retained = {
+        os.path.basename(s["path"])
+        for vv in S._versions(t)
+        for s in S._effective_segments(
+            t, S._read_manifest_head(t, vv)
+        )
+    }
+    on_disk = set(os.listdir(os.path.join(t, "manifests", "segs")))
+    assert {f for f in on_disk if f.startswith("seg-")} <= retained
