@@ -330,3 +330,50 @@ def test_convert_loses_cas_race_cleanly(
     }
     on_disk = set(os.listdir(os.path.join(t, "manifests", "segs")))
     assert {f for f in on_disk if f.startswith("seg-")} <= retained
+
+
+def test_metadata_table_manifests(registered, tmp_path, seg4):
+    """Iceberg's ``table$manifests`` analog: one row per manifest
+    segment of the current head with its storage format, member count,
+    on-disk bytes and recorded path range — summaries only (the head/
+    group layer carries everything), mixed formats reported as such,
+    inline heads as zero rows."""
+    spark = registered
+    t = str(tmp_path / "t")
+    os.environ["SPARK_GRAFT_SEGMENT_FORMAT"] = "json"
+    try:
+        _build_sharded(spark, t, n_appends=1)
+    finally:
+        del os.environ["SPARK_GRAFT_SEGMENT_FORMAT"]
+    commit_append(_events(spark, 300, 400), t)
+
+    seen = []
+    real = S._read_segment
+
+    def count(tb, r):
+        seen.append(r)
+        return real(tb, r)
+
+    S._read_segment = count
+    try:
+        rows = S.metadata_table(spark, t, "manifests").collect()
+    finally:
+        S._read_segment = real
+    assert seen == []  # summaries only, zero segment opens
+    fmts = {r["format"] for r in rows}
+    assert fmts == {"json", "parquet"}
+    assert sum(r["n_files"] for r in rows) == len(
+        S._read_manifest(t, current_version(t))["files"]
+    )
+    for r in rows:
+        assert r["size_bytes"] > 0 and r["lo_path"] <= r["hi_path"]
+        assert r["record_count"] is not None  # every member carries stats
+
+    # inline (format-1) table: no manifest files to report
+    t2 = str(tmp_path / "t2")
+    os.environ["SPARK_GRAFT_MANIFEST_SEGMENT_FILES"] = "0"
+    try:
+        commit_append(_events(spark, 0, 10).coalesce(1), t2)
+    finally:
+        os.environ["SPARK_GRAFT_MANIFEST_SEGMENT_FILES"] = "4"
+    assert S.metadata_table(spark, t2, "manifests").count() == 0

@@ -156,6 +156,7 @@ def _snapshot_cmd(args) -> int:
     """Inspection + maintenance over an ACID snapshot table:
 
         ... snapshot <path> history|snapshots|files|partitions|delete_files
+        ... snapshot <path> stats|refs|manifests
         ... snapshot <path> changes <from-version>
         ... snapshot <path> zorder col1,col2
         ... snapshot <path> bloom  col1,col2
@@ -255,7 +256,7 @@ def _snapshot_cmd(args) -> int:
         spark = get_spark(app_name="snapshot-cli")
         spark.sparkContext.setLogLevel("ERROR")
         if sub in ("history", "snapshots", "files", "partitions",
-                   "delete_files", "stats", "refs"):
+                   "delete_files", "stats", "refs", "manifests"):
             snapshots.metadata_table(spark, path, sub).show(args.limit, truncate=False)
         elif sub == "restore":
             print({"version": snapshots.restore_version(spark, path, int(args.arg3))})

@@ -3928,6 +3928,47 @@ def metadata_table(spark: SparkSession, table: str, kind: str) -> DataFrame:
             cols = "version long, operation string, n_files long, total_bytes long"
         return spark.createDataFrame(rows, cols)
 
+    if kind == "manifests":
+        # Iceberg's "table$manifests" analog: one row per manifest
+        # SEGMENT of the current head (the grouped layer expanded), with
+        # its storage format, member count/bytes and recorded path range
+        # — summaries only, zero segment opens (this branch runs BEFORE
+        # the full hydration below). Inline (format-1) heads report zero
+        # rows: their file maps live in the head itself.
+        rows = []
+        if _is_sharded(head_only := _read_manifest_head(table, vs[-1])):
+            for s in _effective_segments(table, head_only):
+                ap = _segment_abspath(table, s["path"])
+                rows.append(
+                    {
+                        "path": s["path"],
+                        "format": (
+                            "parquet"
+                            if s["path"].endswith(".parquet")
+                            else "json"
+                        ),
+                        "n_files": int(s["n"]),
+                        "size_bytes": (
+                            os.path.getsize(ap)
+                            if os.path.exists(ap)
+                            else None
+                        ),
+                        "record_count": (
+                            int(s["rows"])
+                            if s.get("rows") is not None
+                            and int(s.get("stats_n", 0)) == int(s["n"])
+                            else None
+                        ),
+                        "lo_path": s.get("lo"),
+                        "hi_path": s.get("hi"),
+                    }
+                )
+        return spark.createDataFrame(
+            rows,
+            "path string, format string, n_files long, size_bytes long, "
+            "record_count long, lo_path string, hi_path string",
+        )
+
     head_m = _read_manifest(table, vs[-1])
     head = head_m["files"]
     if kind == "delete_files":
@@ -4037,7 +4078,7 @@ def metadata_table(spark: SparkSession, table: str, kind: str) -> DataFrame:
         ).select("kind", "name", "version", "base_version")
     raise ValueError(
         f"unknown metadata table {kind!r}; one of "
-        "history/snapshots/files/partitions/delete_files/stats/refs"
+        "history/snapshots/files/partitions/delete_files/stats/refs/manifests"
     )
 
 
