@@ -102,11 +102,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warmup: pin every table in the in-memory columnar cache (what a
-    # long-lived cluster does for its hot working set — subsequent identical
-    # scans resolve to the InMemoryRelation), plus one full pass over the
-    # headline queries (JIT, codegen, broadcast machinery). We measure
-    # steady-state engine throughput, not JVM cold-start.
+    # Warmup: one count() per table (OS page cache + parquet footers on the
+    # driver) plus one full pass over the headline queries (JIT, codegen,
+    # broadcast machinery). We measure steady-state engine throughput, not
+    # JVM cold-start. NOTE (r12 methodology fix): earlier rounds pinned every
+    # table in Spark's in-memory columnar cache here, so timed queries read
+    # the InMemoryRelation instead of parquet — that hid the scan path from
+    # the measurement and counts as pre-computation outside the timed
+    # region. Every timed pass now computes from the parquet inputs.
     from web_analytics_on_aws_spark.sources import tables
     from web_analytics_on_aws_spark.sources.tables import TABLE_NAMES, load_table
 
@@ -116,7 +119,7 @@ def main() -> None:
     # are many files; this knob only compensates for the toy layout.
     tables.INPUT_PARTITIONS = int(os.environ.get('SPARK_GRAFT_INPUT_PARTS', cpus))
     for name in TABLE_NAMES:
-        load_table(spark, sf_dir, name).cache().count()
+        load_table(spark, sf_dir, name).count()
 
     def run(name: str) -> None:
         # noop sink, not count(): count() lets Catalyst prune joins/columns
@@ -172,8 +175,24 @@ def main() -> None:
         "freshness_sec": freshness,
         "compaction_sec": compaction,
     }
-    line = json.dumps(out)
+    # The driver captures only the tail (~2000 chars) of stdout; rounds 9-11
+    # printed the full diagnostics dict (~6 KB), truncating the line so the
+    # driver recorded "parsed": null every round. Print a compact line with
+    # exactly the contract keys (metric/value/unit/queries/sf) so it fits
+    # the capture window; the full diagnostics (medians, spread, sentinel,
+    # freshness, compaction) live in the committed file artifact below.
+    line = json.dumps(
+        {
+            "metric": out["metric"],
+            "value": out["value"],
+            "unit": "sec",
+            "queries": {n: round(t, 2) for n, t in timings.items()},
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
     print(line)
+    line = json.dumps(out)
     # Durable artifact (VERDICT r4 #7): the driver captures only the tail
     # of stdout, which truncated BENCH_r04.json — persist the full JSON
     # beside the repo so every per-query min survives regardless of

@@ -258,12 +258,25 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
 
 
 def test_fuzzy_cascade_dedups_on_digest_before_blocking(spark):
-    """The registered fuzzy query must contain the exact-dedup stage: a
-    16-byte md5 digest aggregate feeding a LeftSemi survivor filter BEFORE
-    the block self-join (the cascade that removes the Σ block² blowup)."""
-    plan = _explain(spark, "dedup_fuzzy_head_pairs")
-    assert "md5" in plan
-    assert "partial_min_by" in plan  # survivor = min-id row per digest, one shuffle
+    """The fuzzy cascade must contain the exact-dedup stage: a 16-byte md5
+    digest aggregate (min-id survivor) BEFORE the block self-join (the
+    cascade that removes the Σ block² blowup). The registered query
+    materializes `heads` (r12: both join sides consume it), truncating the
+    visible plan — assert the cascade on the lazy survivor subplan and the
+    blocked join on the registered query."""
+    from web_analytics_on_aws_spark.operators.dedup import exact_dedup
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    surv = exact_dedup(docs.select("doc_id", "text"))
+    sub = surv._sc._jvm.PythonSQLUtils.explainString(
+        surv._jdf.queryExecution(), "formatted"
+    )
+    assert "md5" in sub
+    assert "partial_min_by" in sub  # survivor = min-id row per digest, one shuffle
+    reg = _explain(spark, "dedup_fuzzy_head_pairs")
+    assert "levenshtein" in reg
+    assert "CartesianProduct" not in reg
 
 
 def test_capped_cosine_filters_tokens_before_pair_join(spark):
@@ -292,11 +305,24 @@ def test_cooccurrence_reduces_users_before_self_join(spark):
 
 def test_substring_windows_digest_groupby_no_pairs(spark):
     """Window dedup must be explode → digest groupBy → join-back; never a
-    doc×doc comparison."""
-    plan = _explain(spark, "dedup_substring_windows")
+    doc×doc comparison. The registered query materializes the digest
+    stream (r12: two consumers, exchange reuse doesn't fire), which
+    truncates the visible plan — assert the shape on the lazy form."""
+    from web_analytics_on_aws_spark.operators import text as text_ops
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    lazy = text_ops.duplicated_window_stats(docs, k=10, materialize=False)
+    plan = lazy._sc._jvm.PythonSQLUtils.explainString(
+        lazy._jdf.queryExecution(), "formatted"
+    )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "md5" in plan
     assert "partial_count" in plan  # distinct-doc census map-side combines
+    # the registered (materialized) query still joins back digest-keyed
+    reg = _explain(spark, "dedup_substring_windows")
+    assert "CartesianProduct" not in reg and "BroadcastNestedLoopJoin" not in reg
+    assert "partial_count" in reg
 
 
 def test_gopher_flags_single_shuffle(spark):

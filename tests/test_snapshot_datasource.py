@@ -171,3 +171,60 @@ def test_uri_qualified_path_option_normalized(registered, tmp_path):
     commit_append(spark.range(0, 10).selectExpr("id", "id * 2 AS v"), t)
     df = spark.read.format("snapshot").option("path", f"file:{t}").load()
     assert df.count() == 10
+
+def test_columns_option_prunes_schema_and_matches_full_read(registered, tmp_path):
+    """r12: the `columns` option is the datasource's column-pruning hook
+    (the Python DataSource API has none — the engine's Project lands above
+    the scan). The pruned read must equal the full read projected, keep
+    evolution padding, and reject unknown names."""
+    spark = registered
+    t = str(tmp_path / "t")
+    commit_append(spark.range(0, 10).selectExpr("id", "id * 2 AS v"), t)
+    # evolution: a third column the first file predates
+    commit_append(
+        spark.range(10, 20).selectExpr("id", "id * 2 AS v", "id + 100 AS w"), t
+    )
+
+    pruned = (
+        spark.read.format("snapshot")
+        .option("path", t)
+        .option("columns", "w,id")
+        .load()
+    )
+    assert pruned.columns == ["w", "id"]  # order honored
+    full = spark.read.format("snapshot").option("path", t).load()
+    key = lambda r: r[1]  # id is unique; w is null on pre-evolution rows
+    assert sorted(map(tuple, pruned.collect()), key=key) == sorted(
+        map(tuple, full.select("w", "id").collect()), key=key
+    )
+
+    with pytest.raises(Exception, match="unknown column"):
+        (
+            spark.read.format("snapshot")
+            .option("path", t)
+            .option("columns", "nope")
+            .load()
+            .collect()
+        )
+
+
+def test_columns_option_eq_deletes_apply_without_key_column(registered, tmp_path):
+    """MOR equality deletes must still drop rows when the delete KEY column
+    is not in the pruned `columns` set (read() decodes key columns as
+    key_extra and drops them before yield)."""
+    from web_analytics_on_aws_spark.sources.snapshots import delete_keys_mor
+
+    spark = registered
+    t = str(tmp_path / "t")
+    commit_append(spark.range(0, 20).selectExpr("id", "id * 2 AS v"), t)
+    delete_keys_mor(spark, t, spark.createDataFrame([(5,), (17,)], "id long"))
+
+    only_v = (
+        spark.read.format("snapshot")
+        .option("path", t)
+        .option("columns", "v")
+        .load()
+    )
+    assert sorted(r["v"] for r in only_v.collect()) == [
+        i * 2 for i in range(20) if i not in (5, 17)
+    ]

@@ -97,6 +97,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def exact_dedup_ids(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivor IDS only (min id per exact content hash) — for callers that
+    never read the survivor's other columns. ``min(id)`` keeps the
+    aggregate hash-based (a fixed-width mutable buffer; ``min_by`` over a
+    struct with strings forces SortAggregate — r12 plan audit) and the
+    shuffle carries 16-byte digests + 8-byte ids, never row payloads."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("__h"))
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .select(id_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, inverted-index join)
 

@@ -282,6 +282,7 @@ def duplicated_window_stats(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact-substring duplication census (Lee et al., "Deduplicating
     Training Data Makes Language Models Better", ACL 2022 — the fixed
@@ -296,10 +297,20 @@ def duplicated_window_stats(
 
     Output: (id_col, n_windows, n_dup_windows, dup_frac), one row per
     input document (short docs report zeros).
+
+    ``materialize`` (default True) localCheckpoints the exploded digest
+    stream: it has TWO consumers (the cross-doc census and the join-back),
+    and exchange reuse does not fire across them (measured r12), so
+    without it the dominant cost — window-string generation + md5 over
+    O(tokens) rows — ran twice. The materialized rows are (id, 16-byte
+    digest), far smaller than the window strings they replace. False keeps
+    the fully lazy plan (plan-shape tests).
     """
     w = df.select(id_col, F.explode(sliding_windows(text_col, k)).alias("win")).select(
         id_col, F.md5("win").alias("h")
     )
+    if materialize:
+        w = w.localCheckpoint()
     dup = (
         w.groupBy("h")
         .agg(F.count_distinct(id_col).alias("nd"))
@@ -748,17 +759,29 @@ def _per_query_topk(scored: DataFrame, score_col: str, k: int, id_col: str):
 
 
 def corpus_term_freqs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """One corpus tokenization reduced to (id, term, tf) — THE shared
     upstream of every lexical retriever: BM25 derives tf/dl/df from it and
-    Jaccard's distinct-term sets are exactly its keys. Passing the same
-    instance to both lets Catalyst reuse the tokenize+partial-agg exchange
-    (ReusedExchange) instead of scanning and exploding the corpus once per
-    retriever (VERDICT r4 #5)."""
+    Jaccard's distinct-term sets are exactly its keys.
+
+    ``materialize=True`` localCheckpoints the result so every consumer
+    reads the computed (id, term, tf) blocks instead of re-running
+    scan→tokenize→explode→agg. Measured (r12): Catalyst's exchange reuse
+    does NOT fire across the retrievers' consumers — each one prunes
+    different columns out of the aggregate, so the canonicalized subplans
+    differ and the corpus was scanned+exploded once per consumer (6× in
+    text_bm25_topk's executed plan, 0 ReusedExchange). Materializing the
+    inverted index once is the guide §2.4/§3.3 move: the tf table is far
+    smaller than the token stream that builds it, and at 100 TB re-reading
+    it beats 4-6 full corpus tokenizations. Set it whenever more than one
+    consumer derives from the same tf (bm25 internally, hybrid stacks)."""
     from web_analytics_on_aws_spark.functions import token_split
 
-    return (
+    tf = (
         df.select(
             F.col(id_col),
             F.explode(token_split(F.col(text_col))).alias("term"),
@@ -766,6 +789,7 @@ def corpus_term_freqs(
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
+    return tf.localCheckpoint() if materialize else tf
 
 
 def bm25_topk(
@@ -813,10 +837,13 @@ def bm25_topk(
     tf = (
         term_freqs
         if term_freqs is not None
-        else corpus_term_freqs(df, text_col, id_col)
+        # 4 consumers derive from tf (dl/dfreq/qterms/score join) —
+        # materialize it once (see corpus_term_freqs: exchange reuse does
+        # not fire across differently-pruned consumers)
+        else corpus_term_freqs(df, text_col, id_col, materialize=True)
     )
     # dl from tf, not a second pass over toks: the corpus is tokenized
-    # ONCE and tf's exchange is reused (review r3.2 finding)
+    # ONCE (materialized above when built here; review r3.2 finding)
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = df.agg(F.count("*").alias("n_docs"))
@@ -876,10 +903,12 @@ def jaccard_topk(
     else:
         from web_analytics_on_aws_spark.functions import token_split
 
+        # 3 consumers (sizes, query sets, the posting join) — materialize
+        # the distinct term sets once (see corpus_term_freqs)
         terms = df.select(
             F.col(id_col),
             F.explode(token_split(F.col(text_col))).alias("term"),
-        ).distinct()
+        ).distinct().localCheckpoint()
     sizes = terms.groupBy(id_col).agg(F.count("*").alias("n_terms"))
     q = terms.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), "term"

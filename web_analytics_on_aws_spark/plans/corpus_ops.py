@@ -542,7 +542,10 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from web_analytics_on_aws_spark.operators import dedup as dedup_ops
 
     docs = load_table(spark, sf_dir, "documents")
-    survivors = dedup_ops.exact_dedup(docs).select("doc_id").withColumn(
+    # ids-only dedup (r12): the funnel never reads survivor payloads, and
+    # min_by(struct-with-text) both shuffled full rows and forced a
+    # SortAggregate — min(id) keeps it a hash aggregate over digests+ids
+    survivors = dedup_ops.exact_dedup_ids(docs).withColumn(
         "__s", F.lit(1)
     )
     gopher = (
@@ -1013,7 +1016,6 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     + byte size), never a corpus scan."""
     import json
     import os
-    import tempfile
 
     import pyarrow.parquet as pq
 
@@ -1023,10 +1025,10 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "embeddings.parquet")
     n = pq.ParquetFile(src).metadata.num_rows
     fingerprint = {"n": n, "bytes": os.path.getsize(src)}
+    from web_analytics_on_aws_spark.plans import scratch_root
+
     key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    table = os.path.join(
-        tempfile.gettempdir(), "spark_graft_ivf_index_v2", key
-    )
+    table = os.path.join(scratch_root(), "ivf_index", key)
     marker = table + ".meta.json"
     if os.path.exists(marker):
         try:
@@ -1177,7 +1179,7 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # ONE tokenization feeds both retrievers — identical subplans, so the
     # tokenize+partial-agg exchange is reused, not re-scanned
-    tf = text.corpus_term_freqs(docs)
+    tf = text.corpus_term_freqs(docs, materialize=True)
     bm = text.bm25_topk(docs, query_ids=[0, 1, 2], k=20, term_freqs=tf)
     jac = text.jaccard_topk(docs, query_ids=[0, 1, 2], k=20, term_freqs=tf)
     return text.rrf_fuse([bm, jac], k=10)
@@ -1279,7 +1281,7 @@ def hybrid_dense_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared tokenization (VERDICT r4 #5): BM25 and Jaccard consume the
     # SAME corpus_term_freqs subplan, so the suite's most expensive query
     # drops one full corpus scan+explode via exchange reuse
-    tf = text.corpus_term_freqs(docs)
+    tf = text.corpus_term_freqs(docs, materialize=True)
     bm = text.bm25_topk(docs, query_ids=[0, 1, 2], k=20, term_freqs=tf)
     jac = text.jaccard_topk(docs, query_ids=[0, 1, 2], k=20, term_freqs=tf)
     table = _ensure_ivf_index(spark, sf_dir)
@@ -1617,7 +1619,7 @@ def bpe_encode_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Incremental dedup admission (operators/incremental_dedup.py) — driver-
-# checked as a PURE READ: the digest index is built once per machine+sf_dir
+# checked as a PURE READ: the digest index is built once per process+sf_dir
 # from the corpus's FIRST half (shard A), and the registered query computes
 # shard B's admission stats against the index PINNED AT v1 — idempotent
 # across driver/bench reruns (the query itself never commits).
@@ -1628,7 +1630,6 @@ def _ensure_dedup_index(spark: SparkSession, sf_dir: str) -> str:
     import json
     import os
     import shutil
-    import tempfile
 
     import pyarrow.parquet as pq
 
@@ -1643,10 +1644,10 @@ def _ensure_dedup_index(spark: SparkSession, sf_dir: str) -> str:
         "bytes": os.path.getsize(src),
         "layout": 2,  # v2: binary digests
     }
+    from web_analytics_on_aws_spark.plans import scratch_root
+
     key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    table = os.path.join(
-        tempfile.gettempdir(), "spark_graft_dedup_index_v1", key
-    )
+    table = os.path.join(scratch_root(), "dedup_index", key)
     marker = table + ".meta.json"
     if os.path.exists(marker):
         try:
@@ -1761,9 +1762,13 @@ def pca_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = train_pca_whitener(emb, "embedding", dim=64, k=k)
     y = whiten(emb, model, "embedding", "white").select("vec_id", "white")
 
+    # comp feeds stats + BOTH sides of the cross-moment self-join (3
+    # consumers): materialize it once so the k×dim whitening fold + explode
+    # runs a single time (r12; n·k rows of (id, comp, double) — tiny next
+    # to three full projection passes)
     comp = y.select(
         "vec_id", F.posexplode("white").alias("comp", "v")
-    )
+    ).localCheckpoint()
     stats = comp.groupBy("comp").agg(
         F.avg("v").alias("mean_v"),
         F.avg(F.col("v") * F.col("v")).alias("mean_sq"),

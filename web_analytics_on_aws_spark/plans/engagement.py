@@ -49,10 +49,14 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop NULL users up front: the oracle's COUNT(DISTINCT user_id)
     # ignores NULLs, and the plain-count rewrite below would otherwise
     # count a (day, NULL) row as an active user
+    # daily feeds the 28× fan-out AND the observed-days join-back:
+    # materialize the user-day reduction once (r12 — two consumers re-ran
+    # the raw-log scan + distinct; the user-day set is tiny next to it)
     daily = (
         ev.filter(F.col("user_id").isNotNull())
         .select(F.to_date("ts").alias("d"), "user_id")
         .distinct()
+        .localCheckpoint()
     )
     expanded = daily.select(
         "d", "user_id", F.explode(F.sequence(F.lit(0), F.lit(27))).alias("off")

@@ -328,10 +328,14 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting lists are what explode candidate counts at 100 TB; the same
     df-prefix pruning as the Jaccard operator applies."""
     docs = load_table(spark, sf_dir, "documents")
+    # 3 consumers of tf (norms + both sides of the posting self-join):
+    # materialize the tokenization once — exchange reuse does not fire
+    # across differently-pruned consumers (r12, see text.corpus_term_freqs)
     tf = (
         docs.select("doc_id", F.explode(token_split(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
     norms = tf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
     a, b = tf.alias("a"), tf.alias("b")
@@ -409,10 +413,14 @@ def sparse_cosine_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     The df table is tiny after the cap check and the total-docs scalar rides
     a broadcast cross join — no driver collect."""
     docs = load_table(spark, sf_dir, "documents")
+    # tf feeds dfreq + the semi-filtered tf2 (which feeds norms and both
+    # join sides): materialize the tokenization once; the df-cap semi join
+    # stays lazy so the LeftSemi/Broadcast shape remains in the plan
     tf = (
         docs.select("doc_id", F.explode(token_split(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
     )
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     total = docs.agg(F.count("*").alias("__n"))
@@ -489,12 +497,23 @@ def fuzzy_head_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates are Σ_block |block|² over DISTINCT docs; Levenshtein
     is JVM `levenshtein()` on 40-char strings, O(1600) cells per pair, no
     UDF. The exact stage shuffles 16-byte digests only."""
-    from web_analytics_on_aws_spark.operators.dedup import exact_dedup
-
     docs = load_table(spark, sf_dir, "documents")
-    survivors = exact_dedup(docs.select("doc_id", "text"))
-    heads = survivors.select(
-        "doc_id", F.substring(_norm(F.col("text")), 1, 40).alias("head")
+    # r12 shuffle-bytes fix (guide §2.3): rows within one md5 group have
+    # IDENTICAL text, so the survivor's head equals any member's head —
+    # compute the 40-char head BEFORE the dedup and min_by only (id, head)
+    # instead of carrying full texts through the aggregate. Also
+    # materialized once: heads feeds BOTH sides of the blocked self-join
+    # and exchange reuse does not fire across the two aliases.
+    with_head = docs.select(
+        "doc_id",
+        F.md5("text").alias("__h"),
+        F.substring(_norm(F.col("text")), 1, 40).alias("head"),
+    )
+    heads = (
+        with_head.groupBy("__h")
+        .agg(F.min_by(F.struct("doc_id", "head"), F.col("doc_id")).alias("__s"))
+        .select(F.col("__s.doc_id").alias("doc_id"), F.col("__s.head").alias("head"))
+        .localCheckpoint()
     )
     a = heads.select(
         F.col("doc_id").alias("doc_a"),

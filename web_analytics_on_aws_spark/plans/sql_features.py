@@ -254,7 +254,7 @@ SELECT url_extract_host(uri) AS host,
        COUNT(*) AS n,
        COUNT(DISTINCT url_extract_parameter(uri, 'uid')) AS uniq_uids,
        url_extract_port(uri) AS port,
-       MIN(date_format(ts, '%Y-%m-%d')) AS first_day
+       date_format(MIN(CAST(ts AS DATE)), '%Y-%m-%d') AS first_day
 FROM weblog_uris
 GROUP BY 1, 2, 3, 6
 """

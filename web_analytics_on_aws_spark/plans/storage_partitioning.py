@@ -25,7 +25,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -37,10 +36,10 @@ _PROBE_IDS = tuple(range(1, 200, 4))  # 50 fixed doc ids, present at sf≥0.01
 
 
 def _scratch(sf_dir: str, kind: str, fingerprint: dict):
+    from web_analytics_on_aws_spark.plans import scratch_root
+
     key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    table = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_part_{kind}_v1", key
-    )
+    table = os.path.join(scratch_root(), f"part_{kind}", key)
     marker = table + ".meta.json"
     fresh = False
     if os.path.exists(marker):
@@ -65,14 +64,26 @@ def _fingerprint(src: str) -> dict:
     }
 
 
-def _snapshot_read(spark: SparkSession, table: str) -> DataFrame:
+def _snapshot_read(
+    spark: SparkSession, table: str, columns: str | None = None
+) -> DataFrame:
+    """``columns``: comma-separated logical column names to decode (r12,
+    guide §4.1/§6): the Python DataSource API has no column-pruning hook —
+    the engine's Project lands ABOVE the scan — so without it every
+    snapshot scan decodes and ships ALL columns across the Arrow boundary.
+    Every caller names exactly the columns its query touches (filters
+    included); MOR eq-delete keys are still decoded per-file when needed
+    and dropped before yield (snapshot_datasource.read key_extra)."""
     from web_analytics_on_aws_spark.sources.snapshot_datasource import (
         SnapshotDataSource,
     )
 
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SnapshotDataSource)
-    return spark.read.format("snapshot").option("path", table).load()
+    reader = spark.read.format("snapshot").option("path", table)
+    if columns:
+        reader = reader.option("columns", columns)
+    return reader.load()
 
 
 def _ensure_day_table(spark: SparkSession, sf_dir: str) -> str:
@@ -166,7 +177,7 @@ def snapshot_stats_minmax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _ensure_clustered_stats_table(spark, sf_dir)
     cutoff = "2024-01-28 00:00:00"
     return (
-        _snapshot_read(spark, table)
+        _snapshot_read(spark, table, columns="event_id,ts,event_type")
         .filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
         .groupBy("event_type")
         .agg(
@@ -306,7 +317,7 @@ def weblog_event_partition_rollup(
     ::test_merge_snapshot_keeps_identity_spec."""
     table = _ensure_weblog_event_table(spark, sf_dir)
     return (
-        _snapshot_read(spark, table)
+        _snapshot_read(spark, table, columns="ts,user_id,event_type,value")
         .filter(F.col("event_type") == "purchase")
         .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(
@@ -375,7 +386,7 @@ def snapshot_partition_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     table = _ensure_day_table(spark, sf_dir)
     cutoff = "2024-01-25 00:00:00"
     return (
-        _snapshot_read(spark, table)
+        _snapshot_read(spark, table, columns="ts,event_type,value")
         .filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
         .groupBy("event_type")
         .agg(
@@ -408,7 +419,7 @@ def snapshot_partition_bucket_probe(
     same IN probe over the source parquet."""
     table = _ensure_bucket_table(spark, sf_dir)
     return (
-        _snapshot_read(spark, table)
+        _snapshot_read(spark, table, columns="doc_id,lang,n_chars")
         .filter(F.col("doc_id").isin(*_PROBE_IDS))
         .groupBy("lang")
         .agg(
@@ -478,7 +489,7 @@ def snapshot_sorted_partition_window(
     table = _ensure_sorted_event_table(spark, sf_dir)
     cutoff = "2024-01-26 00:00:00"
     return (
-        _snapshot_read(spark, table)
+        _snapshot_read(spark, table, columns="ts,user_id,event_type")
         .filter(
             (F.col("event_type") == "view")
             & (F.col("ts") >= F.lit(cutoff).cast("timestamp"))
@@ -555,7 +566,7 @@ def snapshot_longurl_range_rollup(
     source parquet."""
     table = _ensure_longurl_table(spark, sf_dir)
     return (
-        _snapshot_read(spark, table)
+        _snapshot_read(spark, table, columns="url,lang,n_chars")
         .filter(F.col("url") >= "https://src5")
         .groupBy("lang")
         .agg(
@@ -621,7 +632,7 @@ def snapshot_zorder_partition_box_probe(
     the source parquet."""
     table = _ensure_zordered_day_table(spark, sf_dir)
     return (
-        _snapshot_read(spark, table)
+        _snapshot_read(spark, table, columns="ts,user_id,event_type,value")
         .filter(
             (F.col("ts") >= F.lit("2024-01-22 00:00:00").cast("timestamp"))
             & F.col("user_id").between(100, 400)
@@ -722,7 +733,7 @@ def snapshot_sharded_manifest_rollup(
     table = _ensure_sharded_day_table(spark, sf_dir)
     cutoff = "2024-01-25 00:00:00"
     return (
-        _snapshot_read(spark, table)
+        _snapshot_read(spark, table, columns="ts,user_id,event_type,value")
         .filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
         .groupBy("event_type")
         .agg(
@@ -874,7 +885,7 @@ def snapshot_drop_clone_promote_rollup(
     workflow (web-analytics-iceberg/README.md:169-189)."""
     table = _ensure_drop_clone_leaf(spark, sf_dir)
     return (
-        _snapshot_read(spark, table)
+        _snapshot_read(spark, table, columns="event_type,value")
         .groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
@@ -908,7 +919,7 @@ def snapshot_clone_chain_rollup(
     workflow (web-analytics-iceberg/README.md:169-189)."""
     table = _ensure_clone_chain_leaf(spark, sf_dir)
     return (
-        _snapshot_read(spark, table)
+        _snapshot_read(spark, table, columns="event_type,value")
         .groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
@@ -1011,7 +1022,7 @@ def snapshot_columnar_segment_rollup(
     table = _ensure_columnar_straddle_table(spark, sf_dir)
     cutoff = "2024-01-08 00:00:00"
     return (
-        _snapshot_read(spark, table)
+        _snapshot_read(spark, table, columns="ts,user_id,event_type,value")
         .filter(
             (F.col("ts") < F.lit(cutoff).cast("timestamp"))
             & (F.col("value") > 10)

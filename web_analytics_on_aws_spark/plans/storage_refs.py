@@ -26,7 +26,6 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -39,7 +38,7 @@ _BRANCH = "exp"
 
 
 def _ensure_refs_table(spark: SparkSession, sf_dir: str) -> str:
-    """Build the tagged/branched orders snapshot once per machine+sf_dir
+    """Build the tagged/branched orders snapshot once per process+sf_dir
     (scratch under $TMPDIR, fingerprinted by the source parquet's row
     count + byte size + layout version); reuse across bench passes and
     driver reruns. Freshness check is footer metadata only."""
@@ -53,10 +52,10 @@ def _ensure_refs_table(spark: SparkSession, sf_dir: str) -> str:
         "bytes": os.path.getsize(src),
         "layout": 2,  # v2: columnar parquet manifest segments
     }
+    from web_analytics_on_aws_spark.plans import scratch_root
+
     key = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
-    table = os.path.join(
-        tempfile.gettempdir(), "spark_graft_refs_table_v1", key
-    )
+    table = os.path.join(scratch_root(), "refs_table", key)
     marker = table + ".meta.json"
     if os.path.exists(marker):
         try:

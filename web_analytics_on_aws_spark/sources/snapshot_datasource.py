@@ -975,17 +975,45 @@ class SnapshotDataSource(DataSource):
         )
 
         head = _resolve_head(self.options)
+        full = None
         if head.get("schema") is None and _is_sharded(head):
             arrow = _segments_arrow_schema(head)
             if arrow is not None:
-                return from_arrow_schema(arrow)
-        m = (
-            head
-            if head.get("schema") is not None or not _is_sharded(head)
-            else _hydrate_manifest(self.options["path"], head)
-        )
-        arrow, _ = _mapped_arrow_schema(m)
-        return from_arrow_schema(arrow)
+                full = from_arrow_schema(arrow)
+        if full is None:
+            m = (
+                head
+                if head.get("schema") is not None or not _is_sharded(head)
+                else _hydrate_manifest(self.options["path"], head)
+            )
+            arrow, _ = _mapped_arrow_schema(m)
+            full = from_arrow_schema(arrow)
+        return self._project_columns(full)
+
+    def _project_columns(self, full):
+        """Honor an explicit ``columns`` option (comma-separated LOGICAL
+        names): the Python DataSource API has no column-pruning hook (the
+        engine's Project lands ABOVE the scan, r12 plan audit), so without
+        this every snapshot scan decoded and shipped every column across
+        the Arrow boundary. Callers that know their projection pass it
+        here; the reader then resolves ``_want`` from the pruned schema —
+        eq-delete key columns are still decoded per-file when needed
+        (``read()``'s key_extra) and dropped before yield, so MOR
+        semantics are unchanged."""
+        cols = self.options.get("columns")
+        if not cols:
+            return full
+        keep = [c.strip() for c in cols.split(",") if c.strip()]
+        by_name = {f.name: f for f in full.fields}
+        missing = [c for c in keep if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"columns option names unknown column(s) {missing}; "
+                f"table has {list(by_name)}"
+            )
+        from pyspark.sql.types import StructType
+
+        return StructType([by_name[c] for c in keep])
 
     def reader(self, schema) -> SnapshotReader:
         return SnapshotReader(self.options, schema)
