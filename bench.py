@@ -117,7 +117,17 @@ def main() -> None:
     # unsplittable, so without a repartition floor every map-heavy stage
     # runs on a single core regardless of cluster size. Production tables
     # are many files; this knob only compensates for the toy layout.
-    tables.INPUT_PARTITIONS = int(os.environ.get('SPARK_GRAFT_INPUT_PARTS', cpus))
+    # r13 (guide §2.6): the count is BYTES-derived (expanded table bytes /
+    # split target), identical at every core count — the r2–r12 policy of
+    # `cpus` partitions made every Python-boundary stage `cpus` tasks wide
+    # over KB-sized splits, so per-task fixed costs grew with the core
+    # count and 32-core runs measured SLOWER than 8-core ones
+    # (PERF_r12.json scaling block). SPARK_GRAFT_INPUT_PARTS still forces
+    # a fixed count for A/B archaeology.
+    if os.environ.get("SPARK_GRAFT_INPUT_PARTS"):
+        tables.INPUT_PARTITIONS = int(os.environ["SPARK_GRAFT_INPUT_PARTS"])
+    else:
+        tables.INPUT_SPLIT_MB = float(os.environ.get("SPARK_GRAFT_SPLIT_MB", "2"))
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).count()
 
@@ -190,6 +200,24 @@ def main() -> None:
             "sf": sf,
         },
         separators=(",", ":"),
+    )
+    if len(line) > 1900:
+        # ADVICE r12: the capture window is ~2000 chars — re-round to 1 dp
+        # before the line can silently truncate and re-break driver
+        # parsing (per-query 4-dp values live in the file artifact below)
+        line = json.dumps(
+            {
+                "metric": out["metric"],
+                "value": out["value"],
+                "unit": "sec",
+                "queries": {n: round(t, 1) for n, t in timings.items()},
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+    assert len(line) <= 1990, (
+        f"bench stdout line {len(line)} chars would outgrow the driver's "
+        "~2000-char capture window — trim the payload"
     )
     print(line)
     line = json.dumps(out)

@@ -48,12 +48,13 @@ def test_probe_skips_unprobed_cell_files(spark, tmp_path):
 
     from web_analytics_on_aws_spark.sources.snapshot_datasource import (
         SnapshotReader,
+        planned_files,
     )
 
-    all_parts = SnapshotReader({"path": t}, None).partitions()
+    all_parts = planned_files(SnapshotReader({"path": t}, None).partitions())
     reader = SnapshotReader({"path": t}, None)
     reader.pushFilters([In(("centroid_id",), (0,))])
-    pruned = reader.partitions()
+    pruned = planned_files(reader.partitions())
     assert 0 < len(pruned) < len(all_parts)
 
 

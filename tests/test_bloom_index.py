@@ -13,6 +13,7 @@ from web_analytics_on_aws_spark.sources.bloom_index import (
     may_contain,
 )
 from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+    planned_files,
     SnapshotDataSource,
     SnapshotReader,
 )
@@ -23,7 +24,7 @@ def _planned(t, filters):
     r = SnapshotReader({"path": t}, None)
     if filters:
         r.pushFilters(filters)
-    return len(r.partitions())
+    return len(planned_files(r.partitions()))
 
 
 @pytest.fixture(scope="module")

@@ -24,6 +24,7 @@ from web_analytics_on_aws_spark.sources import partitioning as P
 from web_analytics_on_aws_spark.sources import snapshots as S
 from web_analytics_on_aws_spark.sources.refs import clone_table
 from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+    planned_files,
     SnapshotDataSource,
     SnapshotReader,
 )
@@ -145,7 +146,7 @@ def test_group_layer_pruning(registered, tmp_path, tiny_groups):
     assert head.get("groups") and len(head["groups"]) >= 2
     r = SnapshotReader({"path": t}, None)
     r.pushFilters([EqualTo(("id",), 5)])
-    parts = r.partitions()
+    parts = planned_files(r.partitions())
     ps = r.plan_stats
     assert ps["groups_read"] < ps["groups_total"]
     assert ps["segments_read"] < ps["segments_total"]

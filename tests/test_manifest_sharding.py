@@ -23,6 +23,7 @@ from web_analytics_on_aws_spark.sources import snapshots as S
 from web_analytics_on_aws_spark.sources.snapshot_datasource import (
     SnapshotDataSource,
     SnapshotReader,
+    planned_files,
 )
 from web_analytics_on_aws_spark.sources.snapshots import (
     _read_manifest,
@@ -542,7 +543,7 @@ def test_sharded_mor_eq_read_is_plan_scoped(registered, tmp_path, seg4):
     n_entries = len(
         _read_manifest_head(t, current_version(t))["eq_deletes"]
     )
-    n_eq = {len(p.eq_deletes) for p in parts}
+    n_eq = {len(p.eq_deletes) for p in planned_files(parts)}
     assert n_eq == {0, n_entries}
     ds = (
         spark.read.format("snapshot").option("path", t).load()

@@ -17,6 +17,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+    planned_files,
     SnapshotDataSource,
     SnapshotReader,
 )
@@ -40,7 +41,7 @@ def registered(spark):
 def _kept(table, filters):
     r = SnapshotReader({"path": table}, None)
     r.pushFilters(filters)
-    return len(r.partitions())
+    return len(planned_files(r.partitions()))
 
 
 def _stats(table):

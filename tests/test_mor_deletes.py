@@ -363,6 +363,7 @@ def test_eq_delete_keys_ride_partitions_zero_executor_sidecar_reads(
     from web_analytics_on_aws_spark.sources.snapshot_datasource import (
         SnapshotDataSource,
         SnapshotReader,
+        planned_files,
     )
     from web_analytics_on_aws_spark.sources.snapshots import (
         _manifest_eq_deletes,
@@ -388,7 +389,9 @@ def test_eq_delete_keys_ride_partitions_zero_executor_sidecar_reads(
     reader = SnapshotReader({"path": t}, None)
     parts = reader.partitions()
     assert parts and all(
-        entry[3] is not None for p in parts for entry in p.eq_deletes
+        entry[3] is not None
+        for p in planned_files(parts)
+        for entry in p.eq_deletes
     )
     # executor half, exactly as Spark runs it: the reader and partitions
     # cross a pickle hop, the sidecar files are GONE, read() still
@@ -416,7 +419,9 @@ def test_eq_delete_keys_ride_partitions_zero_executor_sidecar_reads(
     delete_keys_mor(spark, t2, spark.createDataFrame([(3,)], "id long"))
     r2 = SnapshotReader({"path": t2}, None)
     assert all(
-        entry[3] is None for p in r2.partitions() for entry in p.eq_deletes
+        entry[3] is None
+        for p in planned_files(r2.partitions())
+        for entry in p.eq_deletes
     )
     got2 = sorted(
         r["id"]
@@ -436,6 +441,7 @@ def test_eq_inline_decision_scales_by_fanout(spark, tmp_path, monkeypatch):
     equivalence, kept as a test)."""
     from web_analytics_on_aws_spark.sources.snapshot_datasource import (
         SnapshotReader,
+        planned_files,
     )
     from web_analytics_on_aws_spark.sources.snapshots import delete_keys_mor
 
@@ -451,7 +457,7 @@ def test_eq_inline_decision_scales_by_fanout(spark, tmp_path, monkeypatch):
         spark, t, spark.createDataFrame([(4,), (7,)], "id long")
     )
     reader = SnapshotReader({"path": t}, None)
-    parts = reader.partitions()
+    parts = planned_files(reader.partitions())
     assert len(parts) == 8
     sidecar_bytes = sum(
         os.path.getsize(e[0]) for e in parts[0].eq_deletes
@@ -465,7 +471,7 @@ def test_eq_inline_decision_scales_by_fanout(spark, tmp_path, monkeypatch):
     monkeypatch.setenv(
         "SPARK_GRAFT_EQ_SHIP_CAP", str(sidecar_bytes * 8 - 1)
     )
-    lean = SnapshotReader({"path": t}, None).partitions()
+    lean = planned_files(SnapshotReader({"path": t}, None).partitions())
     assert len(lean) == 8
     assert all(entry[3] is None for p in lean for entry in p.eq_deletes)
     # equivalence: default / ship-capped / budget-0 / budget-1 all serve

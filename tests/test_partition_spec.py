@@ -15,6 +15,7 @@ import pytest
 
 from web_analytics_on_aws_spark.sources import partitioning as P
 from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+    planned_files,
     SnapshotDataSource,
     SnapshotReader,
 )
@@ -47,11 +48,11 @@ def _tuples(table):
 def _kept(table, filters):
     r = SnapshotReader({"path": table}, None)
     r.pushFilters(filters)
-    return len(r.partitions())
+    return len(planned_files(r.partitions()))
 
 
 def _total(table):
-    return len(SnapshotReader({"path": table}, None).partitions())
+    return len(planned_files(SnapshotReader({"path": table}, None).partitions()))
 
 
 def _untupled(table):

@@ -264,11 +264,14 @@ def test_fuzzy_cascade_dedups_on_digest_before_blocking(spark):
     materializes `heads` (r12: both join sides consume it), truncating the
     visible plan — assert the cascade on the lazy survivor subplan and the
     blocked join on the registered query."""
-    from web_analytics_on_aws_spark.operators.dedup import exact_dedup
+    from web_analytics_on_aws_spark.plans.pipeline import survivor_heads
     from web_analytics_on_aws_spark.sources.tables import load_table
 
     docs = load_table(spark, SF_SMOKE, "documents")
-    surv = exact_dedup(docs.select("doc_id", "text"))
+    # the EXACT subplan the registered query materializes (ADVICE r12:
+    # asserting on operators.exact_dedup let the inlined form drift) —
+    # lazy flag keeps the checkpoint from truncating the visible plan
+    surv = survivor_heads(docs, materialize=False)
     sub = surv._sc._jvm.PythonSQLUtils.explainString(
         surv._jdf.queryExecution(), "formatted"
     )

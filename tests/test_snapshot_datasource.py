@@ -8,6 +8,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+    planned_files,
     SnapshotDataSource,
     SnapshotReader,
 )
@@ -74,8 +75,8 @@ def test_pushed_filters_skip_files_by_footer_stats(registered, tmp_path):
     reader = SnapshotReader({"path": t}, None)
     kept = reader.pushFilters([GreaterThanOrEqual(("id",), 1000)])
     assert list(kept)  # all filters handed back to Spark
-    parts = reader.partitions()
-    all_parts = SnapshotReader({"path": t}, None).partitions()
+    parts = planned_files(reader.partitions())
+    all_parts = planned_files(SnapshotReader({"path": t}, None).partitions())
     assert 0 < len(parts) < len(all_parts)
 
 
@@ -207,6 +208,16 @@ def test_columns_option_prunes_schema_and_matches_full_read(registered, tmp_path
             .collect()
         )
 
+    # duplicate names would yield an ambiguous twin column downstream
+    with pytest.raises(Exception, match="repeats column"):
+        (
+            spark.read.format("snapshot")
+            .option("path", t)
+            .option("columns", "id,id")
+            .load()
+            .collect()
+        )
+
 
 def test_columns_option_eq_deletes_apply_without_key_column(registered, tmp_path):
     """MOR equality deletes must still drop rows when the delete KEY column
@@ -228,3 +239,36 @@ def test_columns_option_eq_deletes_apply_without_key_column(registered, tmp_path
     assert sorted(r["v"] for r in only_v.collect()) == [
         i * 2 for i in range(20) if i not in (5, 17)
     ]
+
+
+def test_scan_partitions_bin_pack_files(registered, tmp_path):
+    """r13 (guide §2.2/§6): one Python task per PARTITION, so tiny files
+    must bin-pack into few partitions (Spark's maxPartitionBytes/
+    openCostInBytes parity) — per-file partitions made task count, and the
+    per-task Python-boundary fixed cost, grow with file count. Planning
+    (the survivor FILE list) is unaffected; `target_partition_bytes`
+    re-splits."""
+    from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+        SnapshotReader,
+        planned_files,
+    )
+
+    spark = registered
+    t = str(tmp_path / "t")
+    commit_append(spark.range(0, 64).selectExpr("id").repartition(8), t)
+
+    parts = SnapshotReader({"path": t}, None).partitions()
+    assert len(planned_files(parts)) == 8
+    assert len(parts) == 1  # 8 tiny files ≪ the 128 MB default target
+
+    # a target below one file's open cost forces one partition per file
+    split = SnapshotReader(
+        {"path": t, "target_partition_bytes": "1"}, None
+    ).partitions()
+    assert len(split) == 8
+    # and the packed read returns exactly the full row set
+    got = sorted(
+        r["id"]
+        for r in spark.read.format("snapshot").option("path", t).load().collect()
+    )
+    assert got == list(range(64))

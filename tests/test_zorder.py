@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import LessThanOrEqual
 
 from web_analytics_on_aws_spark.sources.snapshot_datasource import (
+    planned_files,
     SnapshotDataSource,
     SnapshotReader,
 )
@@ -23,7 +24,7 @@ def _planned(t, filters):
     reader = SnapshotReader({"path": t}, None)
     if filters:
         reader.pushFilters(filters)
-    return len(reader.partitions())
+    return len(planned_files(reader.partitions()))
 
 
 @pytest.fixture(scope="module")
@@ -166,7 +167,7 @@ def test_zorder_preserves_partition_tuples(spark, tmp_path):
     # a day probe plans only that day's files
     r = SnapshotReader({"path": t}, None)
     r.pushFilters([EqualTo(("ts",), datetime.datetime(2024, 3, 6, 0, 53, 20))])
-    kept = [p.path for p in r.partitions() if p.path in fp]
+    kept = [p.path for p in planned_files(r.partitions()) if p.path in fp]
     assert kept
     assert len({fp[p]["values"]["ts_day"] for p in kept}) == 1
     assert len(kept) < len([f for f in m["files"] if f in fp])

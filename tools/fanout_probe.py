@@ -104,13 +104,14 @@ def main() -> None:
 
     from web_analytics_on_aws_spark.sources.snapshot_datasource import (
         SnapshotReader,
+        planned_files,
     )
 
     def plan_once() -> tuple[float, int]:
         r = SnapshotReader({"path": base}, None)
         r.pushFilters([GreaterThan(("k",), n_files - 3)])
         t0 = time.time()
-        kept = len(r.partitions())
+        kept = len(planned_files(r.partitions()))
         return time.time() - t0, kept
 
     with_stats, kept_a = plan_once()

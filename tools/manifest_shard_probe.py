@@ -112,6 +112,7 @@ def main() -> None:
     from web_analytics_on_aws_spark.sources import snapshots as S
     from web_analytics_on_aws_spark.sources.snapshot_datasource import (
         SnapshotReader,
+        planned_files,
     )
 
     d = tempfile.mkdtemp(prefix="shardprobe-")
@@ -129,13 +130,13 @@ def main() -> None:
         r = SnapshotReader({"path": table}, None)
         r.pushFilters([EqualTo(("day",), "d007")])
         t0 = time.perf_counter()
-        kept = len(r.partitions())
+        kept = len(planned_files(r.partitions()))
         plan_selective_s = time.perf_counter() - t0
         sel = r.plan_stats
 
         r2 = SnapshotReader({"path": table}, None)
         t0 = time.perf_counter()
-        total_files = len(r2.partitions())
+        total_files = len(planned_files(r2.partitions()))
         plan_full_s = time.perf_counter() - t0
         full = r2.plan_stats or {
             "manifest_bytes_read": head_bytes + total_seg,

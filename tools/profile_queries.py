@@ -36,7 +36,10 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    tables.INPUT_PARTITIONS = int(os.environ.get("SPARK_GRAFT_INPUT_PARTS", cpus))
+    if os.environ.get("SPARK_GRAFT_INPUT_PARTS"):
+        tables.INPUT_PARTITIONS = int(os.environ["SPARK_GRAFT_INPUT_PARTS"])
+    else:
+        tables.INPUT_SPLIT_MB = float(os.environ.get("SPARK_GRAFT_SPLIT_MB", "2"))
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).count()
 

@@ -446,13 +446,25 @@ def ivf_assign(
     ``partitionBy(centroid_id)`` once, so probes read ``nprobe`` partitions
     instead of the corpus."""
     cents = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    return _ivf_assign_rows(
+        corpus, cents, centroids.schema["centroid_id"].dataType, id_col, vec_col
+    )
+
+
+def _ivf_assign_rows(
+    corpus: DataFrame, cents: list, cid_type, id_col: str, vec_col: str
+) -> DataFrame:
+    """``ivf_assign`` over ALREADY-COLLECTED centroid rows (sorted by
+    centroid_id ascending) — callers that also need the centroid matrix
+    driver-side (ivfpq LUTs) collect once and share the rows instead of
+    re-running the centroid job per consumer (r13, guide §1.2: don't
+    compute things twice)."""
     cmat = np.stack([np.asarray(r["cv"]) for r in cents]).astype(np.float64)
     # descending id order: np.argmax keeps the FIRST max → ties resolve to
     # the higher centroid_id, matching the previous lexicographic struct max
     cmat = cmat[::-1]
     cids = np.array([r["centroid_id"] for r in cents])[::-1]
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
-    cid_type = centroids.schema["centroid_id"].dataType
 
     @F.pandas_udf(cid_type)
     def assign(vecs: pd.Series) -> pd.Series:
@@ -818,27 +830,45 @@ def ivfpq_adc_topk(
 
     Output: (query_id, vec_id, sim, rank 1..k), sims exact.
     """
-    cents_df = (
-        centroids
-        if centroids is not None
-        else deterministic_centroids(corpus, num_centroids, id_col, vec_col)
-    )
-    cent_rows = sorted(cents_df.collect(), key=lambda r: r["centroid_id"])
+    id_dtype = corpus.schema[id_col].dataType
+    if centroids is not None:
+        cent_rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+        cid_dtype = centroids.schema["centroid_id"].dataType
+        # Codebooks: lowest-id corpus vectors' subvectors (same
+        # training-free contract as pq_adc_topk; kmeans_refine slots in
+        # unchanged).
+        cb_src = sorted(
+            corpus.select(id_col, as_double_vec(vec_col).alias("__v"))
+            .orderBy(F.col(id_col))
+            .limit(num_codewords)
+            .collect(),
+            key=lambda r: r[id_col],
+        )
+    else:
+        # deterministic centroids AND PQ codebooks are both "the lowest-id
+        # corpus vectors" (deterministic_centroids' contract) — ONE
+        # head-by-id collect serves both instead of two identical jobs
+        # per build (r13, guide §1.2); ivf_assign then reuses the same
+        # rows instead of a third job.
+        base = sorted(
+            corpus.select(id_col, as_double_vec(vec_col).alias("__v"))
+            .orderBy(F.col(id_col))
+            .limit(max(num_centroids, num_codewords))
+            .collect(),
+            key=lambda r: r[id_col],
+        )
+        cent_rows = [
+            {"centroid_id": r[id_col], "cv": r["__v"]}
+            for r in base[:num_centroids]
+        ]
+        cid_dtype = id_dtype
+        cb_src = base[:num_codewords]
     cmat = np.stack([np.asarray(r["cv"]) for r in cent_rows]).astype(np.float64)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
     cids = np.array([r["centroid_id"] for r in cent_rows])
 
-    assigned = ivf_assign(corpus, cents_df, id_col, vec_col)
+    assigned = _ivf_assign_rows(corpus, cent_rows, cid_dtype, id_col, vec_col)
 
-    # Codebooks: lowest-id corpus vectors' subvectors (same training-free
-    # contract as pq_adc_topk; kmeans_refine slots in unchanged).
-    cb_src = sorted(
-        corpus.select(id_col, as_double_vec(vec_col).alias("__v"))
-        .orderBy(F.col(id_col))
-        .limit(num_codewords)
-        .collect(),
-        key=lambda r: r[id_col],
-    )
     cbv = np.stack([np.asarray(r["__v"]) for r in cb_src]).astype(np.float64)
     cbv = cbv / np.sqrt((cbv * cbv).sum(axis=1))[:, None]
     dim = cbv.shape[1]

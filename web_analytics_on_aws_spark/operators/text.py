@@ -282,7 +282,7 @@ def duplicated_window_stats(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact-substring duplication census (Lee et al., "Deduplicating
     Training Data Makes Language Models Better", ACL 2022 — the fixed
@@ -298,13 +298,19 @@ def duplicated_window_stats(
     Output: (id_col, n_windows, n_dup_windows, dup_frac), one row per
     input document (short docs report zeros).
 
-    ``materialize`` (default True) localCheckpoints the exploded digest
-    stream: it has TWO consumers (the cross-doc census and the join-back),
-    and exchange reuse does not fire across them (measured r12), so
-    without it the dominant cost — window-string generation + md5 over
-    O(tokens) rows — ran twice. The materialized rows are (id, 16-byte
-    digest), far smaller than the window strings they replace. False keeps
-    the fully lazy plan (plan-shape tests).
+    ``materialize`` localCheckpoints the exploded digest stream: it has
+    TWO consumers (the cross-doc census and the join-back), and exchange
+    reuse does not fire across them (measured r12), so without it the
+    dominant cost — window-string generation + md5 over O(tokens) rows —
+    runs twice. The materialized rows are (id, 16-byte digest), far
+    smaller than the window strings they replace. Default False (r13,
+    ADVICE r12): an operator-library builder must not run Spark jobs at
+    DataFrame-construction time — .explain()/plan dumps would trigger full
+    tokenize+md5 passes — and a localCheckpoint truncates lineage, so an
+    executor loss replays from the checkpointed blocks instead of the
+    source (acceptable for a reduced intermediate a caller opts into, not
+    a library default). Registered bench queries whose profile showed the
+    double tokenize pass opt in explicitly.
     """
     w = df.select(id_col, F.explode(sliding_windows(text_col, k)).alias("win")).select(
         id_col, F.md5("win").alias("h")
@@ -890,6 +896,7 @@ def jaccard_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     term_freqs: DataFrame | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Distinct-term Jaccard retrieval: score = |terms_q ∩ terms_d| /
     |terms_q ∪ terms_d| — the set-overlap retriever (integer counts, one
@@ -903,12 +910,16 @@ def jaccard_topk(
     else:
         from web_analytics_on_aws_spark.functions import token_split
 
-        # 3 consumers (sizes, query sets, the posting join) — materialize
-        # the distinct term sets once (see corpus_term_freqs)
+        # 3 consumers (sizes, query sets, the posting join) — callers opt
+        # in to materializing the distinct term sets once (see
+        # corpus_term_freqs); the library default stays lazy so plan
+        # construction never runs Spark jobs (ADVICE r12)
         terms = df.select(
             F.col(id_col),
             F.explode(token_split(F.col(text_col))).alias("term"),
-        ).distinct().localCheckpoint()
+        ).distinct()
+        if materialize:
+            terms = terms.localCheckpoint()
     sizes = terms.groupBy(id_col).agg(F.count("*").alias("n_terms"))
     q = terms.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), "term"

@@ -126,7 +126,9 @@ def substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows, one join back — no doc×doc comparison anywhere, skew-free
     because keys are content hashes."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.duplicated_window_stats(docs, k=10)
+    # materialize: the digest stream feeds BOTH the cross-doc census and
+    # the join-back; without it window-gen + md5 run twice (r12 profile)
+    return text.duplicated_window_stats(docs, k=10, materialize=True)
 
 
 # --------------------------------------------------------------------------
@@ -343,12 +345,18 @@ def source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from web_analytics_on_aws_spark.functions import token_count
 
     docs = load_table(spark, sf_dir, "documents")
+    # per_doc feeds BOTH the dup census and the rollup join side (the
+    # two-consumer diamond, VERDICT r12 #5) — materialize it once:
+    # exchange reuse does not fire across differently-pruned consumers
+    # (measured r12), so without the checkpoint md5 + token_count run
+    # twice over every text. The checkpointed rows are (source, id,
+    # 16-byte digest, int) — tiny next to the texts they replace.
     per_doc = docs.select(
         "source",
         "doc_id",
         F.md5("text").alias("h"),
         token_count(F.col("text")).alias("n_toks"),
-    )
+    ).localCheckpoint()
     dup_h = per_doc.groupBy("h").agg(F.count("*").alias("c")).filter(
         F.col("c") >= 2
     )
@@ -555,7 +563,11 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__g", F.lit(1))
     )
     window_ok = (
-        text.duplicated_window_stats(docs, k=10)
+        # materialize: the digest stream inside the operator feeds both
+        # the cross-doc census and the join-back; quiet-box A/B (r13,
+        # OPTIMIZATION_r13.md) measured the eager form ~1 s faster here —
+        # the r12 "funnel regression" did not reproduce off the loaded box
+        text.duplicated_window_stats(docs, k=10, materialize=True)
         .filter(
             F.coalesce(
                 F.col("n_dup_windows").cast("double")
@@ -1177,8 +1189,11 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-addend RRF sum is order-exact in IEEE, so both engines agree
     bit-for-bit before the rounding."""
     docs = load_table(spark, sf_dir, "documents")
-    # ONE tokenization feeds both retrievers — identical subplans, so the
-    # tokenize+partial-agg exchange is reused, not re-scanned
+    # ONE tokenization feeds both retrievers: corpus_term_freqs is
+    # materialized because Catalyst exchange reuse does NOT fire across
+    # differently-pruned consumers (measured r12 — each retriever's
+    # projection de-canonicalizes the shared subplan, so without the
+    # checkpoint the corpus re-tokenizes once per consumer)
     tf = text.corpus_term_freqs(docs, materialize=True)
     bm = text.bm25_topk(docs, query_ids=[0, 1, 2], k=20, term_freqs=tf)
     jac = text.jaccard_topk(docs, query_ids=[0, 1, 2], k=20, term_freqs=tf)
@@ -1278,9 +1293,10 @@ def hybrid_dense_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from web_analytics_on_aws_spark.operators.ann_index import probe_ivf_index
 
     docs = load_table(spark, sf_dir, "documents")
-    # shared tokenization (VERDICT r4 #5): BM25 and Jaccard consume the
-    # SAME corpus_term_freqs subplan, so the suite's most expensive query
-    # drops one full corpus scan+explode via exchange reuse
+    # shared tokenization (VERDICT r4 #5): BM25 and Jaccard consume ONE
+    # materialized corpus_term_freqs — exchange reuse does NOT fire across
+    # differently-pruned consumers (measured r12), so the checkpoint is
+    # what makes the shared tokenization actually shared
     tf = text.corpus_term_freqs(docs, materialize=True)
     bm = text.bm25_topk(docs, query_ids=[0, 1, 2], k=20, term_freqs=tf)
     jac = text.jaccard_topk(docs, query_ids=[0, 1, 2], k=20, term_freqs=tf)

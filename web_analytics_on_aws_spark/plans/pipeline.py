@@ -460,6 +460,34 @@ def sparse_cosine_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def survivor_heads(docs: DataFrame, materialize: bool = False) -> DataFrame:
+    """Exact-dedup survivors' normalized 40-char heads — the cascade's
+    first stage as its own subplan so the plan-shape test pins the EXACT
+    dedup the registered query runs (ADVICE r12: asserting on
+    `exact_dedup` let the inlined form drift unverified).
+
+    r12 shuffle-bytes fix (guide §2.3): rows within one md5 group have
+    IDENTICAL text, so the survivor's head equals any member's head — the
+    head is computed BEFORE the dedup and min_by carries only (id, head)
+    instead of full texts. ``materialize`` localCheckpoints the deduped
+    head table for multi-consumer callers (both sides of the blocked
+    self-join); the default stays lazy for library use."""
+    with_head = docs.select(
+        "doc_id",
+        F.md5("text").alias("__h"),
+        F.substring(_norm(F.col("text")), 1, 40).alias("head"),
+    )
+    heads = (
+        with_head.groupBy("__h")
+        .agg(F.min_by(F.struct("doc_id", "head"), F.col("doc_id")).alias("__s"))
+        .select(
+            F.col("__s.doc_id").alias("doc_id"), F.col("__s.head").alias("head")
+        )
+    )
+    return heads.localCheckpoint() if materialize else heads
+
+
+
 @query(
     "dedup_fuzzy_head_pairs",
     oracle=f"""
@@ -498,23 +526,9 @@ def fuzzy_head_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is JVM `levenshtein()` on 40-char strings, O(1600) cells per pair, no
     UDF. The exact stage shuffles 16-byte digests only."""
     docs = load_table(spark, sf_dir, "documents")
-    # r12 shuffle-bytes fix (guide §2.3): rows within one md5 group have
-    # IDENTICAL text, so the survivor's head equals any member's head —
-    # compute the 40-char head BEFORE the dedup and min_by only (id, head)
-    # instead of carrying full texts through the aggregate. Also
     # materialized once: heads feeds BOTH sides of the blocked self-join
-    # and exchange reuse does not fire across the two aliases.
-    with_head = docs.select(
-        "doc_id",
-        F.md5("text").alias("__h"),
-        F.substring(_norm(F.col("text")), 1, 40).alias("head"),
-    )
-    heads = (
-        with_head.groupBy("__h")
-        .agg(F.min_by(F.struct("doc_id", "head"), F.col("doc_id")).alias("__s"))
-        .select(F.col("__s.doc_id").alias("doc_id"), F.col("__s.head").alias("head"))
-        .localCheckpoint()
-    )
+    # and exchange reuse does not fire across the two aliases (r12)
+    heads = survivor_heads(docs, materialize=True)
     a = heads.select(
         F.col("doc_id").alias("doc_a"),
         F.col("head").alias("head_a"),

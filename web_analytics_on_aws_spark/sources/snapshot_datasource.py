@@ -90,6 +90,35 @@ class _FilePartition(InputPartition):
         self.eq_deletes = eq_deletes
 
 
+class _ScanPartition(InputPartition):
+    """One scan task covering SEVERAL survivor files (r13, guide §2.2/§6):
+    the engine launches one Python-worker task per partition, so a
+    per-file partitioning made task count — and the per-task fixed cost of
+    the Python boundary (worker round-trip, reader unpickle, Arrow ser/de)
+    — grow with file count. Files are bin-packed by manifest byte size
+    plus a per-file open cost, mirroring Spark's own
+    maxPartitionBytes/openCostInBytes split packing (~32 tiny files per
+    128 MB split). Pruning is unaffected: packing runs AFTER planning
+    drops non-matching files."""
+
+    def __init__(self, files: tuple):
+        self.files = files  # tuple[_FilePartition, ...]
+
+
+# Spark scan-split parity: pack files into ≤ target-byte partitions,
+# charging each file an open cost so thousands of tiny files still fan
+# out. Overridable per read via the `target_partition_bytes` option.
+_SCAN_TARGET_BYTES = 128 * 1024 * 1024
+_SCAN_OPEN_COST = 4 * 1024 * 1024
+
+
+def planned_files(parts: list) -> list[_FilePartition]:
+    """Flatten ``partitions()`` output to the per-file plan — the survivor
+    list pruning tests/probes assert on (packing is a task-count concern,
+    not a planning one)."""
+    return [fp for p in parts for fp in p.files]
+
+
 def _resolve_head(options: dict) -> dict:
     """The pinned version's manifest HEAD — raw, segments un-hydrated (on
     a sharded manifest the head is O(segments), never O(files))."""
@@ -495,6 +524,9 @@ class SnapshotReader(DataSourceReader):
         self._segmented = _is_sharded(head)
         self._schema = schema
         self._pushed: list[Filter] = []
+        self._target_bytes = int(
+            options.get("target_partition_bytes", _SCAN_TARGET_BYTES)
+        )
         self._deletes = _dv_map(table, head)
         # outstanding equality deletes (upsert_keys_mor / delete_keys_mor):
         # the entry list is head metadata (bounded by maintenance — the
@@ -843,11 +875,32 @@ class SnapshotReader(DataSourceReader):
                 for e in surv
             )
             out.append(_FilePartition(f, self._deletes.get(f, ()), eq))
+        # bin-pack survivors into ≤ target-byte scan partitions (guide
+        # §2.2/§6: fewer, larger map tasks — one Python task per PARTITION,
+        # so per-file partitions made task count grow with file count).
+        # Manifest byte sizes when present (zero extra I/O), else a flat
+        # open cost; packing preserves planning order so reads stay
+        # deterministic.
+        stats = self._stats
+        packed: list[_ScanPartition] = []
+        cur: list[_FilePartition] = []
+        cur_bytes = 0
+        for fp in out:
+            sz = _SCAN_OPEN_COST + int(
+                (stats.get(fp.path) or {}).get("bytes", 0)
+            )
+            if cur and cur_bytes + sz > self._target_bytes:
+                packed.append(_ScanPartition(tuple(cur)))
+                cur, cur_bytes = [], 0
+            cur.append(fp)
+            cur_bytes += sz
+        if cur:
+            packed.append(_ScanPartition(tuple(cur)))
         # everything read() needs now rides the partition objects +
         # _want/_map — flag the planning state droppable for the NEXT
         # pickle hop (__getstate__)
         self._planned = True
-        return out
+        return packed
 
     def __getstate__(self):
         """Executor tasks only run ``read()``, which touches ``_want`` and
@@ -874,15 +927,18 @@ class SnapshotReader(DataSourceReader):
             d["_seqs"] = {}
         return d
 
-    def read(self, partition: _FilePartition) -> Iterator:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
+    def read(self, partition: _ScanPartition) -> Iterator:
         if partition is None:
             # every file was pruned by pushFilters → partitions() returned
             # [] and pyspark substitutes a single None partition; an empty
             # scan is a legitimate result, not an error
             return
+        for fp in partition.files:
+            yield from self._read_file(fp)
+
+    def _read_file(self, partition: _FilePartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
         want = self._want
         # column pruning at the file read: only the requested columns that
@@ -1004,6 +1060,12 @@ class SnapshotDataSource(DataSource):
         if not cols:
             return full
         keep = [c.strip() for c in cols.split(",") if c.strip()]
+        dupes = sorted({c for c in keep if keep.count(c) > 1})
+        if dupes:
+            raise ValueError(
+                f"columns option repeats column(s) {dupes}; a duplicate "
+                "field would make every downstream reference ambiguous"
+            )
         by_name = {f.name: f for f in full.fields}
         missing = [c for c in keep if c not in by_name]
         if missing:

@@ -3756,6 +3756,7 @@ def estimate_pruned_bytes(
     relies on (ADVICE r7)."""
     from web_analytics_on_aws_spark.sources.snapshot_datasource import (
         SnapshotReader,
+        planned_files,
     )
 
     opts = {"path": table}
@@ -3764,7 +3765,7 @@ def estimate_pruned_bytes(
     r = SnapshotReader(opts, None)
     r.pushFilters(list(pushed))
     total = 0
-    for p in r.partitions():
+    for p in planned_files(r.partitions()):
         if p is None:
             continue
         # r._stats holds the surviving segments' manifest stats after

@@ -38,6 +38,43 @@ TABLE_NAMES = [
 # partitions — see the comment at the use site. Bench-only knob.
 INPUT_PARTITIONS = 0
 
+# Bytes-derived scan splitting (r13, guide §2.6/§6): when >0 (and
+# INPUT_PARTITIONS is unset), each table is repartitioned to
+# ceil(expanded_bytes / split) — a function of DATA SIZE only, never of
+# core count. Rounds 2–12 set INPUT_PARTITIONS = cpus, which made every
+# map stage `cpus` tasks wide regardless of input size; per-task fixed
+# costs (scheduling, and for Python-boundary stages the worker round-trip
+# + Arrow ser/de) then grew with the core count while per-task compute
+# shrank — measured as 32-core runs LOSING to 8-core runs on every
+# Python-kernel query (PERF_r12 scaling block). A real cluster derives map
+# parallelism from input bytes / split size (128 MB–1 GB per task, guide
+# §6); this mirrors that rule at toy scale. Bench-only knob.
+INPUT_SPLIT_MB = 0.0
+
+# Decoded/exploded work per on-disk snappy-parquet byte, by table — the
+# split is sized against the work a map task DOES, not the compressed
+# bytes it reads: text tables fan out into token/window explodes
+# (documents: ~10 windows × ~60 chars per token position), embedding
+# tables decode float arrays into f64 numpy and per-component explodes,
+# and the events log decompresses ~8× (snappy over near-duplicate
+# UA/URL/session strings) into rows its queries then regex-parse,
+# sessionize and explode. Estimates, not measurements — they only steer
+# partition counts.
+_EXPANSION = {"documents": 16.0, "embeddings": 8.0, "events": 8.0}
+_DEFAULT_EXPANSION = 2.0
+
+
+def _split_partitions(sf_dir: str, name: str) -> int:
+    """Bytes-derived partition count for one table (≥1)."""
+    import math
+
+    try:
+        raw = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return 1
+    work = raw * _EXPANSION.get(name, _DEFAULT_EXPANSION)
+    return max(1, math.ceil(work / (INPUT_SPLIT_MB * 1024 * 1024)))
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing nano-timestamps to TimestampType."""
@@ -62,6 +99,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # real deployment's tables are many files/row groups and never set
         # this. Round-robin, no key assumptions; enabled by bench.py only.
         df = df.repartition(INPUT_PARTITIONS)
+    elif INPUT_SPLIT_MB:
+        # Bytes-derived variant (r13): same single-row-group compensation,
+        # but the count follows expanded input bytes (see INPUT_SPLIT_MB
+        # above) so it is identical at every core count — more cores must
+        # never mean more (tinier) map tasks. n == 1 skips the exchange
+        # entirely: a sub-split table IS one task, as it would be on a
+        # cluster.
+        n = _split_partitions(sf_dir, name)
+        if n > 1:
+            df = df.repartition(n)
     return df
 
 
