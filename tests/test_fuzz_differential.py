@@ -2,6 +2,7 @@
 random SQL must agree exactly between Spark and DuckDB. 60 seeds in CI;
 `python tools/fuzz_differential.py 300` for the wider sweep."""
 
+import pytest
 from tools.fuzz_differential import gen_query, run
 
 
@@ -49,6 +50,7 @@ def test_fuzzed_trino_dialect_agrees_across_engines(spark):
     assert run_trino_shim(60, "/root/testdata/sf0.001", spark=spark) == []
 
 
+@pytest.mark.slow  # 12-seed storage program sweep (~3 min); deep sweeps recorded in SCALE.md
 def test_fuzzed_storage_programs_agree_across_engines(spark):
     """Storage-surface differential fuzz (VERDICT r7 #5, axes widened per
     VERDICT r8 #5): random partition spec × sort order × inline/sharded/

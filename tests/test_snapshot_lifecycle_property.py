@@ -117,6 +117,7 @@ def _dirty(t):
               ("upsert_mor", 2), ("maintain", 0)])
 @example(ops=[("sort", 1), ("set_spec", 3), ("append", 3),
               ("restore", 1), ("append", 2)])
+@pytest.mark.slow  # deep lifecycle sweep; default run must fit the driver budget
 @given(ops=OPS)
 def test_any_commit_sequence_reads_and_streams_consistently(spark, ops):
     t = tempfile.mkdtemp(prefix="snap-prop-") + "/t"
@@ -273,6 +274,7 @@ REF_OPS = st.lists(
               ("branch_append", 1), ("fast_forward", 0)])
 @example(ops=[("upsert_mor", 1), ("maintain", 0), ("vacuum", 0),
               ("append", 1)])
+@pytest.mark.slow  # deep lifecycle sweep; default run must fit the driver budget
 @given(ops=REF_OPS)
 def test_refs_lifecycle_reads_and_streams_consistently(spark, ops):
     from web_analytics_on_aws_spark.sources.changes_stream_datasource import (
@@ -401,6 +403,7 @@ def test_refs_lifecycle_reads_and_streams_consistently(spark, ops):
         assert st_["row_count"] == len(model)
 
 
+@pytest.mark.slow  # deep lifecycle sweep; default run must fit the driver budget
 def test_lifecycle_property_over_sharded_manifests(spark, monkeypatch):
     """Round 8: the full lifecycle property suite re-runs with a ONE-file
     segment target, so every commit shape in the strategy — appends, CoW
@@ -415,6 +418,7 @@ def test_lifecycle_property_over_sharded_manifests(spark, monkeypatch):
     test_refs_lifecycle_reads_and_streams_consistently(spark)
 
 
+@pytest.mark.slow  # deep lifecycle sweep; default run must fit the driver budget
 def test_lifecycle_property_over_grouped_manifests(spark, monkeypatch):
     """Round 9: the same lifecycle property suite with a one-file segment
     target AND a two-segment group target, so every commit shape also
