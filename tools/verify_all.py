@@ -116,8 +116,12 @@ def main() -> int:
     print(f"coverage_doc: uncovered={uncovered or 'none'}", flush=True)
 
     if "--skip-pytest" not in sys.argv:
+        # -m "" overrides pytest.ini's default "not slow" selection: the
+        # round-end gate runs the FULL suite including the deep storage
+        # fuzz/lifecycle sweeps (the default selection exists so the
+        # grading driver's time-boxed re-run finishes — r13).
         rc, out = run(
-            [sys.executable, "-m", "pytest", "tests/", "-q"],
+            [sys.executable, "-m", "pytest", "tests/", "-q", "-m", ""],
             "/tmp/verify_pytest.log",
         )
         tail = out.strip().splitlines()[-1] if out.strip() else ""
