@@ -127,6 +127,34 @@ def test_duplicated_windows_planted(spark):
     assert out[1]["dup_frac"] == pytest.approx(1 / 3, abs=1e-6)
 
 
+def test_duplicated_windows_raw_drops_only_zero_window_docs(spark):
+    # include_all_docs=False skips the zero-pad join back to the corpus:
+    # the rows that remain must be exactly the default output minus the
+    # zero-window docs (the curation funnel left-joins these and treats
+    # missing as zero duplication)
+    docs = _docs(
+        spark,
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 tail1 tail2"),
+            (2, "head0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+            (3, "too short"),  # 0 windows: absent from the raw form
+        ],
+    )
+    full = {
+        r["doc_id"]: r for r in duplicated_window_stats(docs, k=10).collect()
+    }
+    raw = {
+        r["doc_id"]: r
+        for r in duplicated_window_stats(
+            docs, k=10, include_all_docs=False
+        ).collect()
+    }
+    assert set(raw) == {d for d, r in full.items() if r["n_windows"] > 0}
+    for d, r in raw.items():
+        for c in ("n_windows", "n_dup_windows", "dup_frac"):
+            assert r[c] == full[d][c], (d, c)
+
+
 def test_duplicated_windows_within_doc_repeat_not_counted(spark):
     # the same window twice in ONE doc is not cross-doc duplication
     docs = _docs(

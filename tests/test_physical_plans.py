@@ -24,11 +24,16 @@ def _lazy_checkpoints(monkeypatch):
     the checkpointed subtree from the very assertions (r13). The no-op
     keeps the full lazy plan visible, so "no CartesianProduct anywhere"
     now checks the whole tree including previously-truncated branches."""
+    # Spark 4 instantiates pyspark.sql.classic.dataframe.DataFrame, which
+    # OVERRIDES localCheckpoint — patching only the abstract base
+    # (pyspark.sql.DataFrame) is a silent no-op for real instances.
+    import pyspark.sql.classic.dataframe as _classic
     from pyspark.sql import DataFrame
 
-    monkeypatch.setattr(
-        DataFrame, "localCheckpoint", lambda self, eager=True: self
-    )
+    for cls in (DataFrame, _classic.DataFrame):
+        monkeypatch.setattr(
+            cls, "localCheckpoint", lambda self, eager=True: self
+        )
 
 
 _EXPLAIN_CACHE: dict[str, str] = {}

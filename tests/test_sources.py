@@ -16,6 +16,36 @@ from web_analytics_on_aws_spark.sources.http_shim import IngestShim
 from web_analytics_on_aws_spark.streaming.ingest_stream import run_ingest_once
 
 
+def test_load_table_memo_invalidates_on_rewrite(spark, tmp_path):
+    """load_table memoizes the resolved handle + schema per session (driver
+    metadata caching, r13) keyed by file identity — a REWRITTEN file must
+    re-resolve, never serve the stale handle."""
+    import os
+    import shutil
+
+    from web_analytics_on_aws_spark.sources.tables import load_table
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    src = os.path.join(SF_SMOKE, "nation.parquet")
+    shutil.copy(src, sf / "nation.parquet")
+    first = load_table(spark, str(sf), "nation")
+    # same session + unchanged file: the identical handle comes back
+    assert load_table(spark, str(sf), "nation") is first
+    n_first = first.count()
+
+    # rewrite with fewer rows (mtime_ns may tie on fast copies — bump it)
+    spark.read.parquet(src).limit(3).write.mode("overwrite").parquet(
+        str(sf / "tmp_rewrite")
+    )
+    part = next(p for p in os.listdir(sf / "tmp_rewrite") if p.endswith(".parquet"))
+    shutil.copy(sf / "tmp_rewrite" / part, sf / "nation.parquet")
+    os.utime(sf / "nation.parquet")
+    again = load_table(spark, str(sf), "nation")
+    assert again is not first
+    assert again.count() == 3 and n_first != 3
+
+
 def test_generator_deterministic_and_valid(spark):
     a = [r["value"] for r in fake_events(spark, 50, seed=47).collect()]
     b = [r["value"] for r in fake_events(spark, 50, seed=47).collect()]

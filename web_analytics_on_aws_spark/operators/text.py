@@ -283,6 +283,7 @@ def duplicated_window_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize: bool = False,
+    include_all_docs: bool = True,
 ) -> DataFrame:
     """Exact-substring duplication census (Lee et al., "Deduplicating
     Training Data Makes Language Models Better", ACL 2022 — the fixed
@@ -311,6 +312,12 @@ def duplicated_window_stats(
     source (acceptable for a reduced intermediate a caller opts into, not
     a library default). Registered bench queries whose profile showed the
     double tokenize pass opt in explicitly.
+
+    ``include_all_docs=False`` skips the final join back to ``df`` that
+    pads zero-window (short) documents into the output: only documents
+    with ≥1 window appear, saving one scan of ``df`` plus a join for
+    callers that left-join the stats by id and treat missing as
+    zero-duplication anyway (the curation funnel).
     """
     w = df.select(id_col, F.explode(sliding_windows(text_col, k)).alias("win")).select(
         id_col, F.md5("win").alias("h")
@@ -333,6 +340,15 @@ def duplicated_window_stats(
             .alias("n_dup_windows"),
         )
     )
+    if not include_all_docs:
+        return per_doc.select(
+            id_col,
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+            F.col("n_dup_windows"),
+            F.round(
+                F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6
+            ).alias("dup_frac"),
+        )
     return df.select(id_col).join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),

@@ -543,50 +543,74 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min-id survivor per md5) → Gopher quality gates → duplicated-window
     prune (≤50% covered by cross-doc 10-token windows), reported as a
     per-source survival funnel with kept-token counts. Each stage is the
-    registered operator itself (`dedup.exact_dedup`, `text.gopher_flags`,
-    `text.duplicated_window_stats`) — composition costs three digest-keyed
-    shuffles + one source rollup; no stage materializes."""
+    registered operator itself (`text.gopher_flags`,
+    `text.duplicated_window_stats`; exact dedup is min(doc_id) per
+    md5(text), the `dedup.exact_dedup_ids` contract, computed off the
+    shared digest below).
+
+    r13 scan dedup (guide §2.3/§2.4): the r12 form scanned `documents`
+    four times per pass — base token_count, survivors' md5, gopher's
+    tokenize (three full text decodes, two tokenizations) plus the window
+    operator's id-only zero-pad join-back. All the row-local per-doc
+    columns — content
+    digest, token count, Gopher pass flag — now come off ONE scan and one
+    tokenization, localCheckpointed (narrow rows: two ids, a digest, a
+    count, a bool) because its two consumers (digest census, source
+    rollup) do not share an exchange. The window stats are consumed raw
+    (include_all_docs=False): a doc with no windows has no duplicated
+    text, so the left-join's null coalesces to 0.0 — same keep set as the
+    padded form, minus a scan and a join. Text is decoded twice per pass
+    (shared projection + window generation), down from four times."""
     from web_analytics_on_aws_spark.functions import token_count
-    from web_analytics_on_aws_spark.operators import dedup as dedup_ops
 
     docs = load_table(spark, sf_dir, "documents")
+    pre = (
+        text.gopher_flags(docs)
+        .select(
+            "source",
+            "doc_id",
+            F.md5("text").alias("__dig"),
+            token_count(F.col("text")).alias("__nt"),
+            F.col("pass_all").alias("__g"),
+        )
+        .localCheckpoint()
+    )
     # ids-only dedup (r12): the funnel never reads survivor payloads, and
     # min_by(struct-with-text) both shuffled full rows and forced a
     # SortAggregate — min(id) keeps it a hash aggregate over digests+ids
-    survivors = dedup_ops.exact_dedup_ids(docs).withColumn(
-        "__s", F.lit(1)
-    )
-    gopher = (
-        text.gopher_flags(docs)
-        .filter(F.col("pass_all"))
+    # (the exact_dedup_ids contract, off the shared digest projection)
+    survivors = (
+        pre.groupBy("__dig")
+        .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .withColumn("__g", F.lit(1))
+        .withColumn("__s", F.lit(1))
     )
-    window_ok = (
+    window_stats = (
         # materialize: the digest stream inside the operator feeds both
         # the cross-doc census and the join-back; quiet-box A/B (r13,
         # OPTIMIZATION_r13.md) measured the eager form ~1 s faster here —
         # the r12 "funnel regression" did not reproduce off the loaded box
-        text.duplicated_window_stats(docs, k=10, materialize=True)
-        .filter(
-            F.coalesce(
-                F.col("n_dup_windows").cast("double")
-                / F.nullif(F.col("n_windows"), F.lit(0)),
-                F.lit(0.0),
-            )
-            <= 0.5
-        )
-        .select("doc_id")
-        .withColumn("__w", F.lit(1))
+        text.duplicated_window_stats(
+            docs, k=10, materialize=True, include_all_docs=False
+        ).select("doc_id", "n_windows", "n_dup_windows")
     )
     base = (
-        docs.select("source", "doc_id", token_count(F.col("text")).alias("__nt"))
+        pre.drop("__dig")
         .join(survivors, "doc_id", "left")
-        .join(gopher, "doc_id", "left")
-        .join(window_ok, "doc_id", "left")
+        .join(window_stats, "doc_id", "left")
     )
-    keep = F.col("__s").isNotNull() & F.col("__g").isNotNull()
-    kept_all = keep & F.col("__w").isNotNull()
+    # the UNROUNDED covered fraction, exactly as the oracle computes it;
+    # docs absent from the raw stats (no windows) coalesce to 0.0 = pass
+    win_pass = (
+        F.coalesce(
+            F.col("n_dup_windows").cast("double")
+            / F.nullif(F.col("n_windows"), F.lit(0)),
+            F.lit(0.0),
+        )
+        <= 0.5
+    )
+    keep = F.col("__s").isNotNull() & F.col("__g")
+    kept_all = keep & win_pass
     return base.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_raw"),
         F.sum(F.when(F.col("__s").isNotNull(), 1).otherwise(0))
